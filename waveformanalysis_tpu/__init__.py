@@ -1,0 +1,80 @@
+"""waveformanalysis_tpu — TPU-native DAQ waveform-processing framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+SnowingWolf/WaveformAnalysis: a strax-style plugin DAG (raw DAQ files ->
+records + wave_pool -> filtering -> hits/peaks -> features -> S1/S2 ->
+grouped events) orchestrated by a Context with content-addressed lineage
+caching — with every per-waveform kernel running as jitted JAX/Pallas code
+over batched arrays, and chunked streaming realized as a sharded scan over a
+TPU device mesh.
+
+Public API mirrors the reference façade
+(reference: waveform_analysis/__init__.py:25-99) via lazy imports.
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Any
+
+__version__ = "0.1.0"
+
+# name -> (module, attribute)
+_LAZY_API = {
+    # dtypes / data model
+    "Table": ("waveformanalysis_tpu.dtypes.table", "Table"),
+    "Schema": ("waveformanalysis_tpu.dtypes.schema", "Schema"),
+    "ST_WAVEFORM_DTYPE": ("waveformanalysis_tpu.dtypes.schema", "ST_WAVEFORM_DTYPE"),
+    "RECORDS_DTYPE": ("waveformanalysis_tpu.dtypes.schema", "RECORDS_DTYPE"),
+    "create_record_dtype": ("waveformanalysis_tpu.dtypes.schema", "create_record_dtype"),
+    "Chunk": ("waveformanalysis_tpu.dtypes.chunk", "Chunk"),
+    # plugin system
+    "Plugin": ("waveformanalysis_tpu.plugins.base", "Plugin"),
+    "Option": ("waveformanalysis_tpu.plugins.base", "Option"),
+    "option": ("waveformanalysis_tpu.plugins.base", "option"),
+    "takes_config": ("waveformanalysis_tpu.plugins.base", "takes_config"),
+    "PluginSpec": ("waveformanalysis_tpu.plugins.spec", "PluginSpec"),
+    "StreamingPlugin": ("waveformanalysis_tpu.plugins.streaming", "StreamingPlugin"),
+    "StreamingContext": ("waveformanalysis_tpu.plugins.streaming", "StreamingContext"),
+    "get_streaming_context": ("waveformanalysis_tpu.plugins.streaming", "get_streaming_context"),
+    # context / storage
+    "Context": ("waveformanalysis_tpu.context.context", "Context"),
+    "MemmapStorage": ("waveformanalysis_tpu.storage.memmap", "MemmapStorage"),
+    # execution
+    "parallel_map": ("waveformanalysis_tpu.execution.manager", "parallel_map"),
+    "parallel_apply": ("waveformanalysis_tpu.execution.manager", "parallel_apply"),
+    "BatchProcessor": ("waveformanalysis_tpu.data.batch_processor", "BatchProcessor"),
+    # foundation
+    "Profiler": ("waveformanalysis_tpu.foundation.profiler", "Profiler"),
+    "ProgressTracker": ("waveformanalysis_tpu.foundation.progress", "ProgressTracker"),
+    "ErrorSeverity": ("waveformanalysis_tpu.foundation.exceptions", "ErrorSeverity"),
+    "PluginError": ("waveformanalysis_tpu.foundation.exceptions", "PluginError"),
+    "StandardUnits": ("waveformanalysis_tpu.foundation.units", "StandardUnits"),
+    "convert_time": ("waveformanalysis_tpu.foundation.units", "convert_time"),
+    # DAQ utilities
+    "DAQRun": ("waveformanalysis_tpu.utils.daq", "DAQRun"),
+    "DAQAnalyzer": ("waveformanalysis_tpu.utils.daq", "DAQAnalyzer"),
+    "parse_and_stack_files": ("waveformanalysis_tpu.utils.io", "parse_and_stack_files"),
+    "WaveformPreviewer": ("waveformanalysis_tpu.utils.preview", "WaveformPreviewer"),
+    # adapters
+    "register_adapter": ("waveformanalysis_tpu.formats.adapter", "register_adapter"),
+    "get_adapter": ("waveformanalysis_tpu.formats.adapter", "get_adapter"),
+    "list_adapters": ("waveformanalysis_tpu.formats.adapter", "list_adapters"),
+}
+
+__all__ = sorted(_LAZY_API) + ["__version__"]
+
+
+def __getattr__(name: str) -> Any:
+    try:
+        module_name, attr = _LAZY_API[name]
+    except KeyError:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}") from None
+    module = importlib.import_module(module_name)
+    value = getattr(module, attr)
+    globals()[name] = value
+    return value
+
+
+def __dir__():
+    return __all__
