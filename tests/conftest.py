@@ -8,7 +8,10 @@ before jax initializes a backend, hence the env mutation at import time.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the hosting environment pre-sets JAX_PLATFORMS to the TPU
+# platform, and the single TPU tunnel must not be grabbed by unit tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +20,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # Make the repo root importable without installation.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
