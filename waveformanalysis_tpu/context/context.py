@@ -1,0 +1,551 @@
+"""Context: the DAG scheduler and cache orchestrator.
+
+Behavioral analog of the reference Context
+(reference: waveform_analysis/core/context.py:133-2555), keeping its public
+API surface — ``register``, ``get_data``, ``set_config``, ``get_config``,
+``get_lineage``, ``key_for``, ``clear_cache_for``, ``preview_execution``,
+``clone``, ``create_context_factory`` — and its contracts:
+
+- lineage dict = {plugin_class, plugin_version, description, config (tracked
+  options only), depends_on (recursive), dtype, [spec_hash], [adapter_info]};
+- cache key = ``{run_id}-{data_name}-{sha1(lineage_json)[:8]}``;
+- memory results are validated against current lineage before reuse;
+- per-data-name storage backend overrides via ``config["plugin_backends"]``.
+
+TPU-native difference: plugin results may be struct-of-arrays Tables whose
+columns are device arrays; storage round-trips them through the packed
+per-field layout, and a plugin's ``kernel_version`` is folded into lineage so
+kernel revisions invalidate caches like plugin version bumps do.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import tempfile
+from typing import Any, Dict, List, Optional, Sequence, Set, Tuple, Union
+
+import numpy as np
+
+from waveformanalysis_tpu.config.adapter_info import get_adapter_info
+from waveformanalysis_tpu.config.compat import get_default_compat_manager
+from waveformanalysis_tpu.config.resolver import ConfigResolver
+from waveformanalysis_tpu.config.types import ResolvedConfig
+from waveformanalysis_tpu.context.cache_domain import CacheDomain, lineage_json
+from waveformanalysis_tpu.context.config_domain import ConfigDomain
+from waveformanalysis_tpu.context.execution_domain import ExecutionDomain
+from waveformanalysis_tpu.context.resolution import get_plugin_dependencies
+from waveformanalysis_tpu.foundation.error import ErrorManager
+from waveformanalysis_tpu.foundation.exceptions import ConfigError
+from waveformanalysis_tpu.foundation.profiler import Profiler
+from waveformanalysis_tpu.plugins.base import Plugin
+from waveformanalysis_tpu.plugins.spec import PluginSpec
+from waveformanalysis_tpu.plugins.stats import PluginStatsCollector
+from waveformanalysis_tpu.storage.backends import validate_backend
+from waveformanalysis_tpu.storage.cache_manager import RuntimeCacheManager
+from waveformanalysis_tpu.storage.memmap import MemmapStorage
+
+logger = logging.getLogger(__name__)
+
+# Context-owned config keys (documented for show_config; reference:
+# context.py:215-231 _CONTEXT_CONFIG_NOTES).
+CONTEXT_CONFIG_NOTES: Dict[str, str] = {
+    "data_root": "Root directory containing run directories",
+    "daq_adapter": "Registered DAQ adapter name used for decode + inference",
+    "n_channels": "Number of channels to process",
+    "start_channel": "First channel index",
+    "show_progress": "Print progress / cache messages",
+    "plugin_backends": "Per-data-name storage backend overrides",
+    "run_config_path_template": "Template for per-run run_config.json path",
+    "time_domain": "Which time field queries use: system_ns or raw_ps",
+}
+
+RESERVED_DATA_NAMES = {
+    "config",
+    "storage",
+    "plugins",
+    "profiler",
+    "stats",
+    "register",
+    "get_data",
+    "set_config",
+    "get_config",
+    "get_lineage",
+    "key_for",
+    "clone",
+}
+
+
+class Context:
+    """Orchestrates a DAG of plugins keyed by data names, with
+    content-addressed caching."""
+
+    def __init__(
+        self,
+        storage_dir: Optional[str] = None,
+        config: Optional[Dict[str, Any]] = None,
+        storage: Optional[Any] = None,
+        stats_mode: str = "off",
+        register: Optional[Sequence[Any]] = None,
+        profiler: Optional[Profiler] = None,
+    ) -> None:
+        self.config: Dict[str, Any] = dict(config or {})
+
+        if storage is not None:
+            missing = validate_backend(storage)
+            if missing:
+                raise ConfigError(
+                    f"Storage backend missing required methods: {missing}"
+                )
+            self.storage = storage
+            self.storage_dir = getattr(storage, "work_dir", None)
+        else:
+            self.storage_dir = storage_dir or self.config.get("storage_dir")
+            if self.storage_dir is None:
+                self.storage_dir = tempfile.mkdtemp(prefix="wfa_tpu_storage_")
+                logger.info("No storage_dir given; using %s", self.storage_dir)
+            self.storage = MemmapStorage(self.storage_dir)
+
+        # per-data-name backend overrides
+        self._plugin_backends: Dict[str, Any] = {}
+        for name, backend in (self.config.get("plugin_backends") or {}).items():
+            missing = validate_backend(backend)
+            if missing:
+                raise ConfigError(
+                    f"plugin_backends['{name}'] missing methods: {missing}"
+                )
+            self._plugin_backends[name] = backend
+
+        self._plugins: Dict[str, Plugin] = {}
+        self._results: Dict[Tuple[str, str], Any] = {}
+        self._results_lineage: Dict[Tuple[str, str], str] = {}
+        self._manual_names: Set[str] = set()
+
+        # performance caches
+        self._execution_plan_cache: Dict[str, List[str]] = {}
+        self._lineage_cache: Dict[str, Dict[str, Any]] = {}
+        self._lineage_hash_cache: Dict[str, str] = {}
+        self._key_cache: Dict[Tuple[str, str], str] = {}
+
+        self.profiler = profiler or Profiler()
+        self.stats = PluginStatsCollector(mode=stats_mode)
+        self.error_manager = ErrorManager()
+        self.compat = get_default_compat_manager()
+        self.resolver = ConfigResolver(compat_manager=self.compat)
+
+        self.cache_domain = CacheDomain(self)
+        self.execution_domain = ExecutionDomain(self)
+        self.config_domain = ConfigDomain(self)
+        self._cache_manager = RuntimeCacheManager(self)
+
+        if register:
+            self.register(*register)
+
+    # ------------------------------------------------------------------
+    # Registration
+    # ------------------------------------------------------------------
+
+    def register(self, *plugins: Any) -> "Context":
+        """Register plugin instances or classes; returns self for chaining."""
+        for p in plugins:
+            plugin = p() if isinstance(p, type) else p
+            if not isinstance(plugin, Plugin):
+                raise TypeError(f"Cannot register {type(p).__name__}: not a Plugin")
+            plugin.validate()
+            name = plugin.provides
+            if name in RESERVED_DATA_NAMES:
+                raise ValueError(
+                    f"Plugin provides reserved name '{name}'"
+                )
+            spec = PluginSpec.from_plugin(plugin)
+            errors = spec.validate()
+            if errors:
+                raise ValueError(
+                    f"Plugin '{name}' has an invalid spec: {errors}"
+                )
+            plugin._validated_spec = spec
+            plugin._registered_from_module = type(plugin).__module__
+            plugin._registered_class = type(plugin).__name__
+            if name in self._plugins:
+                logger.info("Re-registering plugin for '%s'", name)
+            self._plugins[name] = plugin
+            self.cache_domain.invalidate_caches_for(name)
+        return self
+
+    def unregister(self, data_name: str) -> bool:
+        if data_name in self._plugins:
+            del self._plugins[data_name]
+            self.cache_domain.invalidate_caches_for(data_name)
+            return True
+        return False
+
+    @property
+    def plugins(self) -> Dict[str, Plugin]:
+        return dict(self._plugins)
+
+    def get_plugin(self, data_name: str) -> Optional[Plugin]:
+        return self._plugins.get(data_name)
+
+    # ------------------------------------------------------------------
+    # Config
+    # ------------------------------------------------------------------
+
+    def set_config(self, config_or_key: Union[Dict[str, Any], str],
+                   value: Any = None) -> "Context":
+        """Update config; invalidates lineage/plan caches for affected names."""
+        if isinstance(config_or_key, dict):
+            updates = config_or_key
+        else:
+            updates = {config_or_key: value}
+        self.config.update(updates)
+        # Conservative invalidation: config keys may feed any plugin's options.
+        self.cache_domain.clear_performance_caches()
+        return self
+
+    def get_config(self, plugin_or_name: Any, key: str,
+                   run_id: Optional[str] = None) -> Any:
+        """Resolved value of one plugin option."""
+        plugin = self._as_plugin(plugin_or_name)
+        cfg = self._effective_config(plugin.provides, run_id)
+        cv = self.resolver.resolve_value(
+            plugin, key, cfg, adapter_info=self._adapter_info()
+        )
+        return cv.value
+
+    def get_resolved_config(self, plugin_or_name: Any,
+                            run_id: Optional[str] = None) -> ResolvedConfig:
+        plugin = self._as_plugin(plugin_or_name)
+        cfg = self._effective_config(plugin.provides, run_id)
+        return self.resolver.resolve(
+            plugin, cfg, adapter_name=self.config.get("daq_adapter"),
+            adapter_info=self._adapter_info(),
+        )
+
+    def _as_plugin(self, plugin_or_name: Any) -> Plugin:
+        if isinstance(plugin_or_name, str):
+            plugin = self._plugins.get(plugin_or_name)
+            if plugin is None:
+                raise KeyError(f"No plugin registered for '{plugin_or_name}'")
+            return plugin
+        return plugin_or_name
+
+    def _effective_config(self, plugin_name: str, run_id: Optional[str]) -> Dict[str, Any]:
+        """Context config overlaid on the run_config plugin block (context wins)."""
+        if run_id is None:
+            return self.config
+        run_block = self.config_domain.get_plugin_run_config(run_id, plugin_name)
+        if not run_block:
+            return self.config
+        merged = dict(self.config)
+        scoped = dict(run_block)
+        existing = merged.get(plugin_name)
+        if isinstance(existing, dict):
+            scoped.update(existing)
+        merged[plugin_name] = scoped
+        return merged
+
+    def _adapter_info(self):
+        name = self.config.get("daq_adapter")
+        return get_adapter_info(name) if name else None
+
+    def get_run_config(self, run_id: str) -> Optional[Dict[str, Any]]:
+        return self.config_domain.get_run_config(run_id)
+
+    @classmethod
+    def from_config_json(cls, path: str, **kwargs: Any) -> "Context":
+        import json
+
+        with open(path) as fh:
+            config = json.load(fh)
+        return cls(config=config, **kwargs)
+
+    # ------------------------------------------------------------------
+    # Lineage / keys
+    # ------------------------------------------------------------------
+
+    def get_lineage(self, data_name: str, _visited: Optional[set] = None) -> Dict[str, Any]:
+        """Recursive recipe for a data name; cached at top level."""
+        if _visited is None and data_name in self._lineage_cache:
+            return self._lineage_cache[data_name]
+        if _visited is None:
+            _visited = set()
+        if data_name in _visited:
+            return {"plugin_class": "CircularDependency", "target": data_name}
+
+        if data_name not in self._plugins:
+            if data_name in self._manual_names:
+                return {"plugin_class": "ManualData", "config": {}, "depends_on": {}}
+            return {}
+
+        plugin = self._plugins[data_name]
+        if hasattr(plugin, "get_lineage"):
+            return plugin.get_lineage(self)
+
+        _visited.add(data_name)
+
+        config: Dict[str, Any] = {}
+        resolved = self.get_resolved_config(plugin)
+        for k in plugin.config_keys:
+            opt = plugin.options.get(k)
+            if opt is not None and getattr(opt, "track", True):
+                cv = resolved.get_value(k)
+                if cv is not None:
+                    config[k] = cv.value
+
+        dep_names = [
+            plugin.get_dependency_name(d)
+            for d in get_plugin_dependencies(plugin, self, None)
+        ]
+        lineage: Dict[str, Any] = {
+            "plugin_class": type(plugin).__name__,
+            "plugin_version": getattr(plugin, "version", "0.0.0"),
+            "description": getattr(plugin, "description", ""),
+            "config": config,
+            "depends_on": {
+                dep: self.get_lineage(dep, _visited=set(_visited)) for dep in dep_names
+            },
+        }
+
+        kernel_version = getattr(plugin, "kernel_version", "")
+        if kernel_version:
+            lineage["kernel_version"] = kernel_version
+
+        if plugin._validated_spec is not None:
+            lineage["spec_hash"] = plugin._validated_spec.spec_hash()
+
+        out_dtype = plugin.output_dtype
+        if out_dtype is not None:
+            try:
+                lineage["dtype"] = np.dtype(out_dtype).descr
+            except (TypeError, ValueError):
+                lineage["dtype"] = str(out_dtype)
+
+        if len(_visited) == 1:
+            adapter_name = self.config.get("daq_adapter")
+            if adapter_name:
+                info = get_adapter_info(adapter_name)
+                if info:
+                    lineage["adapter_info"] = info.to_dict()
+            self._lineage_cache[data_name] = lineage
+        return lineage
+
+    def key_for(self, run_id: str, data_name: str) -> str:
+        return self.cache_domain.key_for(run_id, data_name)
+
+    # ------------------------------------------------------------------
+    # Data access
+    # ------------------------------------------------------------------
+
+    def get_data(self, run_id: str, data_name: str, **kwargs: Any) -> Any:
+        """The canonical read path: memory -> disk (lineage-checked) -> compute."""
+        self.config_domain.prepare_request(run_id)
+
+        data = self._get_data_from_memory(run_id, data_name)
+        if data is not None:
+            return data
+
+        if data_name not in self._plugins:
+            raise KeyError(
+                f"No plugin registered for '{data_name}'. "
+                f"Registered: {sorted(self._plugins)}"
+            )
+
+        key = self.key_for(run_id, data_name)
+        data = self.cache_domain.load_from_disk_with_check(run_id, data_name, key)
+        if data is not None:
+            return data
+
+        return self.execution_domain.run_plugin(run_id, data_name, **kwargs)
+
+    def _load_for_user(self, run_id: str, name: str) -> Any:
+        data = self._get_data_from_memory(run_id, name)
+        if data is not None:
+            return data
+        # stream outputs are not memory-cached
+        return self._results.get((run_id, name))
+
+    def _get_data_from_memory(self, run_id: str, name: str) -> Any:
+        key = (run_id, name)
+        data = self._results.get(key)
+        if data is None:
+            return None
+        stored_lineage = self._results_lineage.get(key)
+        if stored_lineage is not None and name in self._plugins:
+            if stored_lineage != lineage_json(self.get_lineage(name)):
+                # config/plugin changed since this result was computed
+                del self._results[key]
+                del self._results_lineage[key]
+                return None
+        return data
+
+    def _set_data(self, run_id: str, name: str, data: Any) -> None:
+        key = (run_id, name)
+        self._results[key] = data
+        if name in self._plugins:
+            self._results_lineage[key] = lineage_json(self.get_lineage(name))
+
+    def inject_data(self, run_id: str, name: str, data: Any) -> None:
+        """Manually provide data for a name (testing / notebooks)."""
+        self._manual_names.add(name)
+        self._results[(run_id, name)] = data
+        self._results_lineage.pop((run_id, name), None)
+
+    def has_manual_data(self, name: str) -> bool:
+        return name in self._manual_names
+
+    def is_cache_hit(self, run_id: str, name: str, load: bool = False) -> bool:
+        return self.cache_domain.is_cache_hit(run_id, name, load=load)
+
+    def clear_cache_for(self, run_id: str, data_name: Optional[str] = None,
+                        downstream: bool = False, **kwargs: Any) -> int:
+        return self.cache_domain.clear_cache_for(
+            run_id, data_name, downstream=downstream, **kwargs
+        )
+
+    # ------------------------------------------------------------------
+    # Storage plumbing
+    # ------------------------------------------------------------------
+
+    def _get_storage_for_data_name(self, name: Optional[str]) -> Any:
+        if name and name in self._plugin_backends:
+            return self._plugin_backends[name]
+        return self.storage
+
+    # ------------------------------------------------------------------
+    # Introspection
+    # ------------------------------------------------------------------
+
+    def preview_execution(self, run_id: str, data_name: str,
+                          verbose: bool = False) -> Dict[str, Any]:
+        """Dry-run: plan, cache status, needed set — no computation."""
+        plan = self.execution_domain.resolve_execution_plan(data_name, run_id)
+        cache_status = {
+            name: (
+                "memory"
+                if self._results.get((run_id, name)) is not None
+                else (
+                    "disk"
+                    if name in self._plugins
+                    and self.cache_domain.is_disk_cache_valid(
+                        run_id, name, self.key_for(run_id, name)
+                    )
+                    else "miss"
+                )
+            )
+            for name in plan
+        }
+        needed = self.execution_domain.compute_needed_set(plan, data_name, run_id)
+        preview = {
+            "run_id": run_id,
+            "target": data_name,
+            "plan": plan,
+            "cache_status": cache_status,
+            "needed": sorted(needed),
+            "will_compute": [n for n in plan if n in needed],
+        }
+        if verbose:
+            print(f"Execution preview for ({run_id}, {data_name}):")
+            for name in plan:
+                mark = "compute" if name in needed else f"cached ({cache_status[name]})"
+                print(f"  {name:<30} {mark}")
+        return preview
+
+    def get_performance_report(self) -> str:
+        lines = [self.stats.report(), "", self.profiler.summary()]
+        return "\n".join(lines)
+
+    def profiling_summary(self) -> str:
+        return self.profiler.summary()
+
+    def list_data_names(self) -> List[str]:
+        return sorted(self._plugins)
+
+    def search_field(self, field_name: str) -> List[str]:
+        """Data names whose output schema contains the given field."""
+        hits = []
+        for name, plugin in self._plugins.items():
+            spec = plugin._validated_spec
+            if spec and spec.output_schema:
+                if any(f.name == field_name for f in spec.output_schema.fields):
+                    hits.append(name)
+        return hits
+
+    def help(self, data_name: Optional[str] = None) -> str:
+        """Human-readable overview of registered plugins."""
+        if data_name is not None:
+            plugin = self._plugins.get(data_name)
+            if plugin is None:
+                return f"No plugin registered for '{data_name}'"
+            lines = [
+                f"{data_name} <- {type(plugin).__name__} v{plugin.version}",
+                f"  {plugin.description}",
+                f"  depends_on: {plugin.depends_on or '(dynamic)' if not plugin.depends_on else plugin.depends_on}",
+                f"  save_when: {plugin.save_when}",
+                "  options:",
+            ]
+            for key, opt in plugin.options.items():
+                lines.append(f"    {key} (default={opt.default!r}): {opt.help}")
+            return "\n".join(lines)
+        lines = ["Registered plugins:"]
+        for name, plugin in sorted(self._plugins.items()):
+            lines.append(
+                f"  {name:<28} {type(plugin).__name__} v{plugin.version}"
+            )
+        return "\n".join(lines)
+
+    # ------------------------------------------------------------------
+    # Cloning / factories
+    # ------------------------------------------------------------------
+
+    def clone(self, **config_updates: Any) -> "Context":
+        """A new Context sharing storage + plugin classes, fresh caches."""
+        cfg = dict(self.config)
+        cfg.update(config_updates)
+        new = Context(
+            storage=self.storage,
+            config=cfg,
+            stats_mode=self.stats.mode,
+        )
+        for plugin in self._plugins.values():
+            new.register(type(plugin)())
+        return new
+
+    def create_context_factory(self):
+        """A picklable factory recreating an equivalent Context in another
+        process (reference: context.py:518)."""
+        spec = {
+            "config": dict(self.config),
+            "storage_dir": self.storage_dir,
+            "stats_mode": self.stats.mode,
+            "plugins": [
+                (type(p).__module__, type(p).__name__)
+                for p in self._plugins.values()
+            ],
+        }
+        return _ContextFactory(spec)
+
+    def __repr__(self) -> str:  # pragma: no cover - cosmetic
+        return (
+            f"Context(plugins={sorted(self._plugins)}, "
+            f"storage_dir={self.storage_dir!r})"
+        )
+
+
+class _ContextFactory:
+    """Picklable context factory (module-level class so pickle works)."""
+
+    def __init__(self, spec: Dict[str, Any]) -> None:
+        self.spec = spec
+
+    def __call__(self) -> Context:
+        import importlib
+
+        ctx = Context(
+            storage_dir=self.spec["storage_dir"],
+            config=self.spec["config"],
+            stats_mode=self.spec.get("stats_mode", "off"),
+        )
+        for module_name, class_name in self.spec["plugins"]:
+            module = importlib.import_module(module_name)
+            ctx.register(getattr(module, class_name)())
+        return ctx

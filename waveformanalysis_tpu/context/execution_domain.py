@@ -1,0 +1,333 @@
+"""Context execution domain: plans, needed-set pruning, plugin execution.
+
+Behavioral analog of the reference execution domain
+(reference: waveform_analysis/core/context_execution.py:21-475):
+
+- execution plans are topo-sorted and cached per target;
+- the needed set prunes subtrees whose outputs are already cached;
+- per-plugin execution: validate config -> validate input dtypes -> compute
+  -> output contract -> save -> memory cache, instrumented by the profiler
+  and stats collector, guarded against runtime re-entrancy cycles;
+- stream outputs are wrapped so chunks persist incrementally while yielding;
+- errors branch on severity, with on_error/cleanup hooks always running.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from typing import Any, Dict, Generator, List, Optional, Set
+
+import numpy as np
+
+from waveformanalysis_tpu.context.resolution import (
+    get_plugin_dependencies,
+    resolve_dependencies,
+)
+from waveformanalysis_tpu.dtypes.table import Table
+from waveformanalysis_tpu.foundation.exceptions import (
+    ErrorSeverity,
+    PluginError,
+    TimeoutError_,
+    ValidationError,
+)
+from waveformanalysis_tpu.plugins.stats import estimate_mb
+
+logger = logging.getLogger(__name__)
+
+# Outputs that must be a single flat array/Table with a 'channel' field
+# (reference: context.py _FLAT_CHANNEL_OUTPUTS).
+FLAT_CHANNEL_OUTPUTS = {
+    "st_waveforms",
+    "filtered_waveforms",
+    "basic_features",
+    "signal_peaks_stream",
+    "waveform_width",
+    "waveform_width_integral",
+    "s1_s2",
+}
+
+
+class ExecutionDomain:
+    """Plan resolution and plugin execution for a Context."""
+
+    def __init__(self, context: Any) -> None:
+        self.ctx = context
+        self._in_progress: Dict[Any, bool] = {}
+        self._in_progress_lock = threading.Lock()
+
+    # -- planning ------------------------------------------------------------
+
+    def resolve_execution_plan(
+        self, target: str, run_id: Optional[str] = None
+    ) -> List[str]:
+        cached = self.ctx._execution_plan_cache.get(target)
+        if cached is not None:
+            return list(cached)
+        with self.ctx.profiler.time("context.resolve_dependencies"):
+            plan = resolve_dependencies(self.ctx, target, self.ctx._plugins, run_id)
+        self.ctx._execution_plan_cache[target] = list(plan)
+        return plan
+
+    def compute_needed_set(
+        self, plan: List[str], target: str, run_id: str
+    ) -> Set[str]:
+        """Subset of the plan that actually needs executing.
+
+        A node is needed iff it is not cache-valid and some needed consumer
+        (or the target itself) requires it. Cached nodes load lazily when a
+        plugin requests them.
+        """
+        needed: Set[str] = set()
+
+        def need(name: str) -> None:
+            if name in needed:
+                return
+            if self.ctx.cache_domain.is_cache_hit(run_id, name):
+                return
+            if name not in self.ctx._plugins:
+                return  # manual data
+            needed.add(name)
+            plugin = self.ctx._plugins[name]
+            for dep in get_plugin_dependencies(plugin, self.ctx, run_id):
+                need(plugin.get_dependency_name(dep))
+
+        need(target)
+        return needed
+
+    # -- execution -----------------------------------------------------------
+
+    def run_plugin(self, run_id: str, target: str, **kwargs: Any) -> Any:
+        """Execute the plan for ``target``; returns the target's data."""
+        plan = self.resolve_execution_plan(target, run_id)
+        needed = self.compute_needed_set(plan, target, run_id)
+        for name in plan:
+            if name not in needed:
+                continue
+            self.execute_single_plugin(run_id, name, is_target=(name == target), **kwargs)
+        return self.ctx._load_for_user(run_id, target)
+
+    def execute_single_plugin(
+        self, run_id: str, name: str, is_target: bool = False, **kwargs: Any
+    ) -> Any:
+        ctx = self.ctx
+        plugin = ctx._plugins[name]
+        guard_key = (run_id, name)
+
+        with self._in_progress_lock:
+            if self._in_progress.get(guard_key):
+                raise PluginError(
+                    f"Runtime circular dependency: '{name}' is already being "
+                    f"computed for run '{run_id}'",
+                    plugin_name=name,
+                )
+            self._in_progress[guard_key] = True
+
+        t0 = time.perf_counter()
+        cache_hit = False
+        success = True
+        error_msg = None
+        result = None
+        try:
+            key = ctx.cache_domain.key_for(run_id, name)
+            result, cache_hit = ctx._cache_manager.check_cache(run_id, name, key)
+            if cache_hit:
+                return result
+
+            self._validate_plugin_config(plugin)
+            with ctx.profiler.time(f"plugin.{name}.compute"):
+                result = self._compute_with_timeout(plugin, run_id, **kwargs)
+
+            if plugin.output_kind == "stream" and _is_generator(result):
+                result = self.wrap_generator_to_save(
+                    run_id, name, plugin, result, is_target=is_target
+                )
+                return result
+
+            result = self.postprocess_plugin_result(
+                run_id, name, plugin, result, is_target=is_target
+            )
+            ctx._set_data(run_id, name, result)
+            return result
+        except Exception as exc:
+            success = False
+            error_msg = str(exc)
+            self._handle_plugin_error(plugin, run_id, exc)
+            raise
+        finally:
+            with self._in_progress_lock:
+                self._in_progress.pop(guard_key, None)
+            try:
+                plugin.cleanup(ctx)
+            except Exception as e:  # pragma: no cover
+                logger.warning("Plugin %s cleanup failed: %s", name, e)
+            if ctx.stats.enabled:
+                ctx.stats.record_execution(
+                    plugin_name=name,
+                    run_id=run_id,
+                    duration_s=time.perf_counter() - t0,
+                    cache_hit=cache_hit,
+                    success=success,
+                    error=error_msg,
+                    output_mb=estimate_mb(result) if ctx.stats.mode == "detailed" else None,
+                )
+
+    # -- pieces --------------------------------------------------------------
+
+    def _validate_plugin_config(self, plugin: Any) -> None:
+        # get_config performs Option validation + unit conversion
+        plugin.validate_config(self.ctx)
+
+    def _compute_with_timeout(self, plugin: Any, run_id: str, **kwargs: Any) -> Any:
+        timeout = getattr(plugin, "timeout", None)
+        if not timeout:
+            return plugin.compute(self.ctx, run_id, **kwargs)
+        box: Dict[str, Any] = {}
+
+        def runner() -> None:
+            try:
+                box["result"] = plugin.compute(self.ctx, run_id, **kwargs)
+            except BaseException as e:  # noqa: BLE001
+                box["error"] = e
+
+        t = threading.Thread(target=runner, daemon=True)
+        t.start()
+        t.join(timeout)
+        if t.is_alive():
+            raise TimeoutError_(
+                f"Plugin '{plugin.provides}' exceeded timeout of {timeout}s"
+            )
+        if "error" in box:
+            raise box["error"]
+        return box.get("result")
+
+    def _handle_plugin_error(self, plugin: Any, run_id: str, exc: Exception) -> None:
+        ctx = self.ctx
+        severity = getattr(exc, "severity", ErrorSeverity.FATAL)
+        snapshot = ctx.error_manager.collect_context(plugin=plugin, context=ctx)
+        ctx.error_manager.record(
+            exc, plugin_name=plugin.provides, run_id=run_id, context=snapshot
+        )
+        try:
+            plugin.on_error(ctx, exc)
+        except Exception as hook_err:  # pragma: no cover
+            logger.warning("Plugin %s on_error hook failed: %s", plugin.provides, hook_err)
+        if severity is ErrorSeverity.RECOVERABLE:
+            logger.warning(
+                "Recoverable error in plugin %s: %s", plugin.provides, exc
+            )
+
+    def postprocess_plugin_result(
+        self, run_id: str, name: str, plugin: Any, result: Any, is_target: bool
+    ) -> Any:
+        """Output contract enforcement + dtype conversion + save."""
+        result = self._enforce_output_contract(name, plugin, result)
+        result = self._convert_output_dtype(plugin, result)
+        if self._should_save(plugin, is_target):
+            self.save_plugin_result(run_id, name, plugin, result)
+        return result
+
+    def _should_save(self, plugin: Any, is_target: bool) -> bool:
+        return plugin.save_when == "always" or (
+            plugin.save_when == "target" and is_target
+        )
+
+    def _enforce_output_contract(self, name: str, plugin: Any, result: Any) -> Any:
+        if name in FLAT_CHANNEL_OUTPUTS:
+            is_flat = (
+                isinstance(result, Table) and "channel" in result
+            ) or (
+                isinstance(result, np.ndarray)
+                and result.dtype.names is not None
+                and "channel" in result.dtype.names
+            )
+            if not is_flat:
+                raise ValidationError(
+                    f"Plugin '{name}' must return a single flat array/Table with "
+                    f"a 'channel' field, got {type(result).__name__}"
+                )
+        return result
+
+    def _convert_output_dtype(self, plugin: Any, result: Any) -> Any:
+        out_dtype = plugin.output_dtype
+        if (
+            isinstance(result, np.ndarray)
+            and result.dtype.names is not None
+            and isinstance(out_dtype, np.dtype)
+            and out_dtype.names is not None
+            and result.dtype != out_dtype
+            and result.dtype.names == out_dtype.names
+        ):
+            converted = np.zeros(len(result), dtype=out_dtype)
+            for f in out_dtype.names:
+                converted[f] = result[f]
+            return converted
+        return result
+
+    def save_plugin_result(self, run_id: str, name: str, plugin: Any, result: Any) -> None:
+        ctx = self.ctx
+        key = ctx.cache_domain.key_for(run_id, name)
+        storage = ctx._get_storage_for_data_name(name)
+        lineage = ctx.get_lineage(name)
+        with ctx.profiler.time("context.save_cache"):
+            if _is_dataframe(result):
+                storage.save_dataframe(key, result, run_id=run_id, lineage=lineage)
+            elif isinstance(result, (Table, np.ndarray)):
+                storage.save_memmap(key, result, run_id=run_id, lineage=lineage)
+            elif isinstance(result, (list, tuple)) and all(
+                isinstance(r, np.ndarray) for r in result
+            ):
+                # legacy multi-channel layout: one entry per channel
+                for i, arr in enumerate(result):
+                    storage.save_memmap(
+                        f"{key}_ch{i}", arr, run_id=run_id, lineage=lineage,
+                        extra_metadata={"channel_index": i, "channel_count": len(result)},
+                    )
+            else:
+                logger.debug(
+                    "Result of '%s' (%s) is not persistable; skipping save",
+                    name, type(result).__name__,
+                )
+
+    # -- streaming save-through ----------------------------------------------
+
+    def wrap_generator_to_save(
+        self,
+        run_id: str,
+        name: str,
+        plugin: Any,
+        gen: Generator,
+        is_target: bool,
+    ) -> Generator:
+        """Persist stream chunks incrementally while yielding them through."""
+        if not self._should_save(plugin, is_target):
+            return gen
+
+        ctx = self.ctx
+        key = ctx.cache_domain.key_for(run_id, name)
+        storage = ctx._get_storage_for_data_name(name)
+        lineage = ctx.get_lineage(name)
+
+        def saving_gen() -> Generator:
+            writer = storage.save_stream(key, run_id=run_id)
+            try:
+                for chunk in gen:
+                    payload = chunk.data if hasattr(chunk, "data") else chunk
+                    if isinstance(payload, (Table, np.ndarray)) and len(payload) > 0:
+                        writer.append(payload)
+                    yield chunk
+                storage.finalize_save(key, writer, run_id=run_id, lineage=lineage)
+            except BaseException:
+                writer.abort()
+                raise
+
+        return saving_gen()
+
+
+def _is_generator(obj: Any) -> bool:
+    return hasattr(obj, "__next__") or isinstance(obj, Generator)
+
+
+def _is_dataframe(obj: Any) -> bool:
+    return type(obj).__name__ == "DataFrame" and hasattr(obj, "to_parquet")

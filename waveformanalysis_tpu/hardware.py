@@ -1,0 +1,329 @@
+"""Hardware-channel identity, per-channel config overrides, grouping.
+
+Behavioral analog of the reference hardware channel layer
+(reference: waveform_analysis/core/hardware/channel.py:17,213-520): channels
+are identified by (board, channel); a plugin ``channel_config`` option (and
+run_config ``channel_metadata``) provides layered overrides — run block ->
+``defaults`` -> ``groups`` (with channel selectors) -> per-channel entries
+keyed as ``"board:channel"`` / ``(board, channel)`` — for values like
+``polarity``, ``fixed_baseline``, ``gain_adc_per_pe``, ``adc_bits``.
+
+TPU-native extension: the reference resolves per *record* in a Python loop;
+here :func:`resolve_channel_value_arrays` resolves once per unique hardware
+channel and gathers into dense per-event arrays, which is the form device
+kernels consume.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Iterable, List, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+VALID_POLARITIES = {"positive", "negative"}
+_STRUCTURAL_KEYS = {"defaults", "groups", "channels"}
+
+
+@dataclass(frozen=True, order=True)
+class HardwareChannel:
+    """Unique hardware channel identity."""
+
+    board: int
+    channel: int
+
+
+def make_channel(board: Any, channel: Any) -> HardwareChannel:
+    return HardwareChannel(board=int(board), channel=int(channel))
+
+
+@dataclass(frozen=True)
+class ChannelConfig:
+    """Normalized per-channel config entry."""
+
+    polarity: str = "unknown"
+    geometry: str = "unknown"
+    adc_bits: Optional[int] = None
+    fixed_baseline: Optional[float] = None
+    gain_adc_per_pe: Optional[float] = None
+
+
+@dataclass(frozen=True)
+class PluginChannelRule:
+    """Resolved plugin config values for a single hardware channel."""
+
+    channel: HardwareChannel
+    values: Dict[str, Any]
+
+    def get(self, name: str, default: Any = None) -> Any:
+        return self.values.get(name, default)
+
+
+# --------------------------------------------------------------------------
+# Channel reference parsing
+# --------------------------------------------------------------------------
+
+def parse_channel_ref(key: Any) -> Optional[HardwareChannel]:
+    """Accepts HardwareChannel, (board, channel), or "board:channel"."""
+    if isinstance(key, HardwareChannel):
+        return key
+    if isinstance(key, (tuple, list)) and len(key) == 2:
+        try:
+            return make_channel(key[0], key[1])
+        except (TypeError, ValueError):
+            return None
+    if isinstance(key, str) and ":" in key:
+        left, right = key.split(":", 1)
+        try:
+            return make_channel(left.strip(), right.strip())
+        except (TypeError, ValueError):
+            return None
+    return None
+
+
+def _channel_ref_error(key: Any) -> ValueError:
+    return ValueError(
+        f"Invalid channel key {key!r}; expected HardwareChannel, "
+        '(board, channel), or "board:channel".'
+    )
+
+
+# --------------------------------------------------------------------------
+# Layered override resolution
+# --------------------------------------------------------------------------
+
+def _select_run_block(config: Any, run_id: Optional[str]) -> Mapping[Any, Any]:
+    if not isinstance(config, Mapping):
+        return {}
+    if run_id is not None:
+        run_block = config.get(run_id)
+        if isinstance(run_block, Mapping):
+            return run_block
+    return config
+
+
+def _group_list(groups: Any) -> List[Mapping[str, Any]]:
+    if isinstance(groups, Mapping):
+        out = []
+        for name, group in groups.items():
+            if isinstance(group, Mapping):
+                out.append({"name": str(name), **group})
+        return out
+    if isinstance(groups, Sequence) and not isinstance(groups, (str, bytes)):
+        return [g for g in groups if isinstance(g, Mapping)]
+    return []
+
+
+def _channel_in_selector(channel: HardwareChannel, selectors: Any) -> bool:
+    if selectors is None:
+        return True  # group with no selector applies to all
+    if isinstance(selectors, (str, tuple, list)) and parse_channel_ref(selectors):
+        selectors = [selectors]
+    if isinstance(selectors, Sequence) and not isinstance(selectors, (str, bytes)):
+        for sel in selectors:
+            parsed = parse_channel_ref(sel)
+            if parsed is not None and parsed == channel:
+                return True
+            if isinstance(sel, (int, np.integer)) and int(sel) == channel.channel:
+                return True
+        return False
+    return False
+
+
+def resolve_layered_overrides(
+    config_block: Mapping[str, Any], channel: HardwareChannel
+) -> Dict[str, Any]:
+    """defaults -> matching groups -> per-channel entry, later layers win."""
+    resolved: Dict[str, Any] = {}
+    defaults = config_block.get("defaults")
+    if isinstance(defaults, Mapping):
+        resolved.update(defaults)
+
+    for group in _group_list(config_block.get("groups")):
+        if not _channel_in_selector(channel, group.get("channels")):
+            continue
+        values = group.get("config")
+        if isinstance(values, Mapping):
+            resolved.update(values)
+
+    channels_block = config_block.get("channels")
+    if not isinstance(channels_block, Mapping):
+        channels_block = config_block
+    for key, values in channels_block.items():
+        if key in _STRUCTURAL_KEYS:
+            continue
+        parsed = parse_channel_ref(key)
+        if parsed is None:
+            raise _channel_ref_error(key)
+        if parsed != channel:
+            continue
+        if not isinstance(values, Mapping):
+            raise ValueError(
+                f"Invalid channel config for {key!r}; expected a mapping, "
+                f"got {type(values).__name__}."
+            )
+        resolved.update(values)
+        break
+    return resolved
+
+
+def resolve_effective_channel_config(
+    context: Any,
+    plugin: Any,
+    run_id: Optional[str],
+    board: int,
+    channel: int,
+    base_values: Optional[Mapping[str, Any]] = None,
+    channel_config: Optional[Mapping[str, Any]] = None,
+) -> PluginChannelRule:
+    """Final plugin config values for one hardware channel."""
+    hw = make_channel(board, channel)
+    resolved: Dict[str, Any] = dict(base_values or {})
+    if isinstance(channel_config, Mapping):
+        block = _select_run_block(channel_config, run_id)
+        resolved.update(resolve_layered_overrides(block, hw))
+    return PluginChannelRule(channel=hw, values=resolved)
+
+
+def resolve_effective_channel_option(
+    context: Any,
+    plugin: Any,
+    run_id: Optional[str],
+    board: int,
+    channel: int,
+    option_name: str,
+    default: Any = None,
+    base_values: Optional[Mapping[str, Any]] = None,
+    channel_config: Optional[Mapping[str, Any]] = None,
+) -> Any:
+    rule = resolve_effective_channel_config(
+        context, plugin, run_id, board, channel,
+        base_values=base_values, channel_config=channel_config,
+    )
+    return rule.get(option_name, default)
+
+
+# --------------------------------------------------------------------------
+# Channel metadata (polarity truth etc.) from context config / run_config
+# --------------------------------------------------------------------------
+
+def get_channel_metadata_layers(context: Any, run_id: Optional[str]) -> List[Mapping[str, Any]]:
+    """channel_metadata blocks in precedence order (run_config wins)."""
+    layers: List[Mapping[str, Any]] = []
+    run_config = None
+    getter = getattr(context, "get_run_config", None)
+    if callable(getter) and run_id is not None:
+        try:
+            run_config = getter(run_id)
+        except Exception:
+            run_config = None
+    if isinstance(run_config, Mapping):
+        block = run_config.get("channel_metadata")
+        if isinstance(block, Mapping):
+            layers.append(block)
+    ctx_config = getattr(context, "config", {})
+    if isinstance(ctx_config, Mapping):
+        block = ctx_config.get("channel_metadata")
+        if isinstance(block, Mapping):
+            layers.append(block)
+    return layers
+
+
+def get_channel_metadata(
+    context: Any, run_id: Optional[str], board: int, channel: int
+) -> Dict[str, Any]:
+    hw = make_channel(board, channel)
+    for layer in get_channel_metadata_layers(context, run_id):
+        block = _select_run_block(layer, run_id)
+        values = resolve_layered_overrides(block, hw)
+        if values:
+            return values
+    return {}
+
+
+def get_polarity(
+    context: Any, run_id: Optional[str], board: int, channel: int,
+    default: str = "unknown",
+) -> str:
+    pol = get_channel_metadata(context, run_id, board, channel).get("polarity")
+    return pol if pol in VALID_POLARITIES else default
+
+
+# --------------------------------------------------------------------------
+# Grouping / vectorized resolution (TPU-friendly)
+# --------------------------------------------------------------------------
+
+def unique_hardware_channels(boards: Any, channels: Any) -> List[HardwareChannel]:
+    boards = np.asarray(boards).astype(np.int64)
+    channels = np.asarray(channels).astype(np.int64)
+    pairs = np.unique(np.stack([boards, channels], axis=1), axis=0)
+    return [HardwareChannel(int(b), int(c)) for b, c in pairs]
+
+
+def group_indices_by_hardware_channel(
+    boards: Any, channels: Any
+) -> Dict[HardwareChannel, np.ndarray]:
+    boards = np.asarray(boards).astype(np.int64)
+    channels = np.asarray(channels).astype(np.int64)
+    keys = boards * (1 << 32) + channels
+    order = np.argsort(keys, kind="stable")
+    sorted_keys = keys[order]
+    bounds = np.flatnonzero(np.diff(sorted_keys)) + 1
+    groups = np.split(order, bounds)
+    out = {}
+    for g in groups:
+        if len(g) == 0:
+            continue
+        i = int(g[0])
+        out[HardwareChannel(int(boards[i]), int(channels[i]))] = g
+    return out
+
+
+def resolve_channel_value_arrays(
+    context: Any,
+    plugin: Any,
+    run_id: Optional[str],
+    boards: Any,
+    channels: Any,
+    option_names: Sequence[str],
+    defaults: Mapping[str, Any],
+    channel_config: Optional[Mapping[str, Any]] = None,
+) -> Dict[str, np.ndarray]:
+    """Per-event override arrays, resolved once per unique channel.
+
+    Numeric options come back as float64 arrays with NaN meaning "no
+    override"; string options as object arrays.
+    """
+    boards = np.asarray(boards).astype(np.int64)
+    channels = np.asarray(channels).astype(np.int64)
+    n = len(boards)
+    uniq = unique_hardware_channels(boards, channels)
+    per_channel: Dict[HardwareChannel, Dict[str, Any]] = {}
+    for hw in uniq:
+        rule = resolve_effective_channel_config(
+            context, plugin, run_id, hw.board, hw.channel,
+            base_values=defaults, channel_config=channel_config,
+        )
+        per_channel[hw] = rule.values
+
+    out: Dict[str, np.ndarray] = {}
+    groups = group_indices_by_hardware_channel(boards, channels)
+    for name in option_names:
+        default = defaults.get(name)
+        is_stringy = isinstance(default, str) or any(
+            isinstance(v.get(name), str) for v in per_channel.values()
+        )
+        if is_stringy:
+            arr = np.empty(n, dtype=object)
+            arr[:] = default
+        else:
+            arr = np.full(n, np.nan, dtype=np.float64)
+            if default is not None:
+                arr[:] = float(default)
+        for hw, idx in groups.items():
+            val = per_channel[hw].get(name)
+            if val is None:
+                continue
+            arr[idx] = val if is_stringy else float(val)
+        out[name] = arr
+    return out

@@ -1,0 +1,79 @@
+"""Public testing fixtures for downstream plugin authors.
+
+Behavioral analog of the reference public fixture module
+(reference: waveform_analysis/testing/fixtures.py:19-57):
+``make_fake_st_waveforms`` builds synthetic structured waveforms with known
+pulses; ``make_tiny_context`` returns a Context with those waveforms injected
+so feature plugins can be unit-tested without DAQ decode.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+from waveformanalysis_tpu.dtypes.schema import ST_WAVEFORM_SCHEMA, create_record_dtype
+from waveformanalysis_tpu.dtypes.table import Table
+
+
+def make_fake_st_waveforms(
+    n_events: int = 16,
+    wave_length: int = 128,
+    n_channels: int = 2,
+    baseline: float = 1000.0,
+    pulse_height: int = 200,
+    pulse_start: int = 50,
+    pulse_width: int = 10,
+    polarity: str = "negative",
+    noise_rms: float = 0.0,
+    dt_ns: int = 2,
+    seed: int = 0,
+    as_table: bool = False,
+) -> Any:
+    """Synthetic st_waveforms with a square pulse per event.
+
+    Returns a NumPy structured array (reference layout) by default, or a
+    Table when ``as_table=True``.
+    """
+    rng = np.random.default_rng(seed)
+    dtype = create_record_dtype(wave_length)
+    arr = np.zeros(n_events, dtype=dtype)
+    arr["baseline"] = baseline
+    arr["polarity"] = polarity
+    arr["timestamp"] = np.arange(n_events, dtype=np.int64) * 10_000_000  # ps
+    arr["record_id"] = np.arange(n_events)
+    arr["dt"] = dt_ns
+    arr["event_length"] = wave_length
+    arr["board"] = 0
+    arr["channel"] = np.arange(n_events) % n_channels
+
+    waves = np.full((n_events, wave_length), baseline, dtype=np.float64)
+    if noise_rms > 0:
+        waves += rng.normal(0, noise_rms, size=waves.shape)
+    sign = 1.0 if polarity == "positive" else -1.0
+    waves[:, pulse_start : pulse_start + pulse_width] += sign * pulse_height
+    arr["wave"] = np.clip(np.round(waves), -32768, 32767).astype(np.int16)
+
+    if as_table:
+        return Table.from_numpy(arr, schema=ST_WAVEFORM_SCHEMA)
+    return arr
+
+
+def make_tiny_context(
+    tmp_dir: str,
+    st_waveforms: Optional[Any] = None,
+    run_id: str = "test_run",
+    config: Optional[dict] = None,
+    **fake_kwargs: Any,
+):
+    """A Context over ``tmp_dir`` with st_waveforms injected for ``run_id``."""
+    from waveformanalysis_tpu.context.context import Context
+
+    cfg = {"show_progress": False}
+    cfg.update(config or {})
+    ctx = Context(storage_dir=str(tmp_dir), config=cfg)
+    if st_waveforms is None:
+        st_waveforms = make_fake_st_waveforms(**fake_kwargs)
+    ctx.inject_data(run_id, "st_waveforms", st_waveforms)
+    return ctx
