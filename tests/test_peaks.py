@@ -1,0 +1,167 @@
+"""find_peaks device-kernel parity tests vs scipy.signal.find_peaks."""
+
+import numpy as np
+import pytest
+from scipy.signal import find_peaks
+
+from waveformanalysis_tpu.ops import peaks as P
+
+
+def run_both(signal, height=30.0, distance=2, prominence=0.7, width=4,
+             max_peaks=32):
+    """Run scipy per-row and the batched kernel; return (scipy_list, dev)."""
+    signal = np.asarray(signal, dtype=np.float32)
+    scipy_out = []
+    for row in signal:
+        pos, props = find_peaks(
+            row.astype(np.float64), height=height, distance=distance,
+            prominence=prominence, width=width,
+        )
+        scipy_out.append((pos, props))
+    dev = P.find_peaks_batch(
+        signal, height=float(height), prominence=float(prominence),
+        width=float(width), distance=int(distance), max_peaks=max_peaks,
+    )
+    dev = {k: np.asarray(v) for k, v in dev.items()}
+    return scipy_out, dev
+
+
+def assert_parity(scipy_out, dev, check_ips=True):
+    for i, (pos, props) in enumerate(scipy_out):
+        got_pos = dev["position"][i][dev["valid"][i]]
+        np.testing.assert_array_equal(
+            got_pos, pos, err_msg=f"row {i}: positions differ"
+        )
+        if check_ips and len(pos):
+            np.testing.assert_allclose(
+                dev["left_ips"][i][dev["valid"][i]], props["left_ips"],
+                atol=2e-3, err_msg=f"row {i}: left_ips",
+            )
+            np.testing.assert_allclose(
+                dev["right_ips"][i][dev["valid"][i]], props["right_ips"],
+                atol=2e-3, err_msg=f"row {i}: right_ips",
+            )
+            np.testing.assert_allclose(
+                dev["prominence"][i][dev["valid"][i]], props["prominences"],
+                rtol=1e-4, atol=1e-3, err_msg=f"row {i}: prominences",
+            )
+
+
+class TestFindPeaksParity:
+    def test_single_clean_pulse(self):
+        L = 128
+        sig = np.zeros((1, L), np.float32)
+        sig[0, 50:60] = [10, 40, 80, 100, 95, 70, 45, 20, 10, 5]
+        scipy_out, dev = run_both(sig, height=30, distance=2, prominence=0.7, width=2)
+        assert_parity(scipy_out, dev)
+
+    def test_noisy_batch(self, rng):
+        n, L = 16, 256
+        sig = rng.normal(0, 5, (n, L)).astype(np.float32)
+        for i in range(n):
+            for s in rng.integers(10, L - 30, 3):
+                w = int(rng.integers(5, 15))
+                amp = float(rng.uniform(40, 150))
+                t = np.arange(w)
+                sig[i, s : s + w] += amp * np.exp(-((t - w / 2) ** 2) / (w / 3) ** 2)
+        scipy_out, dev = run_both(sig)
+        assert_parity(scipy_out, dev)
+
+    def test_plateau_midpoint(self):
+        sig = np.zeros((1, 64), np.float32)
+        sig[0, 20:25] = 100.0  # flat-top plateau
+        sig[0, 18:20] = [30, 60]
+        sig[0, 25:27] = [60, 30]
+        scipy_out, dev = run_both(sig, height=50, distance=1, prominence=0, width=0)
+        assert_parity(scipy_out, dev)
+        assert scipy_out[0][0].tolist() == [22]  # scipy midpoint
+
+    def test_distance_pruning(self, rng):
+        # dense spikes forcing the greedy distance filter to act
+        n, L = 8, 200
+        sig = np.zeros((n, L), np.float32)
+        for i in range(n):
+            positions = rng.choice(np.arange(10, 190), size=20, replace=False)
+            sig[i, positions] = rng.uniform(30, 200, 20)
+        scipy_out, dev = run_both(sig, height=10, distance=7, prominence=0, width=0)
+        assert_parity(scipy_out, dev, check_ips=False)
+
+    def test_equal_height_tiebreak(self):
+        sig = np.zeros((1, 64), np.float32)
+        sig[0, 10] = 100.0
+        sig[0, 14] = 100.0  # equal height within distance
+        scipy_out, dev = run_both(sig, height=10, distance=6, prominence=0, width=0)
+        assert_parity(scipy_out, dev, check_ips=False)
+
+    def test_variable_length_excludes_tail(self):
+        sig = np.zeros((2, 64), np.float32)
+        sig[0, 30] = 100.0
+        sig[1, 45] = 100.0  # beyond valid length of 40
+        import jax.numpy as jnp
+
+        dev = P.find_peaks_batch(
+            sig, height=10.0, prominence=0.0, width=0.0, distance=1,
+            valid_length=jnp.asarray(np.array([64, 40], np.int32)),
+        )
+        dev = {k: np.asarray(v) for k, v in dev.items()}
+        assert dev["position"][0][dev["valid"][0]].tolist() == [30]
+        assert dev["valid"][1].sum() == 0
+
+    def test_capacity_overflow_counted(self):
+        sig = np.zeros((1, 200), np.float32)
+        sig[0, 2:198:4] = 100.0  # ~49 spikes > K=8
+        dev = P.find_peaks_batch(
+            sig, height=10.0, prominence=0.0, width=0.0, distance=1, max_peaks=8
+        )
+        dev = {k: np.asarray(v) for k, v in dev.items()}
+        assert dev["n_candidates"][0] > 8
+        assert dev["valid"][0].sum() == 8  # capped but flagged
+
+    def test_no_peaks(self):
+        sig = np.zeros((3, 64), np.float32)
+        scipy_out, dev = run_both(sig)
+        for i in range(3):
+            assert dev["valid"][i].sum() == 0
+
+
+class TestPeakHeights:
+    def test_minmax_and_diff_methods(self):
+        wave = np.full((1, 64), 1000.0, np.float32)
+        wave[0, 30:36] = [900, 800, 750, 800, 900, 950]
+        left = np.array([[29.5]], np.float32)
+        right = np.array([[36.2]], np.float32)
+        valid = np.array([[True]])
+        h_minmax = np.asarray(P.peak_heights_batch(
+            wave, left, right, valid, method="minmax", window_extension=4
+        ))
+        # window [round(29.5)-4, round(36.2)+4) = [26, 40): max 1000, min 750
+        assert h_minmax[0, 0] == 250.0
+        h_diff = np.asarray(P.peak_heights_batch(
+            wave, left, right, valid, method="diff", window_extension=0
+        ))
+        # sum of -diff over [30, 36) telescopes to w[30] - w[36] = 900 - 1000
+        assert h_diff[0, 0] == -100.0
+
+
+class TestCompactHits:
+    def test_flatten(self):
+        results = {
+            "valid": np.array([[True, False], [True, True]]),
+            "position": np.array([[5, -1], [7, 9]], np.int32),
+            "left_ips": np.array([[4.5, 0], [6.5, 8.5]], np.float32),
+            "right_ips": np.array([[5.5, 0], [7.5, 9.5]], np.float32),
+        }
+        heights = np.array([[10.0, 0], [20.0, 30.0]], np.float32)
+        out = P.compact_hits(
+            results, heights,
+            timestamps=np.array([1000, 2000], np.int64),
+            boards=np.array([0, 1], np.int16),
+            channels=np.array([2, 3], np.int16),
+            record_ids=np.array([100, 200], np.int64),
+            dt_ns=np.array([2, 2], np.int64),
+        )
+        np.testing.assert_array_equal(out["position"], [5, 7, 9])
+        np.testing.assert_array_equal(out["record_id"], [100, 200, 200])
+        # ts + pos * dt * 1000
+        np.testing.assert_array_equal(out["timestamp"],
+                                      [1000 + 5 * 2000, 2000 + 7 * 2000, 2000 + 9 * 2000])

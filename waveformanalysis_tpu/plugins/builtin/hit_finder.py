@@ -1,0 +1,138 @@
+"""hit_threshold plugin: threshold-crossing hit detector.
+
+Behavioral analog of the reference ThresholdHitPlugin
+(reference: waveform_analysis/core/plugins/builtin/cpu/hit_finder.py:82):
+polarity-normalized signal (baseline - wave for negative pulses) crossed
+against per-channel thresholds; contiguous runs with left/right extension
+become hits with rise/fall times and record-clipped edges.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from waveformanalysis_tpu.dtypes.schema import Field, Schema
+from waveformanalysis_tpu.dtypes.table import Table
+from waveformanalysis_tpu.hardware import resolve_channel_value_arrays
+from waveformanalysis_tpu.ops import hits as HT
+from waveformanalysis_tpu.plugins.base import Option, Plugin
+from waveformanalysis_tpu.plugins.builtin._wave_source import (
+    WAVE_SOURCE_AUTO,
+    resolve_wave_input_spec,
+)
+from waveformanalysis_tpu.plugins.builtin.peak_finding import _load_wave_matrix
+
+logger = logging.getLogger(__name__)
+
+THRESHOLD_HIT_SCHEMA = Schema(
+    "hit_threshold",
+    (
+        Field("position", "i8", doc="hit peak position (sample index)"),
+        Field("height", "f4"),
+        Field("integral", "f4"),
+        Field("edge_start", "i4", doc="record-clipped window start"),
+        Field("edge_end", "i4", doc="record-clipped window end"),
+        Field("width", "f4", doc="edge_end - edge_start (samples)"),
+        Field("dt", "i4", unit="ns"),
+        Field("rise_time", "f4", unit="ns", doc="(pos - run start) * dt"),
+        Field("fall_time", "f4", unit="ns", doc="(run end - 1 - pos) * dt"),
+        Field("timestamp", "i8", unit="ps"),
+        Field("board", "i2"),
+        Field("channel", "i2"),
+        Field("record_id", "i8"),
+    ),
+)
+THRESHOLD_HIT_DTYPE = THRESHOLD_HIT_SCHEMA.numpy_dtype()
+
+
+class ThresholdHitPlugin(Plugin):
+    """Threshold-only hit detector with THRESHOLD_HIT output."""
+
+    provides = "hit_threshold"
+    depends_on = []  # dynamic
+    description = "Threshold-only hit detector with THRESHOLD_HIT_DTYPE output."
+    version = "0.11.0"
+    kernel_version = HT.KERNEL_VERSION
+    save_when = "always"
+    output_dtype = THRESHOLD_HIT_SCHEMA
+    options = {
+        "threshold": Option(default=10.0, type=float, help="Hit threshold"),
+        "use_filtered": Option(default=False, type=bool,
+                               help="Use filtered_waveforms"),
+        "wave_source": Option(default=WAVE_SOURCE_AUTO, type=str,
+                              help="auto|records|st_waveforms|filtered_waveforms"),
+        "left_extension": Option(default=2, type=int, help="Window left extension"),
+        "right_extension": Option(default=2, type=int, help="Window right extension"),
+        "dt": Option(default=None, type=int,
+                     help="Sample interval (ns) fallback when data lacks dt"),
+        "channel_config": Option(default=None, type=dict,
+                                 help="Per-(board,channel) threshold overrides"),
+        "max_hits_per_waveform": Option(
+            default=HT.DEFAULT_MAX_HITS, type=int, track=False,
+            help="Fixed device capacity per waveform (perf knob)"),
+    }
+
+    def resolve_depends_on(self, context: Any, run_id: Optional[str] = None):
+        return list(resolve_wave_input_spec(context, self).depends_on)
+
+    def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
+        threshold = float(context.get_config(self, "threshold"))
+        left_ext = int(context.get_config(self, "left_extension"))
+        right_ext = int(context.get_config(self, "right_extension"))
+        dt_cfg = context.get_config(self, "dt")
+        channel_config = context.get_config(self, "channel_config")
+        max_hits = int(context.get_config(self, "max_hits_per_waveform"))
+
+        waves, lengths, meta = _load_wave_matrix(context, self, run_id)
+        n = len(lengths)
+        if n == 0:
+            return Table.zeros(0, THRESHOLD_HIT_SCHEMA)
+
+        # per-channel thresholds
+        overrides = resolve_channel_value_arrays(
+            context, self, run_id, meta["board"], meta["channel"],
+            option_names=("threshold",), defaults={"threshold": threshold},
+            channel_config=channel_config,
+        )
+        thresholds = overrides["threshold"]
+        thresholds = np.where(np.isnan(thresholds), threshold, thresholds)
+
+        sign = np.where(meta["polarity"] > 0, 1.0, -1.0).astype(np.float32)
+        signal = sign[:, None] * (
+            waves.astype(np.float32) - meta["baseline"][:, None].astype(np.float32)
+        )
+
+        results = HT.threshold_hits_batch(
+            jnp.asarray(signal),
+            jnp.asarray(thresholds.astype(np.float32)),
+            jnp.asarray(lengths.astype(np.int32)),
+            left_extension=left_ext,
+            right_extension=right_ext,
+            max_hits=max_hits,
+        )
+        results = {k: np.asarray(v) for k, v in results.items()}
+        overflow = int(np.sum(results["n_runs"] > max_hits))
+        if overflow:
+            logger.warning(
+                "hit_threshold: %d waveforms exceeded the %d-hit capacity",
+                overflow, max_hits,
+            )
+
+        dt = meta["dt"]
+        if dt is None:
+            if dt_cfg is None:
+                raise ValueError("[hit_threshold] dt must be provided (config or data)")
+            dt = np.full(n, int(dt_cfg), dtype=np.int64)
+
+        cols = HT.compact_threshold_hits(
+            results,
+            timestamps=meta["timestamp"], boards=meta["board"],
+            channels=meta["channel"], record_ids=meta["record_id"],
+            dt_ns=dt, record_lengths=lengths,
+        )
+        return Table(cols, schema=THRESHOLD_HIT_SCHEMA)

@@ -1,0 +1,151 @@
+"""hit_merge_clusters / hit_merged / hit_merged_components plugins.
+
+Behavioral analog of the reference hit-merge plugin family
+(reference: waveform_analysis/core/plugins/builtin/cpu/hit_merge.py:
+325,413,445): same-hardware-channel time clustering of hit_threshold by
+merge_gap_ns, emitting merged windows, the cluster membership table, and a
+component index (offset+count into components per merged hit).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+from waveformanalysis_tpu.dtypes.schema import Field, Schema
+from waveformanalysis_tpu.dtypes.table import Table
+from waveformanalysis_tpu.ops import hit_merge as HM
+from waveformanalysis_tpu.plugins.base import Option, Plugin
+
+HIT_MERGED_SCHEMA = Schema(
+    "hit_merged",
+    (
+        Field("position", "i8"),
+        Field("height", "f4"),
+        Field("integral", "f4"),
+        Field("sample_start", "i4"),
+        Field("sample_end", "i4"),
+        Field("width", "f4"),
+        Field("dt", "i4"),
+        Field("rise_time", "f4"),
+        Field("fall_time", "f4"),
+        Field("timestamp", "i8"),
+        Field("board", "i2"),
+        Field("channel", "i2"),
+        Field("record_id", "i8"),
+        Field("component_offset", "i8"),
+        Field("component_count", "i4"),
+    ),
+)
+HIT_MERGED_DTYPE = HIT_MERGED_SCHEMA.numpy_dtype()
+
+HIT_MERGE_CLUSTERS_SCHEMA = Schema(
+    "hit_merge_clusters",
+    (Field("cluster_index", "i8"), Field("hit_index", "i8")),
+)
+HIT_MERGE_CLUSTERS_DTYPE = HIT_MERGE_CLUSTERS_SCHEMA.numpy_dtype()
+
+HIT_MERGED_COMPONENTS_SCHEMA = Schema(
+    "hit_merged_components",
+    (Field("merged_index", "i8"), Field("hit_index", "i8")),
+)
+HIT_MERGED_COMPONENTS_DTYPE = HIT_MERGED_COMPONENTS_SCHEMA.numpy_dtype()
+
+
+def _merge_options() -> Dict[str, Option]:
+    return {
+        "merge_gap_ns": Option(
+            default=50.0, type=float,
+            help="Max gap (ns) between hit windows to merge; <=0 disables",
+        ),
+        "max_total_width_ns": Option(
+            default=1e6, type=float,
+            help="Max total merged window width (ns)",
+        ),
+        "dt": Option(default=None, type=int,
+                     help="Sample interval (ns) override for hits lacking dt"),
+    }
+
+
+def _hits_as_columns(hits: Any) -> Dict[str, np.ndarray]:
+    if isinstance(hits, Table):
+        return {k: np.asarray(v) for k, v in hits.columns.items()}
+    if isinstance(hits, np.ndarray) and hits.dtype.names:
+        return {name: np.asarray(hits[name]) for name in hits.dtype.names}
+    raise ValueError("hit_merge expects hit_threshold as a Table or structured array")
+
+
+def _run_merge(context: Any, plugin: Plugin, run_id: str):
+    hits = context.get_data(run_id, "hit_threshold")
+    cols = _hits_as_columns(hits)
+    merge_gap_ns = float(context.get_config(plugin, "merge_gap_ns"))
+    max_width_ns = float(context.get_config(plugin, "max_total_width_ns"))
+    explicit_dt = context.get_config(plugin, "dt")
+    return HM.merge_hits(
+        cols, merge_gap_ns=merge_gap_ns, max_total_width_ns=max_width_ns,
+        explicit_dt=explicit_dt,
+    )
+
+
+class HitMergePlugin(Plugin):
+    """Merged hit windows per hardware channel."""
+
+    provides = "hit_merged"
+    depends_on = ["hit_threshold"]
+    description = "Merge same-channel threshold hits within merge_gap_ns."
+    version = "0.6.0"
+    kernel_version = HM.KERNEL_VERSION
+    save_when = "always"
+    output_dtype = HIT_MERGED_SCHEMA
+    options = _merge_options()
+
+    def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
+        merged, _clusters, _components = _run_merge(context, self, run_id)
+        return Table(merged, schema=HIT_MERGED_SCHEMA)
+
+
+class HitMergeClustersPlugin(Plugin):
+    """(cluster_index, hit_index) membership rows."""
+
+    provides = "hit_merge_clusters"
+    depends_on = ["hit_threshold"]
+    description = "Cluster membership table for merged threshold hits."
+    version = "0.6.0"
+    kernel_version = HM.KERNEL_VERSION
+    save_when = "always"
+    output_dtype = HIT_MERGE_CLUSTERS_SCHEMA
+    options = _merge_options()
+
+    def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
+        _merged, clusters, _components = _run_merge(context, self, run_id)
+        return Table(
+            {
+                "cluster_index": clusters[:, 0],
+                "hit_index": clusters[:, 1],
+            },
+            schema=HIT_MERGE_CLUSTERS_SCHEMA,
+        )
+
+
+class HitMergedComponentsPlugin(Plugin):
+    """(merged_index, hit_index) component rows aligned with hit_merged."""
+
+    provides = "hit_merged_components"
+    depends_on = ["hit_threshold"]
+    description = "Component index table for merged threshold hits."
+    version = "0.6.0"
+    kernel_version = HM.KERNEL_VERSION
+    save_when = "always"
+    output_dtype = HIT_MERGED_COMPONENTS_SCHEMA
+    options = _merge_options()
+
+    def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
+        _merged, _clusters, components = _run_merge(context, self, run_id)
+        return Table(
+            {
+                "merged_index": components[:, 0],
+                "hit_index": components[:, 1],
+            },
+            schema=HIT_MERGED_COMPONENTS_SCHEMA,
+        )
