@@ -1,0 +1,193 @@
+"""Event layer tests: df, df_events, hit_grouped, df_paired, profiles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from waveformanalysis_tpu.ops import grouping as G
+from waveformanalysis_tpu.plugins.plugin_sets import get_profile, tpu_default
+from waveformanalysis_tpu.plugins.builtin.basic_features import BasicFeaturesPlugin
+from waveformanalysis_tpu.plugins.builtin.dataframe import DataFramePlugin
+from waveformanalysis_tpu.plugins.builtin.event_analysis import (
+    GroupedEventsPlugin,
+    HitGroupedPlugin,
+    PairedEventsPlugin,
+)
+from waveformanalysis_tpu.plugins.builtin.hit_finder import ThresholdHitPlugin
+from waveformanalysis_tpu.plugins.builtin.hit_merge import (
+    HitMergeClustersPlugin,
+    HitMergedComponentsPlugin,
+    HitMergePlugin,
+)
+from waveformanalysis_tpu.testing.fixtures import make_fake_st_waveforms, make_tiny_context
+
+
+class TestGroupingOps:
+    def test_anchor_window_boundaries(self):
+        ts = np.array([0, 10, 20, 500, 510, 2000], dtype=np.int64)
+        b = G.anchor_window_boundaries(ts, window_ps=100)
+        np.testing.assert_array_equal(b, [0, 3, 5, 6])
+
+    def test_group_multi_channel_hits(self):
+        # two coincident hits on ch 1/0 + one lone hit
+        df = pd.DataFrame({
+            "timestamp": [100_000, 100_050_000, 100_020_000, 900_000_000],
+            "channel": [1, 9, 0, 2],
+            "area": [10.0, 99.0, 20.0, 30.0],
+            "height": [1.0, 9.9, 2.0, 3.0],
+        })
+        out = G.group_multi_channel_hits(df, time_window_ns=200_000)
+        assert len(out) == 2
+        ev0 = out.iloc[0]
+        assert ev0["n_hits"] == 3
+        # channel-sorted within the event
+        np.testing.assert_array_equal(ev0["channels"], [0, 1, 9])
+        np.testing.assert_array_equal(ev0["areas"], [20.0, 10.0, 99.0])
+        assert ev0["t_min"] == 100_000 and ev0["t_max"] == 100_050_000
+        assert out.iloc[1]["n_hits"] == 1
+
+    def test_anchor_semantics_not_chained(self):
+        # hits at 0, 90, 180 with window 100: anchor rule puts 0+90 together,
+        # 180 opens a new event (unlike chained-gap clustering)
+        df = pd.DataFrame({
+            "timestamp": [0, 90_000, 180_000],
+            "channel": [0, 1, 0],
+            "area": [1.0, 2.0, 3.0],
+            "height": [1.0, 2.0, 3.0],
+        })
+        out = G.group_multi_channel_hits(df, time_window_ns=100)
+        assert len(out) == 2
+        assert out.iloc[0]["n_hits"] == 2
+
+    def test_chained_gap_cluster_ids(self):
+        starts = np.array([0.0, 50.0, 300.0])
+        ends = np.array([40.0, 90.0, 340.0])
+        ids = G.chained_gap_cluster_ids(starts, ends, gap_ps=20.0)
+        np.testing.assert_array_equal(ids, [0, 0, 1])
+
+    def test_group_hit_windows(self):
+        hits = {
+            "timestamp": np.array([20_000, 60_000, 9_000_000], np.int64),
+            "position": np.array([10.0, 30.0, 10.0]),
+            "board": np.zeros(3, np.int16),
+            "channel": np.array([0, 1, 0], np.int16),
+            "height": np.array([5.0, 6.0, 7.0], np.float32),
+            "integral": np.array([50.0, 60.0, 70.0], np.float32),
+            "record_id": np.arange(3, dtype=np.int64),
+            "dt": np.array([2, 2, 2], np.int32),
+            "sample_start": np.array([8, 28, 8], np.int32),
+            "sample_end": np.array([12, 32, 12], np.int32),
+        }
+        out = G.group_hit_windows(hits, time_window_ns=50)
+        assert len(out) == 2
+        assert out.iloc[0]["n_hits"] == 2
+        np.testing.assert_array_equal(out.iloc[0]["channels"], [0, 1])
+
+    def test_pair_events(self):
+        df_events = pd.DataFrame({
+            "event_id": [0, 1],
+            "dt/ns": [50.0, 500.0],
+            "timestamps": [np.array([0, 50_000]), np.array([0, 500_000])],
+            "areas": [np.array([1.0, 2.0]), np.array([3.0])],
+            "heights": [np.array([0.1, 0.2]), np.array([0.3])],
+            "channels": [np.array([0, 1]), np.array([0])],
+            "n_hits": [2, 1],
+            "t_min": [0, 0],
+            "t_max": [50_000, 500_000],
+        })
+        out = G.pair_events(df_events, time_window_ns=100, n_channels=2)
+        assert len(out) == 1
+        assert out.iloc[0]["area_ch0"] == 1.0
+        assert out.iloc[0]["area_ch1"] == 2.0
+        assert out.iloc[0]["delta_t"] == 50.0
+
+
+@pytest.fixture
+def event_ctx(tmp_path):
+    # coincident positive pulses on 2 channels per time slot
+    st = make_fake_st_waveforms(n_events=12, wave_length=64, n_channels=2,
+                                pulse_start=30, pulse_width=6,
+                                pulse_height=150, polarity="positive")
+    # pair events in time: events 2k and 2k+1 share a timestamp
+    ts = np.repeat(np.arange(6), 2) * 1_000_000_000  # 1 ms apart (ps)
+    st["timestamp"] = ts + np.tile([0, 20_000], 6)  # 20 ns offset
+    wave = st["wave"].astype(np.int32)
+    st["wave"] = np.clip(wave + 2 * st["channel"][:, None], -32768, 32767).astype(np.int16)
+    ctx = make_tiny_context(tmp_path, st_waveforms=st)
+    ctx.set_config({"n_channels": 2, "show_progress": False,
+                    "basic_features": {"height_range": (0, None)}})
+    ctx.register(
+        BasicFeaturesPlugin(), DataFramePlugin(), GroupedEventsPlugin(),
+        PairedEventsPlugin(), ThresholdHitPlugin(), HitMergePlugin(),
+        HitMergeClustersPlugin(), HitMergedComponentsPlugin(), HitGroupedPlugin(),
+    )
+    return ctx
+
+
+class TestEventPlugins:
+    def test_df(self, event_ctx):
+        df = event_ctx.get_data("test_run", "df")
+        assert len(df) == 12
+        assert {"timestamp", "channel", "area", "height"}.issubset(df.columns)
+        assert "area_pe" not in df.columns
+
+    def test_df_gain_calibration(self, event_ctx):
+        event_ctx.set_config({"df": {"gain_adc_per_pe": {"0:0": 10.0, "0:1": 20.0}}})
+        df = event_ctx.get_data("test_run", "df")
+        assert "area_pe" in df.columns
+        ch0 = df[df["channel"] == 0]
+        np.testing.assert_allclose(ch0["area_pe"], ch0["area"] / 10.0)
+
+    def test_df_events_pairs_channels(self, event_ctx):
+        ev = event_ctx.get_data("test_run", "df_events")
+        assert len(ev) == 6  # 6 coincident pairs
+        assert (ev["n_hits"] == 2).all()
+        np.testing.assert_array_equal(ev.iloc[0]["channels"], [0, 1])
+
+    def test_df_paired(self, event_ctx):
+        paired = event_ctx.get_data("test_run", "df_paired")
+        assert len(paired) == 6  # 20ns offset within 100ns window
+        assert {"area_ch0", "area_ch1", "height_ch0", "height_ch1",
+                "delta_t"}.issubset(paired.columns)
+        np.testing.assert_allclose(paired["delta_t"], 20.0)
+
+    def test_df_paired_window_filter(self, event_ctx):
+        event_ctx.set_config({"df_paired": {"time_window_ns": 10.0}})
+        paired = event_ctx.get_data("test_run", "df_paired")
+        assert len(paired) == 0  # 20ns offset exceeds 10ns window
+
+    def test_hit_grouped(self, event_ctx):
+        event_ctx.set_config({"hit_threshold": {"threshold": 50.0}})
+        grouped = event_ctx.get_data("test_run", "hit_grouped")
+        assert len(grouped) == 6
+        assert (grouped["n_hits"] == 2).all()
+
+    def test_dataframe_cache_roundtrip(self, event_ctx, tmp_path):
+        df1 = event_ctx.get_data("test_run", "df_events")
+        # new context, same storage -> parquet/pickle reload
+        ctx2 = make_tiny_context(tmp_path, st_waveforms=make_fake_st_waveforms(1, 16))
+        ctx2.register(BasicFeaturesPlugin(), DataFramePlugin(), GroupedEventsPlugin())
+        key = event_ctx.key_for("test_run", "df_events")
+        meta = event_ctx.storage.get_metadata(key, "test_run")
+        assert meta is not None and meta["type"] == "dataframe"
+
+
+class TestProfiles:
+    def test_tpu_default_registers_whole_pipeline(self, tmp_path):
+        from waveformanalysis_tpu.context.context import Context
+
+        ctx = Context(storage_dir=str(tmp_path), config={"show_progress": False})
+        ctx.register(*tpu_default())
+        names = set(ctx.plugins)
+        assert {
+            "raw_files", "st_waveforms", "filtered_waveforms", "records",
+            "wave_pool", "wave_pool_filtered", "hit", "hit_threshold",
+            "hit_merged", "hit_merge_clusters", "hit_merged_components",
+            "basic_features", "waveform_width", "waveform_width_integral",
+            "s1_s2", "df", "df_events", "hit_grouped", "df_paired",
+        }.issubset(names)
+
+    def test_profile_lookup(self):
+        assert len(get_profile("tpu")) == len(get_profile("cpu"))
+        with pytest.raises(KeyError):
+            get_profile("bogus")

@@ -1,0 +1,280 @@
+"""Event grouping: time-window clustering and coincidence windows.
+
+Behavioral analog of the reference event-grouping layer
+(reference: waveform_analysis/core/processing/event_grouping.py:99-476):
+
+- :func:`group_multi_channel_hits` — anchor-window clustering: the earliest
+  unassigned hit opens an event; every hit within ``time_window_ns`` of it
+  joins; clusters sort internally by channel. Replaces the numba boundary
+  loop with a searchsorted loop over *clusters* (not hits) plus fully
+  vectorized per-cluster aggregation via np.split.
+- :func:`group_hit_windows` — chained-gap coincidence over absolute hit
+  windows [abs_start, abs_end]: a hit joins while its start <= running
+  cluster end + gap. The running-max chain vectorizes via cummax.
+- :func:`pair_events` — filter events whose span fits the window and emit
+  per-channel area/height columns.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+KERNEL_VERSION = "grouping-v1"
+
+
+def anchor_window_boundaries(ts_sorted: np.ndarray, window_ps: float) -> np.ndarray:
+    """Cluster boundaries: each cluster = hits within window of its first hit.
+
+    (reference: event_grouping.py:478-526 numba loop / :176-183 fallback)
+    """
+    n = len(ts_sorted)
+    if n == 0:
+        return np.array([0], dtype=np.int64)
+    boundaries = [0]
+    curr = 0
+    while curr < n:
+        nxt = int(np.searchsorted(ts_sorted, ts_sorted[curr] + window_ps, side="right"))
+        boundaries.append(nxt)
+        curr = nxt
+    return np.asarray(boundaries, dtype=np.int64)
+
+
+def chained_gap_cluster_ids(
+    abs_start_sorted: np.ndarray, abs_end_sorted: np.ndarray, gap_ps: float
+) -> np.ndarray:
+    """Cluster ids for window rows sorted by abs_start: join while
+    start <= running_max(end) + gap (vectorized cummax chain)."""
+    n = len(abs_start_sorted)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    run_end = np.maximum.accumulate(abs_end_sorted)
+    new = abs_start_sorted[1:] > (run_end[:-1] + gap_ps)
+    return np.concatenate([[0], np.cumsum(new)]).astype(np.int64)
+
+
+def group_multi_channel_hits(
+    df: Any,
+    time_window_ns: float,
+    use_numba: bool = True,  # accepted for API parity; vectorized regardless
+    n_processes: Optional[int] = None,
+) -> Any:
+    """Cluster a (timestamp, channel, area, height) table into events.
+
+    Returns a DataFrame with event_id, t_min, t_max, dt/ns, n_hits, and
+    channel-sorted per-event arrays (channels, areas, heights, timestamps).
+    """
+    import pandas as pd
+
+    time_window_ps = time_window_ns * 1e3
+    df_sorted = df.sort_values("timestamp").reset_index(drop=True)
+
+    ts_all = df_sorted["timestamp"].to_numpy()
+    ch_all = df_sorted["channel"].to_numpy()
+    area_col = "area" if "area" in df_sorted.columns else "charge"
+    height_col = "height" if "height" in df_sorted.columns else "peak"
+    if area_col not in df_sorted.columns or height_col not in df_sorted.columns:
+        raise KeyError("df must contain area/height (or charge/peak) columns")
+    area_all = df_sorted[area_col].to_numpy()
+    height_all = df_sorted[height_col].to_numpy()
+
+    empty_cols = ["event_id", "t_min", "t_max", "dt/ns", "n_hits",
+                  "channels", "areas", "heights", "timestamps"]
+    n = len(df_sorted)
+    if n == 0:
+        return pd.DataFrame(columns=empty_cols)
+
+    boundaries = anchor_window_boundaries(ts_all.astype(np.int64), time_window_ps)
+    n_events = len(boundaries) - 1
+    event_of = np.repeat(np.arange(n_events), np.diff(boundaries))
+
+    # channel-sort inside clusters with ONE global lexsort
+    order = np.lexsort((ch_all, event_of))
+    ts_s, ch_s = ts_all[order], ch_all[order]
+    area_s, height_s = area_all[order], height_all[order]
+
+    splits = boundaries[1:-1]
+    channels_list = np.split(ch_s, splits)
+    areas_list = np.split(area_s, splits)
+    heights_list = np.split(height_s, splits)
+    ts_list = np.split(ts_s, splits)
+
+    # t_min/t_max per cluster (vectorized via reduceat on the time-sorted view)
+    t_mins = np.minimum.reduceat(ts_all, boundaries[:-1])
+    t_maxs = np.maximum.reduceat(ts_all, boundaries[:-1])
+
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n_events, dtype=np.int64),
+            "t_min": t_mins.astype(np.int64),
+            "t_max": t_maxs.astype(np.int64),
+            "dt/ns": (t_maxs - t_mins) / 1e3,
+            "n_hits": np.diff(boundaries).astype(np.int32),
+            "channels": channels_list,
+            "areas": areas_list,
+            "heights": heights_list,
+            "timestamps": ts_list,
+        }
+    )
+
+
+def group_hit_windows(
+    hits: Dict[str, np.ndarray],
+    time_window_ns: float,
+    dt_values: Optional[np.ndarray] = None,
+    component_rows: Optional[Dict[str, np.ndarray]] = None,
+    component_hits: Optional[Dict[str, np.ndarray]] = None,
+) -> Any:
+    """Group merged hits into coincidence events by absolute windows.
+
+    hits columns: timestamp, position, board, channel, height, integral,
+    record_id, dt, and sample_start/sample_end (or edge_start/edge_end).
+    Invalid windows (negative edges from cross-record merges) recover their
+    extent from the component hits.
+    """
+    import pandas as pd
+
+    columns = ["event_id", "t_min", "t_max", "dt/ns", "n_hits", "dt",
+               "boards", "channels", "heights", "integrals", "timestamps",
+               "record_ids", "sample_starts", "sample_ends"]
+    n = len(hits.get("timestamp", ()))
+    if n == 0:
+        return pd.DataFrame(columns=columns)
+    if time_window_ns < 0:
+        raise ValueError("time_window_ns must be >= 0")
+
+    names = set(hits)
+    if {"sample_start", "sample_end"}.issubset(names):
+        s_name, e_name = "sample_start", "sample_end"
+    elif {"edge_start", "edge_end"}.issubset(names):
+        s_name, e_name = "edge_start", "edge_end"
+    else:
+        raise KeyError("hits missing sample_start/sample_end or edge_start/edge_end")
+    required = {"timestamp", "position", "board", "channel", "height",
+                "integral", "record_id"}
+    missing = sorted(required - names)
+    if missing:
+        raise KeyError(f"hits missing required fields: {missing}")
+
+    timestamps = np.asarray(hits["timestamp"], dtype=np.int64)
+    positions = np.asarray(hits["position"], dtype=np.float64)
+    if dt_values is None:
+        if "dt" not in names:
+            raise KeyError("hits missing required field: dt")
+        dt_values = np.asarray(hits["dt"], dtype=np.int32)
+    else:
+        dt_values = np.asarray(dt_values, dtype=np.int32)
+    if np.any(dt_values <= 0):
+        raise ValueError("hit dt must be positive for every row")
+
+    starts_rel = np.asarray(hits[s_name], dtype=np.int32)
+    ends_rel = np.asarray(hits[e_name], dtype=np.int32)
+    boards = np.asarray(hits["board"], dtype=np.int16)
+    channels = np.asarray(hits["channel"], dtype=np.int16)
+    heights = np.asarray(hits["height"], dtype=np.float32)
+    integrals = np.asarray(hits["integral"], dtype=np.float32)
+    record_ids = np.asarray(hits["record_id"], dtype=np.int64)
+
+    dt_ps = dt_values.astype(np.float64) * 1e3
+    abs_starts = timestamps.astype(np.float64) + (starts_rel - positions) * dt_ps
+    abs_ends = timestamps.astype(np.float64) + (ends_rel - positions) * dt_ps
+
+    invalid = (starts_rel < 0) | (ends_rel < 0)
+    if np.any(invalid):
+        if component_rows is None or component_hits is None:
+            raise ValueError(
+                "component_rows and component_hits are required when hit "
+                "windows contain invalid edges"
+            )
+        hit_idx = np.asarray(component_rows["hit_index"], dtype=np.int64)
+        c_ts = np.asarray(component_hits["timestamp"], dtype=np.int64)
+        c_pos = np.asarray(component_hits["position"], dtype=np.float64)
+        c_dt = np.asarray(component_hits["dt"], dtype=np.int32)
+        c_s = np.asarray(component_hits["edge_start"], dtype=np.int32)
+        c_e = np.asarray(component_hits["edge_end"], dtype=np.int32)
+        c_dt_ps = c_dt.astype(np.float64) * 1e3
+        c_abs_s = c_ts.astype(np.float64) + (c_s - c_pos) * c_dt_ps
+        c_abs_e = c_ts.astype(np.float64) + (c_e - c_pos) * c_dt_ps
+        offsets = np.asarray(hits["component_offset"], dtype=np.int64)
+        counts = np.asarray(hits["component_count"], dtype=np.int32)
+        for mi in np.flatnonzero(invalid):
+            off, cnt = int(offsets[mi]), int(counts[mi])
+            if cnt <= 0:
+                raise ValueError(
+                    f"missing hit_merged_components rows for hit_merged index {int(mi)}"
+                )
+            subset = hit_idx[off : off + cnt]
+            abs_starts[mi] = float(np.min(c_abs_s[subset]))
+            abs_ends[mi] = float(np.max(c_abs_e[subset]))
+
+    order = np.lexsort((record_ids, timestamps, dt_values, abs_starts))
+    gap_ps = time_window_ns * 1e3
+    ids_sorted = chained_gap_cluster_ids(abs_starts[order], abs_ends[order], gap_ps)
+    n_events = int(ids_sorted[-1]) + 1 if len(ids_sorted) else 0
+
+    # within-event ordering: boards, channels, dt, abs_start, timestamp, rid
+    sub = order
+    inner = np.lexsort((
+        record_ids[sub], timestamps[sub], abs_starts[sub],
+        dt_values[sub], channels[sub], boards[sub], ids_sorted,
+    ))
+    sub = sub[inner]
+    ids_final = ids_sorted[inner]
+    bounds = np.concatenate([[0], np.flatnonzero(np.diff(ids_final)) + 1, [len(sub)]])
+
+    records = []
+    for ei in range(n_events):
+        lo, hi = int(bounds[ei]), int(bounds[ei + 1])
+        idxs = sub[lo:hi]
+        t_min = int(np.min(abs_starts[idxs]))
+        t_max = int(np.max(abs_ends[idxs]))
+        records.append({
+            "event_id": ei,
+            "t_min": t_min,
+            "t_max": t_max,
+            "dt/ns": (t_max - t_min) / 1e3,
+            "n_hits": int(len(idxs)),
+            "dt": dt_values[idxs].astype(np.int32, copy=True),
+            "boards": boards[idxs].copy(),
+            "channels": channels[idxs].copy(),
+            "heights": heights[idxs].copy(),
+            "integrals": integrals[idxs].copy(),
+            "timestamps": timestamps[idxs].copy(),
+            "record_ids": record_ids[idxs].copy(),
+            "sample_starts": starts_rel[idxs].astype(np.int32, copy=True),
+            "sample_ends": ends_rel[idxs].astype(np.int32, copy=True),
+        })
+    return pd.DataFrame(records, columns=columns)
+
+
+def pair_events(
+    df_events: Any,
+    time_window_ns: float,
+    n_channels: int,
+    start_channel: int = 0,
+) -> Any:
+    """Filter events whose span fits the window; add per-channel columns
+    (reference: processing/analyzer.py:66-150)."""
+    df_paired = df_events[df_events["dt/ns"] <= time_window_ns].copy()
+    if "delta_t" not in df_paired.columns and not df_paired.empty:
+        df_paired["delta_t"] = df_paired["timestamps"].apply(
+            lambda x: (x[-1] - x[0]) / 1000.0
+        )
+    if not df_paired.empty:
+        areas_key = "areas" if "areas" in df_paired.columns else "charges"
+        heights_key = "heights" if "heights" in df_paired.columns else "peaks"
+
+        def get_val(arr: Any, idx: int) -> float:
+            if isinstance(arr, (list, np.ndarray)) and len(arr) > idx:
+                return arr[idx]
+            return np.nan
+
+        for i in range(n_channels):
+            df_paired[f"area_ch{start_channel + i}"] = df_paired[areas_key].apply(
+                lambda x, i=i: get_val(x, i)
+            )
+            df_paired[f"height_ch{start_channel + i}"] = df_paired[heights_key].apply(
+                lambda x, i=i: get_val(x, i)
+            )
+    return df_paired
