@@ -1,0 +1,234 @@
+"""Streaming engine + sharded scan tests (reference analog:
+tests/test_streaming_*.py, multidevice via the 8-device virtual CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from waveformanalysis_tpu.dtypes.chunk import Chunk
+from waveformanalysis_tpu.dtypes.table import Table
+from waveformanalysis_tpu.foundation.exceptions import ValidationError
+from waveformanalysis_tpu.plugins.base import Option
+from waveformanalysis_tpu.plugins.builtin.signal_peaks import SignalPeaksStreamPlugin
+from waveformanalysis_tpu.plugins.builtin.filtering import FilteredWaveformsPlugin
+from waveformanalysis_tpu.plugins.streaming import (
+    StreamingConfig,
+    StreamingContext,
+    StreamingPlugin,
+    data_to_chunks,
+    get_streaming_context,
+)
+from waveformanalysis_tpu.testing.fixtures import make_fake_st_waveforms, make_tiny_context
+
+
+def make_timed_records(times, dt=2, length=10):
+    n = len(times)
+    return Table({
+        "time": np.asarray(times, dtype=np.int64),
+        "dt": np.full(n, dt, np.int32),
+        "length": np.full(n, length, np.int32),
+        "channel": np.zeros(n, np.int16),
+        "value": np.arange(n, dtype=np.float64),
+    })
+
+
+class TestDataToChunks:
+    def test_chunking_by_count(self):
+        tbl = make_timed_records(np.arange(10) * 1000)
+        cfg = StreamingConfig(chunk_size=4)
+        chunks = list(data_to_chunks(tbl, "r", "records", cfg))
+        assert [len(c) for c in chunks] == [4, 4, 2]
+        assert chunks[0].metadata["segment_id"] == 0
+        # main windows tile the data
+        assert chunks[0].metadata["main_end"] <= chunks[1].metadata["main_start"] + 1
+
+    def test_break_segmentation(self):
+        times = np.concatenate([np.arange(5) * 100,
+                                20_000_000_000_000 + np.arange(5) * 100])
+        tbl = make_timed_records(times)
+        cfg = StreamingConfig(chunk_size=100, break_threshold_ps=1_000_000)
+        chunks = list(data_to_chunks(tbl, "r", "records", cfg))
+        assert len(chunks) == 2
+        assert chunks[0].metadata["segment_id"] == 0
+        assert chunks[1].metadata["segment_id"] == 1
+
+    def test_halo_extension(self):
+        tbl = make_timed_records(np.arange(10) * 1000)  # 1000 ps apart
+        cfg = StreamingConfig(chunk_size=5, required_halo_left_ns=2.0,
+                              required_halo_right_ns=2.0)  # 2000 ps halo
+        chunks = list(data_to_chunks(tbl, "r", "records", cfg))
+        assert len(chunks) == 2
+        # second chunk pulls in ~2 halo rows from the left
+        assert len(chunks[1]) > 5
+        assert chunks[1].metadata["main_start"] == 5000
+
+    def test_unsorted_input_sorted(self):
+        tbl = make_timed_records([5000, 1000, 3000])
+        chunks = list(data_to_chunks(tbl, "r", "x", StreamingConfig()))
+        times = np.asarray(chunks[0].data["time"])
+        assert list(times) == [1000, 3000, 5000]
+
+
+class DoubleValuePlugin(StreamingPlugin):
+    provides = "doubled_stream"
+    depends_on = ["source_data"]
+    version = "1.0"
+
+    def compute_chunk(self, context, run_id, chunk):
+        data = chunk.data
+        return data.with_columns(value=np.asarray(data["value"]) * 2)
+
+
+class StatefulCounter(StreamingPlugin):
+    provides = "counted_stream"
+    depends_on = ["source_data"]
+    is_stateful = True
+    resets = 0
+
+    def reset_state(self):
+        type(self).resets += 1
+
+    def compute_chunk(self, context, run_id, chunk):
+        return chunk.data
+
+
+@pytest.fixture
+def stream_ctx(tmp_path):
+    ctx = make_tiny_context(tmp_path, st_waveforms=make_fake_st_waveforms(4, 32))
+    tbl = make_timed_records(np.arange(20) * 1000)
+    ctx.inject_data("test_run", "source_data", tbl)
+    return ctx
+
+
+class TestStreamingPlugin:
+    def test_serial_stream(self, stream_ctx):
+        stream_ctx.register(DoubleValuePlugin())
+        stream_ctx.set_config({"doubled_stream": {"streaming_config": {"chunk_size": 6}}})
+        out = list(stream_ctx.get_data("test_run", "doubled_stream"))
+        assert len(out) == 4  # ceil(20/6)
+        total = np.concatenate([np.asarray(c.data["value"]) for c in out])
+        np.testing.assert_array_equal(total, np.arange(20) * 2)
+
+    def test_parallel_stream_ordered(self, stream_ctx):
+        stream_ctx.register(DoubleValuePlugin())
+        stream_ctx.set_config({"doubled_stream": {"streaming_config": {
+            "chunk_size": 3, "parallel": True, "max_workers": 4,
+        }}})
+        out = list(stream_ctx.get_data("test_run", "doubled_stream"))
+        total = np.concatenate([np.asarray(c.data["value"]) for c in out])
+        np.testing.assert_array_equal(total, np.arange(20) * 2)  # order kept
+
+    def test_stateful_resets_on_segment_break(self, stream_ctx):
+        StatefulCounter.resets = 0
+        times = np.concatenate([np.arange(5) * 100,
+                                90_000_000_000_000 + np.arange(5) * 100])
+        stream_ctx.inject_data("test_run", "source_data", make_timed_records(times))
+        stream_ctx.register(StatefulCounter())
+        stream_ctx.set_config({"counted_stream": {"streaming_config": {
+            "chunk_size": 3, "break_threshold_ps": 1_000_000,
+        }}})
+        list(stream_ctx.get_data("test_run", "counted_stream"))
+        assert StatefulCounter.resets == 2  # one per segment
+
+    def test_failing_chunk_fails_fast(self, stream_ctx):
+        class Boom(StreamingPlugin):
+            provides = "boom_stream"
+            depends_on = ["source_data"]
+
+            def compute_chunk(self, context, run_id, chunk):
+                if np.asarray(chunk.data["time"]).min() > 5000:
+                    raise RuntimeError("chunk exploded")
+                return chunk.data
+
+        stream_ctx.register(Boom())
+        stream_ctx.set_config({"boom_stream": {"streaming_config": {
+            "chunk_size": 3, "parallel": True, "max_workers": 2,
+        }}})
+        with pytest.raises(RuntimeError, match="chunk exploded"):
+            list(stream_ctx.get_data("test_run", "boom_stream"))
+
+
+class TestStreamingContext:
+    def test_static_data_streams(self, stream_ctx):
+        sc = get_streaming_context(stream_ctx)
+        chunks = list(sc.get_stream("test_run", "source_data", chunk_size=7))
+        assert len(chunks) == 3
+        merged = sc.merge_stream(chunks)
+        assert len(merged) == 20
+
+    def test_time_range_clipping(self, stream_ctx):
+        sc = get_streaming_context(stream_ctx)
+        chunks = list(sc.get_stream("test_run", "source_data",
+                                    time_range=(5000, 12_000), chunk_size=7))
+        merged = sc.merge_stream(chunks)
+        times = np.asarray(merged["time"])
+        assert times.min() >= 5000 - 20  # intersect semantics keep overlaps
+        assert times.max() < 12_000
+
+
+class TestSignalPeaksStream:
+    def test_stream_hits(self, tmp_path):
+        st = make_fake_st_waveforms(n_events=40, wave_length=64,
+                                    pulse_start=20, pulse_width=4,
+                                    pulse_height=300)
+        ctx = make_tiny_context(tmp_path, st_waveforms=st)
+        ctx.register(SignalPeaksStreamPlugin())
+        ctx.set_config({"signal_peaks_stream": {
+            "height": 50.0, "prominence": 10.0, "width": 1,
+            "streaming_config": {"chunk_size": 16},
+        }})
+        chunks = list(ctx.get_data("test_run", "signal_peaks_stream"))
+        assert len(chunks) == 3
+        n_hits = sum(len(c) for c in chunks)
+        assert n_hits == 40  # one pulse per waveform
+        # flat-channel contract: each chunk is a Table with channel
+        for c in chunks:
+            assert "channel" in c.data
+
+
+@pytest.mark.multidevice
+class TestShardedScan:
+    def test_halo_exchange_and_psum(self):
+        from waveformanalysis_tpu.parallel.mesh import make_mesh
+        from waveformanalysis_tpu.parallel.scan import (
+            make_sharded_pipeline,
+            shard_table_arrays,
+        )
+
+        n_dev = min(8, jax.device_count())
+        if n_dev < 2:
+            pytest.skip("needs >= 2 devices")
+        mesh = make_mesh(n_devices=n_dev)
+
+        def kernel(x, left_halo=None, right_halo=None):
+            # 3-point moving sum across shard boundaries
+            ext = jnp.concatenate([left_halo, x, right_halo])
+            smoothed = ext[:-2] + ext[1:-1] + ext[2:]
+            return {"smoothed": smoothed, "total": jnp.sum(x)}
+
+        n = n_dev * 4
+        x = np.arange(n, dtype=np.float32)
+        fn = make_sharded_pipeline(
+            mesh, kernel, n_inputs=1,
+            out_keys=("smoothed", "total"), stats_keys=("total",), halo=1,
+        )
+        (xs,) = shard_table_arrays(mesh, x)
+        out = fn(xs)
+        smoothed = np.asarray(out["smoothed"])
+        # interior: x[i-1]+x[i]+x[i+1]; ends have zero halos
+        expected = np.convolve(x, [1, 1, 1], mode="same")
+        np.testing.assert_allclose(smoothed, expected)
+        assert float(np.asarray(out["total"])) == x.sum()
+
+    def test_padding_in_shard_table_arrays(self):
+        from waveformanalysis_tpu.parallel.mesh import make_mesh
+        from waveformanalysis_tpu.parallel.scan import shard_table_arrays
+
+        n_dev = min(8, jax.device_count())
+        if n_dev < 2:
+            pytest.skip("needs >= 2 devices")
+        mesh = make_mesh(n_devices=n_dev)
+        (x,) = shard_table_arrays(mesh, np.ones(n_dev + 1))
+        assert x.shape[0] == 2 * n_dev  # padded up

@@ -102,10 +102,20 @@ class ExecutionDomain:
         """Execute the plan for ``target``; returns the target's data."""
         plan = self.resolve_execution_plan(target, run_id)
         needed = self.compute_needed_set(plan, target, run_id)
+        target_result = None
+        target_ran = False
         for name in plan:
             if name not in needed:
                 continue
-            self.execute_single_plugin(run_id, name, is_target=(name == target), **kwargs)
+            result = self.execute_single_plugin(
+                run_id, name, is_target=(name == target), **kwargs
+            )
+            if name == target:
+                target_result = result
+                target_ran = True
+        if target_ran:
+            # streams are one-shot generators and never memory-cached
+            return target_result
         return self.ctx._load_for_user(run_id, target)
 
     def execute_single_plugin(

@@ -1,0 +1,330 @@
+"""Multi-run batch fan-out.
+
+Behavioral analog of the reference BatchProcessor
+(reference: waveform_analysis/core/data/batch_processor.py:153-1068):
+``process_runs`` fans run ids over a thread pool (cloned contexts) or a
+process pool (picklable context factory); per-run error strategies
+continue/stop/raise with retries; config-grid sweeps rerun the same run
+under different configs; cooperative cancellation tokens abort the batch.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+import traceback
+from concurrent.futures import as_completed
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+from waveformanalysis_tpu.execution.cancellation import CancellationToken
+from waveformanalysis_tpu.execution.manager import get_executor, is_picklable
+from waveformanalysis_tpu.foundation.exceptions import CancelledError
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    success: bool
+    data: Any = None
+    error: Optional[str] = None
+    traceback_str: Optional[str] = None
+    duration_s: float = 0.0
+    attempts: int = 1
+    config_overrides: Optional[Dict[str, Any]] = None
+
+
+@dataclass
+class BatchResult:
+    results: Dict[str, RunResult] = field(default_factory=dict)
+    cancelled: bool = False
+
+    @property
+    def succeeded(self) -> List[str]:
+        return [r for r, res in self.results.items() if res.success]
+
+    @property
+    def failed(self) -> List[str]:
+        return [r for r, res in self.results.items() if not res.success]
+
+    def get(self, run_id: str) -> Optional[RunResult]:
+        return self.results.get(run_id)
+
+    def summary(self) -> str:
+        lines = [
+            f"Batch: {len(self.succeeded)} succeeded, {len(self.failed)} failed"
+            + (" (cancelled)" if self.cancelled else "")
+        ]
+        for run_id in self.failed:
+            lines.append(f"  FAILED {run_id}: {self.results[run_id].error}")
+        return "\n".join(lines)
+
+
+def _run_single_task(factory_or_ctx: Any, run_id: str, data_name: str,
+                     config_overrides: Optional[Dict[str, Any]] = None) -> Any:
+    """Worker body (module-level so process pools can pickle it)."""
+    ctx = factory_or_ctx() if callable(factory_or_ctx) else factory_or_ctx
+    if config_overrides:
+        ctx.set_config(config_overrides)
+    return ctx.get_data(run_id, data_name)
+
+
+def _process_worker(
+    factory: Any,
+    run_id: str,
+    data_name: str,
+    config_overrides: Optional[Dict[str, Any]],
+    retries: int,
+) -> Dict[str, Any]:
+    """Self-contained process-pool worker: only picklable args, plain-dict
+    result (RunResult assembly happens in the parent)."""
+    t0 = time.perf_counter()
+    attempts = 0
+    last_error: Optional[BaseException] = None
+    while attempts <= retries:
+        attempts += 1
+        try:
+            data = _run_single_task(factory, run_id, data_name, config_overrides)
+            return {
+                "success": True, "data": data, "attempts": attempts,
+                "duration_s": time.perf_counter() - t0,
+            }
+        except Exception as e:  # noqa: BLE001
+            last_error = e
+    return {
+        "success": False, "data": None, "attempts": attempts,
+        "duration_s": time.perf_counter() - t0,
+        "error": str(last_error),
+        "traceback_str": "".join(traceback.format_exception(last_error)),
+    }
+
+
+class BatchProcessor:
+    """Fans independent runs (or config variants) over executor pools."""
+
+    def __init__(
+        self,
+        context: Any,
+        executor_type: str = "thread",
+        max_workers: Optional[int] = None,
+        on_error: str = "continue",  # continue | stop | raise
+        retries: int = 0,
+        retry_on: Tuple[type, ...] = (Exception,),
+        show_progress: bool = False,
+    ) -> None:
+        if on_error not in ("continue", "stop", "raise"):
+            raise ValueError("on_error must be continue|stop|raise")
+        if executor_type not in ("thread", "process"):
+            raise ValueError("executor_type must be thread|process")
+        self.context = context
+        self.executor_type = executor_type
+        self.max_workers = max_workers
+        self.on_error = on_error
+        self.retries = retries
+        self.retry_on = retry_on
+        self.show_progress = show_progress
+
+    # -- internals -----------------------------------------------------------
+
+    def _worker_target(self) -> Any:
+        """Context provider per executor type: clone (thread) or picklable
+        factory (process)."""
+        if self.executor_type == "process":
+            factory = self.context.create_context_factory()
+            if not is_picklable(factory):
+                raise ValueError(
+                    "Context factory is not picklable; use executor_type='thread'"
+                )
+            return factory
+        return lambda: self.context.clone()
+
+    def _attempt(
+        self,
+        provider: Any,
+        run_id: str,
+        data_name: str,
+        config_overrides: Optional[Dict[str, Any]],
+        token: Optional[CancellationToken],
+    ) -> RunResult:
+        t0 = time.perf_counter()
+        attempts = 0
+        last_error: Optional[BaseException] = None
+        while attempts <= self.retries:
+            attempts += 1
+            if token is not None and token.cancelled:
+                raise CancelledError(f"batch cancelled before run {run_id}")
+            try:
+                data = _run_single_task(provider, run_id, data_name, config_overrides)
+                return RunResult(
+                    run_id=run_id, success=True, data=data,
+                    duration_s=time.perf_counter() - t0, attempts=attempts,
+                    config_overrides=config_overrides,
+                )
+            except CancelledError:
+                raise
+            except self.retry_on as e:
+                last_error = e
+                if attempts <= self.retries:
+                    logger.warning(
+                        "run %s attempt %d failed (%s); retrying",
+                        run_id, attempts, e,
+                    )
+        return RunResult(
+            run_id=run_id, success=False,
+            error=str(last_error),
+            traceback_str="".join(traceback.format_exception(last_error)),
+            duration_s=time.perf_counter() - t0, attempts=attempts,
+            config_overrides=config_overrides,
+        )
+
+    # -- public API ------------------------------------------------------------
+
+    def process_runs(
+        self,
+        run_ids: Sequence[str],
+        data_name: str,
+        cancellation_token: Optional[CancellationToken] = None,
+        keep_data: bool = True,
+    ) -> BatchResult:
+        """Compute ``data_name`` for every run id
+        (reference: batch_processor.py:197)."""
+        tasks = [(rid, None) for rid in run_ids]
+        return self._process_tasks(tasks, data_name, cancellation_token, keep_data)
+
+    def process_runs_with_config_grid(
+        self,
+        run_ids: Sequence[str],
+        data_name: str,
+        config_grid: Sequence[Dict[str, Any]],
+        cancellation_token: Optional[CancellationToken] = None,
+        keep_data: bool = True,
+    ) -> BatchResult:
+        """Sweep each run over config variants
+        (reference: batch_processor.py:956). Result keys are
+        '{run_id}#{variant_index}'."""
+        tasks = []
+        for rid in run_ids:
+            for i, overrides in enumerate(config_grid):
+                tasks.append((f"{rid}#{i}", dict(overrides, __run_id=rid)))
+        return self._process_tasks(tasks, data_name, cancellation_token, keep_data)
+
+    def process_func(
+        self,
+        run_ids: Sequence[str],
+        fn: Callable[[Any, str], Any],
+        cancellation_token: Optional[CancellationToken] = None,
+    ) -> BatchResult:
+        """Apply an arbitrary fn(context, run_id) per run (thread only;
+        reference: batch_processor.py:630)."""
+        result = BatchResult()
+        with get_executor("batch", executor_type="thread",
+                          max_workers=self.max_workers) as pool:
+            futures = {
+                pool.submit(self._func_attempt, fn, rid, cancellation_token): rid
+                for rid in run_ids
+            }
+            for fut in as_completed(futures):
+                rid = futures[fut]
+                try:
+                    result.results[rid] = fut.result()
+                except CancelledError:
+                    result.cancelled = True
+                    break
+        return result
+
+    def _func_attempt(self, fn, run_id, token) -> RunResult:
+        t0 = time.perf_counter()
+        if token is not None and token.cancelled:
+            raise CancelledError("cancelled")
+        try:
+            ctx = self.context.clone()
+            data = fn(ctx, run_id)
+            return RunResult(run_id=run_id, success=True, data=data,
+                             duration_s=time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001
+            if self.on_error == "raise":
+                raise
+            return RunResult(run_id=run_id, success=False, error=str(e),
+                             traceback_str=traceback.format_exc(),
+                             duration_s=time.perf_counter() - t0)
+
+    def _process_tasks(
+        self,
+        tasks: List[Tuple[str, Optional[Dict[str, Any]]]],
+        data_name: str,
+        token: Optional[CancellationToken],
+        keep_data: bool,
+    ) -> BatchResult:
+        provider = self._worker_target()
+        result = BatchResult()
+
+        use_process = self.executor_type == "process"
+
+        def submit_all(pool):
+            futures = {}
+            for key, overrides in tasks:
+                if token is not None and token.cancelled:
+                    result.cancelled = True
+                    break
+                run_id = key.split("#")[0] if overrides and "__run_id" in overrides \
+                    else key
+                clean = None
+                if overrides:
+                    clean = {k: v for k, v in overrides.items() if k != "__run_id"}
+                if use_process:
+                    fut = pool.submit(
+                        _process_worker, provider, run_id, data_name, clean,
+                        self.retries,
+                    )
+                else:
+                    fut = pool.submit(
+                        self._attempt, provider, run_id, data_name, clean, token
+                    )
+                futures[fut] = key
+            return futures
+
+        with get_executor("batch", executor_type=self.executor_type,
+                          max_workers=self.max_workers) as pool:
+            futures = submit_all(pool)
+            stop = False
+            for fut in as_completed(futures):
+                key = futures[fut]
+                try:
+                    raw = fut.result()
+                    if isinstance(raw, dict):  # process-pool plain-dict result
+                        run_result = RunResult(run_id=key, **{
+                            k: v for k, v in raw.items()
+                            if k in ("success", "data", "error",
+                                     "traceback_str", "duration_s", "attempts")
+                        })
+                    else:
+                        run_result = raw
+                except CancelledError:
+                    result.cancelled = True
+                    stop = True
+                    continue
+                except Exception as e:  # worker infra error
+                    run_result = RunResult(
+                        run_id=key, success=False, error=str(e),
+                        traceback_str=traceback.format_exc(),
+                    )
+                if not keep_data:
+                    run_result.data = None
+                run_result.run_id = key
+                result.results[key] = run_result
+                if not run_result.success:
+                    if self.on_error == "raise":
+                        for other in futures:
+                            other.cancel()
+                        raise RuntimeError(
+                            f"run {key} failed: {run_result.error}"
+                        )
+                    if self.on_error == "stop":
+                        for other in futures:
+                            other.cancel()
+                        stop = True
+                if stop:
+                    break
+        return result
