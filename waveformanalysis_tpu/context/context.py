@@ -138,6 +138,10 @@ class Context:
         self.config_domain = ConfigDomain(self)
         self._cache_manager = RuntimeCacheManager(self)
 
+        from waveformanalysis_tpu.context.time_domain import TimeDomain
+
+        self.time_domain = TimeDomain(self)
+
         if register:
             self.register(*register)
 
@@ -403,6 +407,49 @@ class Context:
         )
 
     # ------------------------------------------------------------------
+    # Time domain façade (reference: context_time.py)
+    # ------------------------------------------------------------------
+
+    def set_epoch(self, run_id: str, epoch: Any, source: str = "manual"):
+        return self.time_domain.set_epoch(run_id, epoch, source=source)
+
+    def get_epoch(self, run_id: str):
+        return self.time_domain.get_epoch(run_id)
+
+    def auto_extract_epoch(self, run_id: str):
+        return self.time_domain.auto_extract_epoch(run_id)
+
+    def get_time_converter(self, run_id: str):
+        return self.time_domain.get_time_converter(run_id)
+
+    def build_time_index(self, run_id: str, data_name: str,
+                         channel: Optional[int] = None, force: bool = False):
+        return self.time_domain.build_time_index(
+            run_id, data_name, channel=channel, force=force
+        )
+
+    def time_range(self, run_id: str, data_name: str,
+                   start: Optional[int] = None, end: Optional[int] = None,
+                   channel: Optional[int] = None):
+        return self.time_domain.time_range(
+            run_id, data_name, start=start, end=end, channel=channel
+        )
+
+    def query_multi_channel_time_range(self, run_id: str, data_name: str,
+                                       start: Optional[int] = None,
+                                       end: Optional[int] = None,
+                                       channels: Optional[Tuple[int, ...]] = None):
+        return self.time_domain.query_multi_channel_time_range(
+            run_id, data_name, start=start, end=end, channels=channels
+        )
+
+    def time_range_absolute(self, run_id: str, data_name: str,
+                            start_dt: Any = None, end_dt: Any = None):
+        return self.time_domain.time_range_absolute(
+            run_id, data_name, start_dt=start_dt, end_dt=end_dt
+        )
+
+    # ------------------------------------------------------------------
     # Storage plumbing
     # ------------------------------------------------------------------
 
@@ -449,6 +496,34 @@ class Context:
                 mark = "compute" if name in needed else f"cached ({cache_status[name]})"
                 print(f"  {name:<30} {mark}")
         return preview
+
+    def analyze_dependencies(self, target_name: str,
+                             include_performance: bool = True,
+                             run_id: Optional[str] = None):
+        """Critical-path / parallel-group analysis (reference: context.py:1290)."""
+        from waveformanalysis_tpu.data.dependency_analysis import DependencyAnalyzer
+
+        return DependencyAnalyzer(self).analyze(
+            target_name, include_performance=include_performance, run_id=run_id
+        )
+
+    def analyze_cache(self, run_id: Optional[str] = None):
+        """Cache entry scan + summary (reference: context.py:2412)."""
+        from waveformanalysis_tpu.storage.cache_ops import CacheAnalyzer
+
+        analyzer = CacheAnalyzer(self.storage)
+        return {"entries": [e.to_dict() for e in analyzer.scan(run_id)],
+                "summary": analyzer.summary(run_id)}
+
+    def diagnose_cache(self, run_id: Optional[str] = None):
+        """Cache health report (reference: context.py:2460)."""
+        from waveformanalysis_tpu.storage.cache_ops import CacheDiagnostics
+
+        return CacheDiagnostics(self.storage).diagnose(run_id)
+
+    def cache_stats(self):
+        """Runtime hit/miss statistics (reference: context.py:2520)."""
+        return self._cache_manager.get_stats()
 
     def get_performance_report(self) -> str:
         lines = [self.stats.report(), "", self.profiler.summary()]

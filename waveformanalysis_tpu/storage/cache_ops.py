@@ -1,0 +1,312 @@
+"""Cache observability and maintenance suite.
+
+Behavioral analog of the reference cache-ops modules
+(reference: waveform_analysis/core/storage/cache_analyzer.py:94,
+cache_cleaner.py:65, cache_diagnostics.py:70, cache_statistics.py):
+
+- CacheAnalyzer: scan entries with size/age/version/lineage metadata;
+- CacheCleaner: plan/preview/execute deletion by age, size budget, storage
+  version mismatch, or failed integrity;
+- CacheDiagnostics: orphans (bin without metadata and vice versa), checksum
+  failures, version mismatches;
+- CacheStatistics: hit/miss tracking (wraps the runtime cache manager).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class CacheEntry:
+    key: str
+    run_id: Optional[str]
+    size_bytes: int
+    created_at: Optional[str]
+    age_s: Optional[float]
+    storage_version: Optional[str]
+    data_format: Optional[str]
+    n_rows: Optional[int]
+    has_lineage: bool
+    plugin_class: Optional[str] = None
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dict(self.__dict__)
+
+
+def _age_seconds(created_at: Optional[str]) -> Optional[float]:
+    if not created_at:
+        return None
+    try:
+        created = datetime.fromisoformat(created_at)
+        if created.tzinfo is None:
+            created = created.replace(tzinfo=timezone.utc)
+        return (datetime.now(timezone.utc) - created).total_seconds()
+    except ValueError:
+        return None
+
+
+class CacheAnalyzer:
+    """Scans a storage backend's entries for one or all runs."""
+
+    def __init__(self, storage: Any) -> None:
+        self.storage = storage
+
+    def list_runs(self) -> List[str]:
+        work_dir = getattr(self.storage, "work_dir", None)
+        if not work_dir:
+            return []
+        root = Path(work_dir)
+        if not root.exists():
+            return []
+        subdir = getattr(self.storage, "data_subdir", "_cache")
+        return sorted(
+            child.name for child in root.iterdir()
+            if child.is_dir() and (child / subdir).exists()
+        )
+
+    def scan(self, run_id: Optional[str] = None) -> List[CacheEntry]:
+        runs = [run_id] if run_id is not None else (self.list_runs() or [None])
+        entries: List[CacheEntry] = []
+        for rid in runs:
+            for key in self.storage.list_keys(rid):
+                meta = self.storage.get_metadata(key, rid) or {}
+                created = meta.get("created_at")
+                lineage = meta.get("lineage") or {}
+                entries.append(CacheEntry(
+                    key=key,
+                    run_id=rid,
+                    size_bytes=self.storage.get_size(key, rid),
+                    created_at=created,
+                    age_s=_age_seconds(created),
+                    storage_version=meta.get("storage_version"),
+                    data_format=meta.get("format") or meta.get("type"),
+                    n_rows=meta.get("n_rows"),
+                    has_lineage=bool(lineage),
+                    plugin_class=lineage.get("plugin_class"),
+                ))
+        return entries
+
+    def summary(self, run_id: Optional[str] = None) -> Dict[str, Any]:
+        entries = self.scan(run_id)
+        total = sum(e.size_bytes for e in entries)
+        by_run: Dict[str, int] = {}
+        for e in entries:
+            by_run[e.run_id or ""] = by_run.get(e.run_id or "", 0) + e.size_bytes
+        return {
+            "n_entries": len(entries),
+            "total_bytes": total,
+            "total_mb": total / 1e6,
+            "by_run_bytes": by_run,
+            "oldest_age_s": max((e.age_s or 0) for e in entries) if entries else 0,
+        }
+
+    def report(self, run_id: Optional[str] = None) -> str:
+        entries = sorted(self.scan(run_id), key=lambda e: -e.size_bytes)
+        s = self.summary(run_id)
+        lines = [
+            f"Cache: {s['n_entries']} entries, {s['total_mb']:.2f} MB",
+            f"{'key':<48} {'run':<12} {'MB':>8} {'rows':>8} {'age(h)':>8}",
+        ]
+        for e in entries[:50]:
+            age_h = (e.age_s or 0) / 3600
+            lines.append(
+                f"{e.key:<48} {str(e.run_id or ''):<12} "
+                f"{e.size_bytes / 1e6:>8.2f} {str(e.n_rows or ''):>8} {age_h:>8.2f}"
+            )
+        return "\n".join(lines)
+
+
+@dataclass
+class CleanPlan:
+    to_delete: List[CacheEntry] = field(default_factory=list)
+    reasons: Dict[str, str] = field(default_factory=dict)
+
+    @property
+    def total_bytes(self) -> int:
+        return sum(e.size_bytes for e in self.to_delete)
+
+    def preview(self) -> str:
+        lines = [
+            f"Clean plan: {len(self.to_delete)} entries, "
+            f"{self.total_bytes / 1e6:.2f} MB"
+        ]
+        for e in self.to_delete:
+            lines.append(f"  {e.key} ({self.reasons.get(e.key, '')})")
+        return "\n".join(lines)
+
+
+class CacheCleaner:
+    """Plans and executes cache deletion by policy
+    (reference: cache_cleaner.py:65)."""
+
+    def __init__(self, storage: Any) -> None:
+        self.storage = storage
+        self.analyzer = CacheAnalyzer(storage)
+
+    def plan(
+        self,
+        run_id: Optional[str] = None,
+        max_age_s: Optional[float] = None,
+        max_total_bytes: Optional[int] = None,
+        storage_version: Optional[str] = None,
+        failed_integrity: bool = False,
+    ) -> CleanPlan:
+        entries = self.analyzer.scan(run_id)
+        plan = CleanPlan()
+        selected = set()
+
+        if max_age_s is not None:
+            for e in entries:
+                if e.age_s is not None and e.age_s > max_age_s:
+                    selected.add(e.key)
+                    plan.reasons[e.key] = f"age {e.age_s / 3600:.1f}h > limit"
+
+        if storage_version is not None:
+            for e in entries:
+                if e.storage_version != storage_version:
+                    selected.add(e.key)
+                    plan.reasons[e.key] = (
+                        f"storage version {e.storage_version} != {storage_version}"
+                    )
+
+        if failed_integrity and hasattr(self.storage, "verify_integrity"):
+            runs = [run_id] if run_id else self.analyzer.list_runs()
+            for rid in runs:
+                report = self.storage.verify_integrity(rid)
+                for key in report.get("corrupt", []):
+                    selected.add(key)
+                    plan.reasons[key] = "failed integrity check"
+
+        if max_total_bytes is not None:
+            total = sum(e.size_bytes for e in entries)
+            if total > max_total_bytes:
+                # evict oldest first until under budget
+                remaining = [e for e in entries if e.key not in selected]
+                remaining.sort(key=lambda e: -(e.age_s or 0))
+                for e in remaining:
+                    if total <= max_total_bytes:
+                        break
+                    selected.add(e.key)
+                    plan.reasons[e.key] = "size budget eviction"
+                    total -= e.size_bytes
+
+        plan.to_delete = [e for e in entries if e.key in selected]
+        return plan
+
+    def execute(self, plan: CleanPlan, dry_run: bool = False) -> int:
+        if dry_run:
+            return len(plan.to_delete)
+        n = 0
+        for e in plan.to_delete:
+            try:
+                self.storage.delete(e.key, e.run_id)
+                n += 1
+            except Exception as ex:
+                logger.warning("Failed to delete %s: %s", e.key, ex)
+        return n
+
+    def clean(self, run_id: Optional[str] = None, **policy: Any) -> int:
+        return self.execute(self.plan(run_id=run_id, **policy))
+
+
+class CacheDiagnostics:
+    """Detects orphans, checksum failures, and version mismatches
+    (reference: cache_diagnostics.py:70)."""
+
+    def __init__(self, storage: Any) -> None:
+        self.storage = storage
+        self.analyzer = CacheAnalyzer(storage)
+
+    def diagnose(self, run_id: Optional[str] = None) -> Dict[str, Any]:
+        report: Dict[str, Any] = {
+            "orphan_payloads": [],
+            "orphan_metadata": [],
+            "corrupt": [],
+            "version_mismatch": [],
+            "healthy": 0,
+        }
+        from waveformanalysis_tpu.storage.memmap import STORAGE_VERSION
+
+        runs = [run_id] if run_id is not None else (self.analyzer.list_runs() or [None])
+        for rid in runs:
+            work_dir = getattr(self.storage, "work_dir", None)
+            subdir = getattr(self.storage, "data_subdir", "_cache")
+            if work_dir:
+                d = Path(work_dir) / (rid or "") / subdir
+                if d.exists():
+                    bins = {p.stem for p in d.glob("*.bin")}
+                    metas = {p.stem for p in d.glob("*.json")}
+                    report["orphan_payloads"] += sorted(bins - metas)
+                    report["orphan_metadata"] += sorted(
+                        m for m in metas - bins
+                        if not (d / f"{m}.parquet").exists()
+                        and not (d / f"{m}.pkl").exists()
+                    )
+            if hasattr(self.storage, "verify_integrity"):
+                integrity = self.storage.verify_integrity(rid)
+                report["corrupt"] += integrity.get("corrupt", [])
+                report["healthy"] += integrity.get("ok", 0)
+            for key in self.storage.list_keys(rid):
+                meta = self.storage.get_metadata(key, rid) or {}
+                version = meta.get("storage_version")
+                if version and version != STORAGE_VERSION:
+                    report["version_mismatch"].append(key)
+        report["is_healthy"] = not (
+            report["orphan_payloads"] or report["orphan_metadata"]
+            or report["corrupt"] or report["version_mismatch"]
+        )
+        return report
+
+
+class CacheStatistics:
+    """Hit/miss bookkeeping over time (reference: cache_statistics.py)."""
+
+    def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        self.memory_hits = 0
+        self.disk_hits = 0
+        self.misses = 0
+        self.saves = 0
+        self._t0 = time.time()
+
+    def record_hit(self, where: str = "memory") -> None:
+        if where == "memory":
+            self.memory_hits += 1
+        else:
+            self.disk_hits += 1
+
+    def record_miss(self) -> None:
+        self.misses += 1
+
+    def record_save(self) -> None:
+        self.saves += 1
+
+    def merge_runtime(self, runtime_stats: Dict[str, int]) -> None:
+        self.memory_hits += runtime_stats.get("memory_hits", 0)
+        self.disk_hits += runtime_stats.get("disk_hits", 0)
+        self.misses += runtime_stats.get("misses", 0)
+
+    @property
+    def hit_rate(self) -> float:
+        total = self.memory_hits + self.disk_hits + self.misses
+        return (self.memory_hits + self.disk_hits) / total if total else 0.0
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "memory_hits": self.memory_hits,
+            "disk_hits": self.disk_hits,
+            "misses": self.misses,
+            "saves": self.saves,
+            "hit_rate": self.hit_rate,
+            "uptime_s": time.time() - self._t0,
+        }
