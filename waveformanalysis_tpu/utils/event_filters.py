@@ -1,0 +1,82 @@
+"""Filters over grouped-event DataFrames.
+
+Behavioral analog of the reference event filters
+(reference: waveform_analysis/utils/event_filters.py:29-199): coincidence and
+channel-membership filters over df_events-style tables. The reference uses
+numba JIT loops; these are vectorized NumPy over the per-event arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Optional, Sequence
+
+import numpy as np
+
+
+def filter_by_n_hits(df_events: Any, min_hits: int = 2,
+                     max_hits: Optional[int] = None) -> Any:
+    """Keep events with n_hits in [min_hits, max_hits]."""
+    mask = df_events["n_hits"] >= min_hits
+    if max_hits is not None:
+        mask &= df_events["n_hits"] <= max_hits
+    return df_events[mask].copy()
+
+
+def filter_by_channels(
+    df_events: Any,
+    required_channels: Sequence[int],
+    exact: bool = False,
+) -> Any:
+    """Keep events containing all required channels (exact=True: only those)."""
+    required = set(int(c) for c in required_channels)
+
+    def ok(channels: Any) -> bool:
+        present = set(int(c) for c in np.asarray(channels))
+        if exact:
+            return present == required
+        return required.issubset(present)
+
+    mask = df_events["channels"].apply(ok)
+    return df_events[mask].copy()
+
+
+def filter_by_time_span(df_events: Any, max_span_ns: float) -> Any:
+    """Keep events whose total span (dt/ns) fits the window."""
+    return df_events[df_events["dt/ns"] <= max_span_ns].copy()
+
+
+def filter_coincidence(
+    df_events: Any,
+    channel_a: int,
+    channel_b: int,
+    max_dt_ns: float,
+) -> Any:
+    """Keep events where hits on two channels are within max_dt_ns
+    (reference analog: the numba coincidence filter)."""
+
+    def delta(row: Any) -> float:
+        channels = np.asarray(row["channels"])
+        ts = np.asarray(row["timestamps"], dtype=np.float64)
+        a = ts[channels == channel_a]
+        b = ts[channels == channel_b]
+        if len(a) == 0 or len(b) == 0:
+            return np.inf
+        return float(np.min(np.abs(a[:, None] - b[None, :]))) / 1e3  # ps -> ns
+
+    mask = df_events.apply(delta, axis=1) <= max_dt_ns
+    return df_events[mask].copy()
+
+
+def filter_by_area(
+    df_events: Any,
+    min_total_area: Optional[float] = None,
+    max_total_area: Optional[float] = None,
+) -> Any:
+    """Keep events by total (summed) area."""
+    totals = df_events["areas"].apply(lambda a: float(np.sum(np.asarray(a))))
+    mask = np.ones(len(df_events), dtype=bool)
+    if min_total_area is not None:
+        mask &= (totals >= min_total_area).to_numpy()
+    if max_total_area is not None:
+        mask &= (totals <= max_total_area).to_numpy()
+    return df_events[mask].copy()

@@ -1,0 +1,182 @@
+"""Quick waveform previews without the full pipeline.
+
+Behavioral analog of the reference WaveformPreviewer
+(reference: waveform_analysis/utils/preview.py:181-928): load a small event
+range (by index or timestamp) straight from raw files, minimally structure
+it, preview basic features, and render overlay/grid plots (matplotlib is
+optional — data methods work headless).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from waveformanalysis_tpu.dtypes.table import Table
+
+logger = logging.getLogger(__name__)
+
+
+class WaveformPreviewer:
+    """Loads and inspects a handful of events cheaply."""
+
+    def __init__(
+        self,
+        data_root: str,
+        run_name: str,
+        daq_adapter: str = "vx2730",
+    ) -> None:
+        from waveformanalysis_tpu.formats.adapter import get_adapter
+
+        self.data_root = str(data_root)
+        self.run_name = run_name
+        self.adapter = get_adapter(daq_adapter)
+
+    # -- loading -----------------------------------------------------------------
+
+    def load_events(
+        self,
+        channel: int = 0,
+        start: int = 0,
+        n_events: int = 16,
+        max_files: Optional[int] = None,
+    ) -> Table:
+        """Events [start, start+n_events) of one channel, minimally structured."""
+        files = self.adapter.scan_run(self.data_root, self.run_name).get(channel, [])
+        if max_files:
+            files = files[:max_files]
+        collected: List[np.ndarray] = []
+        rows = 0
+        for i, f in enumerate(files):
+            arr = self.adapter.format_reader.read_file(f, is_first_file=(i == 0))
+            if arr.size == 0:
+                continue
+            collected.append(arr)
+            rows += len(arr)
+            if rows >= start + n_events:
+                break
+        if not collected:
+            return Table({})
+        raw = np.vstack(collected) if collected[0].ndim == 2 else np.concatenate(collected)
+        raw = raw[start : start + n_events]
+        return self._structure(raw, channel)
+
+    def load_by_timestamp(
+        self,
+        channel: int,
+        start_ps: int,
+        end_ps: int,
+        max_files: Optional[int] = None,
+    ) -> Table:
+        """Events whose (ps-normalized) timestamp lies in [start_ps, end_ps)."""
+        files = self.adapter.scan_run(self.data_root, self.run_name).get(channel, [])
+        if max_files:
+            files = files[:max_files]
+        keep: List[np.ndarray] = []
+        for i, f in enumerate(files):
+            arr = self.adapter.format_reader.read_file(f, is_first_file=(i == 0))
+            if arr.size == 0:
+                continue
+            cols = self.adapter.extract_and_convert(arr)
+            ts = cols["timestamp"]
+            mask = (ts >= start_ps) & (ts < end_ps)
+            if np.any(mask):
+                keep.append(arr[mask] if arr.ndim == 2 else arr[mask])
+            if len(ts) and ts.max() >= end_ps:
+                break
+        if not keep:
+            return Table({})
+        raw = np.vstack(keep) if keep[0].ndim == 2 else np.concatenate(keep)
+        return self._structure(raw, channel)
+
+    def _structure(self, raw: np.ndarray, channel: int) -> Table:
+        cols = self.adapter.extract_and_convert(raw)
+        samples = cols["samples"]
+        if samples.dtype == object:  # variable-length (binary formats)
+            max_len = max((len(w) for w in samples), default=0)
+            waves = np.zeros((len(samples), max_len), dtype=np.float32)
+            lengths = np.zeros(len(samples), dtype=np.int32)
+            for i, w in enumerate(samples):
+                waves[i, : len(w)] = w
+                lengths[i] = len(w)
+        else:
+            waves = samples.astype(np.float32)
+            lengths = np.full(len(samples), waves.shape[1], np.int32)
+        return Table({
+            "board": cols["board"].astype(np.int16),
+            "channel": cols["channel"].astype(np.int16),
+            "timestamp": cols["timestamp"].astype(np.int64),
+            "baseline": cols["baseline"].astype(np.float64),
+            "event_length": lengths,
+            "wave": waves,
+        })
+
+    # -- features ------------------------------------------------------------------
+
+    def preview_features(self, table: Table) -> Dict[str, np.ndarray]:
+        """Quick height/area estimates for previewed events."""
+        if len(table) == 0:
+            return {"height": np.zeros(0), "area": np.zeros(0)}
+        waves = np.asarray(table["wave"], dtype=np.float64)
+        baseline = np.asarray(table["baseline"], dtype=np.float64)
+        signal = baseline[:, None] - waves
+        return {
+            "height": signal.max(axis=1),
+            "area": signal.sum(axis=1),
+            "amp": waves.max(axis=1) - waves.min(axis=1),
+        }
+
+    def summary(self, table: Table) -> str:
+        feats = self.preview_features(table)
+        n = len(table)
+        if n == 0:
+            return "(no events)"
+        return (
+            f"{n} events | baseline ~{np.mean(np.asarray(table['baseline'])):.1f} "
+            f"| height {feats['height'].mean():.1f}±{feats['height'].std():.1f} "
+            f"| area {feats['area'].mean():.1f}"
+        )
+
+    # -- plotting ---------------------------------------------------------------------
+
+    def plot_overlay(self, table: Table, max_events: int = 32,
+                     ax: Any = None, **kwargs: Any) -> Any:
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _fig, ax = plt.subplots(figsize=(10, 5))
+        waves = np.asarray(table["wave"])[:max_events]
+        for w in waves:
+            ax.plot(w, alpha=0.4, lw=0.8, **kwargs)
+        ax.set_xlabel("sample")
+        ax.set_ylabel("ADC")
+        ax.set_title(f"{self.run_name}: {len(waves)} waveforms")
+        return ax
+
+    def plot_grid(self, table: Table, n_cols: int = 4, max_events: int = 16) -> Any:
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        waves = np.asarray(table["wave"])[:max_events]
+        n = len(waves)
+        n_rows = (n + n_cols - 1) // n_cols
+        fig, axes = plt.subplots(n_rows, n_cols,
+                                 figsize=(3 * n_cols, 2 * n_rows),
+                                 squeeze=False)
+        for i in range(n_rows * n_cols):
+            ax = axes[i // n_cols][i % n_cols]
+            if i < n:
+                ax.plot(waves[i], lw=0.8)
+                ax.set_title(f"evt {i}", fontsize=8)
+            else:
+                ax.axis("off")
+        fig.tight_layout()
+        return fig
