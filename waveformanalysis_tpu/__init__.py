@@ -43,6 +43,21 @@ _LAZY_API = {
     # execution
     "parallel_map": ("waveformanalysis_tpu.execution.manager", "parallel_map"),
     "parallel_apply": ("waveformanalysis_tpu.execution.manager", "parallel_apply"),
+    "ExecutorManager": ("waveformanalysis_tpu.execution.manager", "ExecutorManager"),
+    "CancellationToken": ("waveformanalysis_tpu.execution.cancellation", "CancellationToken"),
+    "DataExporter": ("waveformanalysis_tpu.data.export", "DataExporter"),
+    "DependencyAnalyzer": ("waveformanalysis_tpu.data.dependency_analysis", "DependencyAnalyzer"),
+    "RecordsView": ("waveformanalysis_tpu.data.records_view", "RecordsView"),
+    "TimeRangeQueryEngine": ("waveformanalysis_tpu.data.query", "TimeRangeQueryEngine"),
+    "SQLiteBackend": ("waveformanalysis_tpu.storage.backends", "SQLiteBackend"),
+    "wrap_strax_plugin": ("waveformanalysis_tpu.plugins.adapters", "wrap_strax_plugin"),
+    "StraxContextAdapter": ("waveformanalysis_tpu.plugins.adapters", "StraxContextAdapter"),
+    "PluginLoader": ("waveformanalysis_tpu.plugins.loader", "PluginLoader"),
+    "enable_hot_reload": ("waveformanalysis_tpu.plugins.hot_reload", "enable_hot_reload"),
+    "make_fake_st_waveforms": ("waveformanalysis_tpu.testing.fixtures", "make_fake_st_waveforms"),
+    "make_tiny_context": ("waveformanalysis_tpu.testing.fixtures", "make_tiny_context"),
+    "tpu_default": ("waveformanalysis_tpu.plugins.plugin_sets", "tpu_default"),
+    "get_profile": ("waveformanalysis_tpu.plugins.plugin_sets", "get_profile"),
     "BatchProcessor": ("waveformanalysis_tpu.data.batch_processor", "BatchProcessor"),
     # foundation
     "Profiler": ("waveformanalysis_tpu.foundation.profiler", "Profiler"),

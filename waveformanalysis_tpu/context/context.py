@@ -346,6 +346,7 @@ class Context:
 
         data = self._get_data_from_memory(run_id, data_name)
         if data is not None:
+            self._cache_manager.stats["memory_hits"] += 1
             return data
 
         if data_name not in self._plugins:
