@@ -1,10 +1,11 @@
-"""Benchmark: fused waveform feature pipeline throughput on one TPU chip.
+"""Benchmark: full waveform chain throughput on one TPU chip.
 
-Measures waveforms/sec/chip through the baseline -> features -> hits -> S1/S2
-fused device pipeline (the TPU-native rebuild of the reference's
-records -> basic_features -> s1_s2 chain), and compares against a
-single-socket CPU implementation of the same per-event semantics in the
-reference's style (per-event NumPy loop, basic_features.py:224-265).
+Measures waveforms/sec/chip through the fused records->features->peaks->
+threshold-hits->widths->S1/S2 device chain (the TPU-native rebuild of the
+reference pipeline, using the production kernels incl. scipy-parity
+find_peaks), and compares against a single-socket CPU implementation of the
+same per-event semantics in the reference's style (scipy find_peaks loop,
+basic_features.py:224 / peak_finding.py:446).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -20,36 +21,55 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 import numpy as np
 
+N_EVENTS = 65_536  # throughput saturates by ~16k events; keep runtime short
+WAVE_LEN = 256
 
-def make_batch(n_events: int, wave_length: int, seed: int = 0):
+
+def make_batch(n_events: int, wave_length: int, seed: int = 0) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    waves = np.full((n_events, wave_length), 1000.0)
-    waves += rng.normal(0, 3, size=waves.shape)
-    starts = rng.integers(30, 60, n_events)
-    widths = rng.integers(4, 40, n_events)
-    cols = np.arange(wave_length)[None, :]
-    pulse = (cols >= starts[:, None]) & (cols < (starts + widths)[:, None])
-    waves = np.where(pulse, waves - 200, waves)
+    t = np.arange(wave_length)
+    centers = rng.integers(60, wave_length - 60, n_events)
+    sigmas = np.where(np.arange(n_events) % 2 == 0, 3.0, 25.0)
+    amps = np.where(np.arange(n_events) % 2 == 0, 400.0, 250.0)
+    waves = 1000.0 + amps[:, None] * np.exp(
+        -((t[None, :] - centers[:, None]) ** 2) / (2 * sigmas[:, None] ** 2)
+    )
+    waves += rng.normal(0, 2, waves.shape)
     return np.round(waves).astype(np.int16)
 
 
-def cpu_reference_rate(waves: np.ndarray, n_sample: int = 1000) -> float:
-    """Per-event loop in the reference's style; returns events/sec."""
-    sub = waves[:n_sample]
+def cpu_reference_rate(waves: np.ndarray, n_sample: int = 300) -> float:
+    """Reference-style per-event loop: features + scipy find_peaks + widths
+    + classification. Returns events/sec on one core."""
+    from scipy.signal import find_peaks
+
+    sub = waves[:n_sample].astype(np.float64)
     t0 = time.perf_counter()
-    for i in range(len(sub)):
-        wave = sub[i]
-        b = float(np.mean(wave[0:20]))
+    for wave in sub:
+        b = 1000.0
+        # basic features
         wp = wave[40:90]
-        _height = b - float(np.min(wp))
-        _amp = float(np.max(wp)) - float(np.min(wp))
-        wc = wave.astype(np.float64)
-        _area = float(np.sum(b - wc))
-        signal = b - wc
-        above = signal > 30.0
+        if wp.size:
+            _height = wave.max() - b
+            _amp = wp.max() - wp.min()
+        _area = float(np.sum(wave - b))
+        _mad = float(np.max(np.abs(np.diff(wave))))
+        # peak finding on the normalized signal
+        signal = wave - b
+        pos, props = find_peaks(signal, height=80.0, distance=2,
+                                prominence=50.0, width=2)
+        # threshold hit runs
+        above = signal > 10.0
         _n_hits = int(np.sum(above[1:] & ~above[:-1]) + above[0])
-        _width = int(np.sum(signal > 0.1 * _height))
-        _label = 1 if _width <= 12 else (2 if _width >= 30 else 0)
+        # width + classification on the dominant peak
+        if len(pos):
+            p = pos[np.argmax(signal[pos])]
+            peak_value = signal[p]
+            lo = np.where(signal[:p] >= 0.1 * peak_value)[0]
+            hi = np.where(signal[p:] <= 0.1 * peak_value)[0]
+            if len(lo) and len(hi):
+                width = (p + hi[0]) - lo[0]
+                _label = 1 if width <= 30 else (2 if width >= 40 else 0)
     dt = time.perf_counter() - t0
     return len(sub) / dt
 
@@ -58,39 +78,42 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from waveformanalysis_tpu.models.pipeline import PipelineConfig, make_jit_step
+    from waveformanalysis_tpu.models.full_chain import ChainConfig, make_jit_chain
 
-    n_events, wave_length = 262_144, 256
-
-    # absorb one-time tunnel costs (first transfer ~77 s on axon)
+    # absorb one-time tunnel costs (first device->host transfer ~77 s on axon)
     np.asarray(jnp.zeros(8))
 
-    waves_np = make_batch(n_events, wave_length)
-    event_length = np.full(n_events, wave_length, np.int32)
-    pol = np.full(n_events, -1, np.int8)
+    waves_np = make_batch(N_EVENTS, WAVE_LEN)
+    cfg = ChainConfig(use_derivative=False, peak_height=80.0,
+                      peak_prominence=50.0, peak_width=2.0)
+    step = make_jit_chain(cfg)
 
-    step = make_jit_step(PipelineConfig())
     waves = jnp.asarray(waves_np)
-    el = jnp.asarray(event_length)
-    pc = jnp.asarray(pol)
+    el = jnp.asarray(np.full(N_EVENTS, WAVE_LEN, np.int32))
+    bl = jnp.asarray(np.full(N_EVENTS, 1000.0, np.float32))
+    pol = jnp.asarray(np.full(N_EVENTS, 1, np.int8))
 
     # compile + warm
-    jax.block_until_ready(step(waves, el, pc))
+    jax.block_until_ready(step(waves, el, bl, pol))
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(waves, el, pc)
+        out = step(waves, el, bl, pol)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
-    tpu_rate = n_events / dt
+    tpu_rate = N_EVENTS / dt
 
-    cpu_rate = cpu_reference_rate(waves_np, n_sample=1000)
+    cpu_rate = cpu_reference_rate(waves_np)
 
     print(
         json.dumps(
             {
-                "metric": "waveforms_per_sec_per_chip (baseline->features->hits->S1/S2 fused pipeline)",
+                "metric": (
+                    "waveforms_per_sec_per_chip "
+                    "(fused features+find_peaks+hits+widths+S1/S2 chain, "
+                    f"{WAVE_LEN} samples/wf)"
+                ),
                 "value": round(tpu_rate, 1),
                 "unit": "waveforms/s",
                 "vs_baseline": round(tpu_rate / cpu_rate, 2),

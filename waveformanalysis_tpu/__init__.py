@@ -59,6 +59,11 @@ _LAZY_API = {
     "tpu_default": ("waveformanalysis_tpu.plugins.plugin_sets", "tpu_default"),
     "get_profile": ("waveformanalysis_tpu.plugins.plugin_sets", "get_profile"),
     "BatchProcessor": ("waveformanalysis_tpu.data.batch_processor", "BatchProcessor"),
+    # flagship fused model
+    "ChainConfig": ("waveformanalysis_tpu.models.full_chain", "ChainConfig"),
+    "full_chain_step": ("waveformanalysis_tpu.models.full_chain", "full_chain_step"),
+    "make_jit_chain": ("waveformanalysis_tpu.models.full_chain", "make_jit_chain"),
+    "make_sharded_chain": ("waveformanalysis_tpu.models.full_chain", "make_sharded_chain"),
     # foundation
     "Profiler": ("waveformanalysis_tpu.foundation.profiler", "Profiler"),
     "ProgressTracker": ("waveformanalysis_tpu.foundation.progress", "ProgressTracker"),

@@ -160,6 +160,7 @@ def make_sharded_step(mesh: Mesh, cfg: Optional[PipelineConfig] = None,
             "label": P(axis),
             "run_stats": P(),  # replicated after psum
         },
+        check_vma=False,
     )
     return jax.jit(sharded)
 

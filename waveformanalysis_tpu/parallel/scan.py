@@ -83,6 +83,7 @@ def make_sharded_pipeline(
         mesh=mesh,
         in_specs=tuple(P(axis_name) for _ in range(n_inputs)),
         out_specs=out_specs,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
