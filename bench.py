@@ -44,6 +44,16 @@ def cpu_reference_rate(waves: np.ndarray, n_sample: int = 300) -> float:
     from scipy.signal import find_peaks
 
     sub = waves[:n_sample].astype(np.float64)
+    best = 0.0
+    for _ in range(3):  # best-of-3: the shared host makes single runs noisy
+        rate = _cpu_loop_once(sub)
+        best = max(best, rate)
+    return best
+
+
+def _cpu_loop_once(sub: np.ndarray) -> float:
+    from scipy.signal import find_peaks
+
     t0 = time.perf_counter()
     for wave in sub:
         b = 1000.0
@@ -74,7 +84,7 @@ def cpu_reference_rate(waves: np.ndarray, n_sample: int = 300) -> float:
     return len(sub) / dt
 
 
-def main() -> None:
+def run_tpu_side() -> float:
     import jax
     import jax.numpy as jnp
 
@@ -102,9 +112,26 @@ def main() -> None:
         out = step(waves, el, bl, pol)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
-    tpu_rate = N_EVENTS / dt
+    return N_EVENTS / dt
 
-    cpu_rate = cpu_reference_rate(waves_np)
+
+def main() -> None:
+    # The axon TPU tunnel has intermittent multi-minute outages; this runs
+    # unattended at round end, so retry transient device failures.
+    last_err: Exception | None = None
+    tpu_rate = 0.0
+    for attempt in range(3):
+        try:
+            tpu_rate = run_tpu_side()
+            break
+        except Exception as err:  # noqa: BLE001 - tunnel errors vary by type
+            last_err = err
+            print(f"# TPU attempt {attempt + 1} failed: {err!r}", file=sys.stderr)
+            time.sleep(60)
+    else:
+        raise SystemExit(f"TPU benchmark failed after retries: {last_err!r}")
+
+    cpu_rate = cpu_reference_rate(make_batch(N_EVENTS, WAVE_LEN))
 
     print(
         json.dumps(

@@ -165,3 +165,60 @@ class TestCompactHits:
         # ts + pos * dt * 1000
         np.testing.assert_array_equal(out["timestamp"],
                                       [1000 + 5 * 2000, 2000 + 7 * 2000, 2000 + 9 * 2000])
+
+
+class TestRandomizedScipyParity:
+    """Dense-random cross-check: positions/prominences/ips vs scipy on noisy
+    integer waves with injected plateaus. Rows containing an exact-height tie
+    within `distance` are excluded — scipy's own tie order there comes from an
+    unstable np.argsort and is implementation-defined (see ops/peaks.py)."""
+
+    def test_dense_random_with_plateaus(self):
+        from scipy.signal import find_peaks
+
+        rng = np.random.default_rng(7)
+        n, L, K, dist = 256, 128, 64, 3
+        waves = rng.integers(-50, 400, (n, L)).astype(np.float64)
+        for i in range(0, n, 3):
+            j = rng.integers(5, L - 20)
+            waves[i, j:j + rng.integers(2, 6)] = waves[i, j]
+
+        import jax.numpy as jnp
+
+        res = P.find_peaks_batch(
+            jnp.asarray(waves, jnp.float32), 30.0, 10.0, 1.0,
+            distance=dist, max_peaks=K,
+        )
+        assert int(np.asarray(res["n_candidates"]).max()) <= K
+
+        checked = skipped_ties = 0
+        for i in range(n):
+            cand, _ = find_peaks(waves[i], height=30.0)
+            h = waves[i][cand]
+            tie = any(
+                h[a] == h[b] and abs(cand[a] - cand[b]) < dist
+                for a in range(len(cand)) for b in range(a + 1, len(cand))
+            )
+            if tie:
+                skipped_ties += 1
+                continue
+            p, props = find_peaks(waves[i], height=30.0, distance=dist,
+                                  prominence=10.0, width=1.0)
+            valid = np.asarray(res["valid"][i])
+            np.testing.assert_array_equal(
+                np.asarray(res["position"][i])[valid], p, err_msg=f"row {i}"
+            )
+            np.testing.assert_allclose(
+                np.asarray(res["prominence"][i])[valid],
+                props["prominences"], atol=1e-2, err_msg=f"row {i}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(res["left_ips"][i])[valid], props["left_ips"],
+                atol=5e-3, err_msg=f"row {i}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(res["right_ips"][i])[valid], props["right_ips"],
+                atol=5e-3, err_msg=f"row {i}",
+            )
+            checked += 1
+        assert checked > n // 2, (checked, skipped_ties)

@@ -25,6 +25,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from waveformanalysis_tpu.ops.peaks import compact_first_k
+
 KERNEL_VERSION = "hits-v1"
 DEFAULT_MAX_HITS = 32
 
@@ -61,16 +63,10 @@ def threshold_hits_batch(
 
     n_runs = jnp.sum(is_start, axis=1, dtype=jnp.int32)
 
-    # compact starts/ends by position into (n, K)
-    def compact(flags: jax.Array) -> tuple:
-        score = jnp.where(flags, pos, L + 1)
-        order = jnp.argsort(score, axis=1)[:, :K]
-        vals = jnp.take_along_axis(jnp.broadcast_to(pos, (n, L)), order, axis=1)
-        ok = jnp.take_along_axis(score, order, axis=1) <= L
-        return vals, ok
-
-    starts, s_ok = compact(is_start)
-    ends_incl, e_ok = compact(is_end)
+    # compact starts/ends by position into (n, K) — sort-free (TPU)
+    pos_b = jnp.broadcast_to(pos, (n, L))
+    (starts,), s_ok = compact_first_k(is_start, (pos_b,), K, (0,))
+    (ends_incl,), e_ok = compact_first_k(is_end, (pos_b,), K, (0,))
     run_valid = s_ok & e_ok
     ends = ends_incl + 1  # exclusive
 
@@ -81,8 +77,8 @@ def threshold_hits_batch(
     integrals = jnp.zeros((n, K), jnp.float32)
     positions = jnp.zeros((n, K), jnp.int32)
 
-    def body(k, carry):
-        h, integ, p = carry
+    def body(carry):
+        k, h, integ, p = carry
         s = seg_start[:, k][:, None]
         e = seg_end[:, k][:, None]
         m = (pos >= s) & (pos < e)
@@ -93,13 +89,17 @@ def threshold_hits_batch(
         pos_sum = jnp.sum(jnp.where(m, jnp.maximum(x, 0.0), 0.0), axis=1)
         ok = run_valid[:, k]
         return (
+            k + 1,
             h.at[:, k].set(jnp.where(ok, mx, 0.0)),
             integ.at[:, k].set(jnp.where(ok, pos_sum, 0.0)),
             p.at[:, k].set(jnp.where(ok, am, 0)),
         )
 
-    heights, integrals, positions = jax.lax.fori_loop(
-        0, K, body, (heights, integrals, positions)
+    # loop only to the batch-max run count — typical waveforms have 1-2 runs
+    kmax = jnp.minimum(K, jnp.max(n_runs))
+    _, heights, integrals, positions = jax.lax.while_loop(
+        lambda c: c[0] < kmax, body,
+        (jnp.int32(0), heights, integrals, positions),
     )
 
     return {

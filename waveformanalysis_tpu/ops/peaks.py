@@ -16,7 +16,11 @@ interpolated left/right ips — entirely as batched array ops:
   reductions — K is small (default 32) so the sweep stays bandwidth-bound.
 
 Results are (n, K) arrays + validity mask; hosts compact them to flat hit
-tables. Positions are exact vs scipy; ips match to float tolerance.
+tables. Positions are exact vs scipy; ips match to float tolerance. One
+caveat: scipy's distance pruning ranks peaks with an UNSTABLE np.argsort, so
+which of two EXACTLY-equal-height peaks within `distance` survives is
+implementation-defined there; this kernel resolves such ties
+deterministically (later position wins, the stable-sort order).
 """
 
 from __future__ import annotations
@@ -33,6 +37,42 @@ KERNEL_VERSION = "peaks-v1"
 DEFAULT_MAX_PEAKS = 32
 
 _NEG = -3.0e38  # sentinel below any float32 signal
+
+
+def compact_first_k(flags: jax.Array, arrays: Tuple[jax.Array, ...], K: int,
+                    fills: Tuple[Any, ...]) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
+    """Compact the first K flagged columns (in positional order) of each
+    (n, L) array into (n, K), without a sort.
+
+    XLA sorts lower poorly on TPU; a cumsum rank plus K argmax passes is
+    bandwidth-bound instead. Returns (compacted_arrays, ok_mask).
+    """
+    n = flags.shape[0]
+    rank = jnp.cumsum(flags.astype(jnp.int32), axis=1)
+    # rows never have more than max(rank) flagged columns: loop only that far
+    kmax = jnp.minimum(K, jnp.max(rank[:, -1]))
+
+    def slot(carry):
+        k, outs, ok_c = carry
+        hit = flags & (rank == (k + 1))  # at most one True per row
+        idx = jnp.argmax(hit, axis=1)
+        ok = jnp.any(hit, axis=1)
+        new_outs = tuple(
+            o.at[:, k].set(jnp.where(
+                ok, jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0], f
+            ))
+            for o, a, f in zip(outs, arrays, fills)
+        )
+        return k + 1, new_outs, ok_c.at[:, k].set(ok)
+
+    init_outs = tuple(
+        jnp.full((n, K), f, a.dtype) for a, f in zip(arrays, fills)
+    )
+    _, outs, ok = jax.lax.while_loop(
+        lambda c: c[0] < kmax, slot,
+        (jnp.int32(0), init_outs, jnp.zeros((n, K), bool)),
+    )
+    return outs, ok
 
 
 @partial(
@@ -70,64 +110,76 @@ def find_peaks_batch(
     x = jnp.where(in_range, x, _NEG)
 
     # ---- local maxima with plateau midpoints --------------------------------
+    # TPU note: no L-wide gathers or sorts here — gathers along the lane axis
+    # and XLA sorts lower poorly on TPU. The last-nonzero-diff index and its
+    # rise/fall direction pack into one int (idx*2 + rise) carried by a single
+    # cummax; the plateau's value is constant, so the value at the midpoint is
+    # just the value at the plateau's right edge, i.e. x[:, :-1] elementwise.
     d = x[:, 1:] - x[:, :-1]  # (n, L-1)
     didx = jax.lax.broadcasted_iota(jnp.int32, (1, L - 1), 1)
     nonzero = d != 0
-    # index of last nonzero diff at or before i (-1 if none)
-    ffi = jax.lax.cummax(jnp.where(nonzero, didx, -1), axis=1)
-    # its value (0 where no nonzero diff yet)
-    ffd = jnp.take_along_axis(d, jnp.maximum(ffi, 0), axis=1)
-    ffd = jnp.where(ffi >= 0, ffd, 0.0)
-
+    packed = jnp.where(nonzero, didx * 2 + (d > 0).astype(jnp.int32), -1)
+    # last nonzero diff at or before i-1 (packed; -1 if none)
+    prev_ff = jnp.concatenate(
+        [jnp.full((n, 1), -1, jnp.int32),
+         jax.lax.cummax(packed, axis=1)[:, :-1]],
+        axis=1,
+    )
     # right edge of a peak plateau at sample i (1 <= i <= L-2):
     # d[i] < 0 and the last nonzero diff before i was a rise
-    prev_ffi = jnp.concatenate([jnp.full((n, 1), -1, jnp.int32), ffi[:, :-1]], axis=1)
-    prev_ffd = jnp.concatenate([jnp.zeros((n, 1), x.dtype), ffd[:, :-1]], axis=1)
-    right_edge_mask = (d < 0) & (prev_ffd > 0)  # at diff index i == sample i
-    left_edge = prev_ffi + 1  # sample index of plateau start
+    prev_was_rise = (prev_ff >= 0) & (prev_ff % 2 == 1)
+    right_edge_mask = (d < 0) & prev_was_rise  # at diff index i == sample i
+    left_edge = jnp.where(prev_ff >= 0, prev_ff // 2 + 1, 0)
     midpoint = (left_edge + didx) // 2  # (n, L-1) plateau midpoint
 
     is_peak = right_edge_mask
     # scipy never reports a peak at the first/last sample of the (true) wave
     is_peak = is_peak & (midpoint <= (vlen[:, None] - 2)) & (midpoint >= 1)
-    peak_value = jnp.take_along_axis(x, jnp.clip(midpoint, 0, L - 1), axis=1)
+    peak_value = x[:, : L - 1]  # plateau value == right-edge sample value
     # height filter applied before compaction (scipy order)
     is_peak = is_peak & (peak_value >= height)
 
     n_candidates = jnp.sum(is_peak, axis=1, dtype=jnp.int32)
 
     # ---- compact to (n, K) by position --------------------------------------
-    score = jnp.where(is_peak, didx, L + 1)
-    order = jnp.argsort(score, axis=1)[:, :K]  # first K peaks by position
-    cand_valid = jnp.take_along_axis(score, order, axis=1) <= L
-    positions = jnp.take_along_axis(midpoint, order, axis=1)
-    positions = jnp.where(cand_valid, positions, -1)
-    values = jnp.take_along_axis(peak_value, order, axis=1)
-    values = jnp.where(cand_valid, values, _NEG)
+    # first K peaks in positional order via cumsum ranks + K argmaxes
+    # (replaces an argsort over L, which is slow on TPU)
+    (positions, values), cand_valid = compact_first_k(
+        is_peak, (midpoint, peak_value), K, (-1, _NEG)
+    )
 
     # ---- distance filter: greedy by height priority -------------------------
+    n_compacted = jnp.sum(cand_valid, axis=1, dtype=jnp.int32)
+    kmax = jnp.minimum(K, jnp.max(n_compacted))
     if distance > 1:
-        # priority: higher value first; ties -> smaller position (scipy's
-        # argsort is stable over position order)
-        # scipy processes argsort(values) from the end: for equal heights the
-        # larger index (later position) has higher priority
-        prio = jnp.flip(jnp.argsort(values, axis=1, stable=True), axis=1)
+        # priority: higher value first; ties -> later position first (scipy
+        # processes a stable argsort(values) from the end). Computed as a
+        # K^2 comparison-count rank — XLA sorts are slow on TPU even at K=8.
+        v_i = values[:, :, None]  # candidate i
+        v_j = values[:, None, :]  # candidate j
+        jdx = jax.lax.broadcasted_iota(jnp.int32, (1, K, K), 2)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, K, K), 1)
+        beats_i = (v_j > v_i) | ((v_j == v_i) & (jdx > idx))
+        prio_rank = jnp.sum(beats_i, axis=2).astype(jnp.int32)  # (n, K): 0 = first
         pos_f = positions.astype(jnp.int32)
+        kidx2 = jax.lax.broadcasted_iota(jnp.int32, (n, K), 1)
 
-        def dist_body(k, keep):
-            sel = prio[:, k]  # (n,) candidate index with k-th priority
+        def dist_body(carry):
+            k, keep = carry
+            hit = prio_rank == k  # exactly one True per row
+            sel = jnp.argmax(hit, axis=1)  # (n,) candidate index, k-th priority
             p = jnp.take_along_axis(pos_f, sel[:, None], axis=1)[:, 0]  # (n,)
             v = jnp.take_along_axis(cand_valid, sel[:, None], axis=1)[:, 0]
             kept_k = jnp.take_along_axis(keep, sel[:, None], axis=1)[:, 0]
             # suppress any other candidate within `distance`, not itself,
             # only if this candidate is itself still kept and valid
             close = (jnp.abs(pos_f - p[:, None]) < distance)
-            kidx = jax.lax.broadcasted_iota(jnp.int32, (n, K), 1)
-            suppress = close & (kidx != sel[:, None]) & (kept_k & v)[:, None]
-            return keep & ~suppress
+            suppress = close & (kidx2 != sel[:, None]) & (kept_k & v)[:, None]
+            return k + 1, keep & ~suppress
 
-        keep = cand_valid
-        keep = jax.lax.fori_loop(0, K, dist_body, keep)
+        _, keep = jax.lax.while_loop(
+            lambda c: c[0] < kmax, dist_body, (jnp.int32(0), cand_valid)
+        )
         cand_valid = cand_valid & keep
         positions = jnp.where(cand_valid, positions, -1)
         values = jnp.where(cand_valid, values, _NEG)
@@ -141,8 +193,8 @@ def find_peaks_batch(
 
     pos_row = pos_idx  # (1, L)
 
-    def peak_body(k, carry):
-        proms, lbases, rbases, lips, rips = carry
+    def peak_body(carry):
+        k, proms, lbases, rbases, lips, rips = carry
         p = positions[:, k]  # (n,)
         v = values[:, k]
         ok = cand_valid[:, k]
@@ -222,6 +274,7 @@ def find_peaks_batch(
 
         upd = lambda a, vals: a.at[:, k].set(jnp.where(ok, vals, a[:, k]))
         return (
+            k + 1,
             upd(proms, prom),
             upd(lbases, lbase),
             upd(rbases, rbase),
@@ -229,9 +282,14 @@ def find_peaks_batch(
             upd(rips, rip),
         )
 
-    prominences, left_bases, right_bases, left_ips, right_ips = jax.lax.fori_loop(
-        0, K, peak_body,
-        (prominences, left_bases, right_bases, left_ips, right_ips),
+    # only slots below the batch-max candidate count hold real peaks; the
+    # while_loop skips the dead tail of the fixed K capacity
+    _, prominences, left_bases, right_bases, left_ips, right_ips = (
+        jax.lax.while_loop(
+            lambda c: c[0] < kmax, peak_body,
+            (jnp.int32(0), prominences, left_bases, right_bases,
+             left_ips, right_ips),
+        )
     )
 
     widths = right_ips - left_ips
