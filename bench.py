@@ -88,7 +88,8 @@ def run_tpu_side() -> float:
     import jax
     import jax.numpy as jnp
 
-    from waveformanalysis_tpu.models.full_chain import ChainConfig, make_jit_chain
+    from waveformanalysis_tpu.models.full_chain import ChainConfig
+    from waveformanalysis_tpu.ops.chain_pallas import make_jit_chain_pallas
 
     # absorb one-time tunnel costs (first device->host transfer ~77 s on axon)
     np.asarray(jnp.zeros(8))
@@ -96,7 +97,9 @@ def run_tpu_side() -> float:
     waves_np = make_batch(N_EVENTS, WAVE_LEN)
     cfg = ChainConfig(use_derivative=False, peak_height=80.0,
                       peak_prominence=50.0, peak_width=2.0)
-    step = make_jit_chain(cfg)
+    # fused Pallas kernel: whole chain in one HBM pass (output-verified
+    # identical to models.full_chain.make_jit_chain on this workload)
+    step = make_jit_chain_pallas(cfg)
 
     waves = jnp.asarray(waves_np)
     el = jnp.asarray(np.full(N_EVENTS, WAVE_LEN, np.int32))

@@ -64,6 +64,8 @@ _LAZY_API = {
     "full_chain_step": ("waveformanalysis_tpu.models.full_chain", "full_chain_step"),
     "make_jit_chain": ("waveformanalysis_tpu.models.full_chain", "make_jit_chain"),
     "make_sharded_chain": ("waveformanalysis_tpu.models.full_chain", "make_sharded_chain"),
+    "make_jit_chain_pallas": ("waveformanalysis_tpu.ops.chain_pallas", "make_jit_chain_pallas"),
+    "chain_pallas": ("waveformanalysis_tpu.ops.chain_pallas", "chain_pallas"),
     # foundation
     "Profiler": ("waveformanalysis_tpu.foundation.profiler", "Profiler"),
     "ProgressTracker": ("waveformanalysis_tpu.foundation.progress", "ProgressTracker"),
