@@ -88,3 +88,24 @@ class TestChainPallasEquality:
         labels = np.asarray(out["label"])
         assert (labels[0::2] == 1).all()  # narrow sigma=3 -> S1
         assert (labels[1::2] == 2).all()  # wide sigma=25 -> S2
+
+
+@pytest.mark.multidevice
+def test_sharded_pallas_chain_matches_xla():
+    import jax
+    from waveformanalysis_tpu.models.full_chain import (
+        example_chain_batch, make_sharded_chain,
+    )
+    from waveformanalysis_tpu.ops.chain_pallas import make_sharded_chain_pallas
+    from waveformanalysis_tpu.parallel.mesh import data_sharding, make_mesh
+
+    mesh = make_mesh(n_devices=8, axis_names=("data",))
+    cfg = ChainConfig(use_derivative=False, peak_height=80.0,
+                      peak_prominence=50.0, peak_width=2.0)
+    batch = example_chain_batch(128, 128)
+    sharding = data_sharding(mesh)
+    batch = tuple(jax.device_put(x, sharding) for x in batch)
+    ref = make_sharded_chain(mesh, cfg)(*batch)
+    out = make_sharded_chain_pallas(mesh, cfg, interpret=True, tile_rows=16)(*batch)
+    np.testing.assert_array_equal(np.asarray(ref["label"]), np.asarray(out["label"]))
+    assert int(out["n_s1"]) == 64 and int(out["n_s2"]) == 64

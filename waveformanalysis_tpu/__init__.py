@@ -66,6 +66,7 @@ _LAZY_API = {
     "make_sharded_chain": ("waveformanalysis_tpu.models.full_chain", "make_sharded_chain"),
     "make_jit_chain_pallas": ("waveformanalysis_tpu.ops.chain_pallas", "make_jit_chain_pallas"),
     "chain_pallas": ("waveformanalysis_tpu.ops.chain_pallas", "chain_pallas"),
+    "make_sharded_chain_pallas": ("waveformanalysis_tpu.ops.chain_pallas", "make_sharded_chain_pallas"),
     # foundation
     "Profiler": ("waveformanalysis_tpu.foundation.profiler", "Profiler"),
     "ProgressTracker": ("waveformanalysis_tpu.foundation.progress", "ProgressTracker"),

@@ -485,3 +485,47 @@ def make_jit_chain_pallas(cfg: Any = None, tile_rows: int = DEFAULT_TILE_ROWS,
                             cfg, tile_rows=tile_rows, interpret=interpret)
 
     return step
+
+
+def make_sharded_chain_pallas(mesh, cfg: Any = None, axis: str = "data",
+                              tile_rows: int = DEFAULT_TILE_ROWS,
+                              interpret: bool = False):
+    """Pallas chain sharded over the event axis: each chip runs the fused
+    kernel on its shard; label counts and total area psum over ICI.
+
+    Same output contract as models.full_chain.make_sharded_chain. Pass
+    interpret=True on CPU meshes (Mosaic compiles on TPU only).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from waveformanalysis_tpu.models.full_chain import (
+        CHAIN_OUT_KEYS,
+        CHAIN_STATS_KEYS,
+        ChainConfig,
+    )
+
+    cfg = cfg or ChainConfig()
+
+    def local(waves, event_length, baselines, polarity_codes):
+        out = chain_pallas(waves, event_length, baselines, polarity_codes,
+                           cfg, tile_rows=tile_rows, interpret=interpret)
+        out["n_s1"] = jax.lax.psum(
+            jnp.sum(out["label"] == 1).astype(jnp.int32), axis
+        )
+        out["n_s2"] = jax.lax.psum(
+            jnp.sum(out["label"] == 2).astype(jnp.int32), axis
+        )
+        out["total_area"] = jax.lax.psum(jnp.sum(out["area"]), axis)
+        return out
+
+    out_specs = {k: P(axis) for k in CHAIN_OUT_KEYS}
+    out_specs.update({k: P() for k in CHAIN_STATS_KEYS})
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -183,6 +183,17 @@ def sosfiltfilt_device(
     if waves.shape[-1] <= padlen:
         out = waves.astype(dtype, copy=True)
         return out[0] if squeeze else out
+
+    # On TPU, the sequential Pallas cascade (ops/filter_pallas.py) is both
+    # faster than the associative-scan formulation and the only one whose
+    # compile scales to production batch sizes (the scan's (n, L, 2, 2)
+    # affine maps blow up XLA compile memory at n ~ 64k).
+    if jax.default_backend() == "tpu":
+        from waveformanalysis_tpu.ops.filter_pallas import sosfiltfilt_pallas
+
+        out = sosfiltfilt_pallas(waves, sos, dtype=dtype)
+        return out[0] if squeeze else out
+
     zi = sosfilt_zi(sos)
     out = _sosfiltfilt_device_core(
         jnp.asarray(waves, dtype=jnp.float32),

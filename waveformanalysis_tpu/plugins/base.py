@@ -231,7 +231,32 @@ class Plugin(abc.ABC):
         """Hook called after compute() finishes (success or failure)."""
 
     def validate_config(self, context: Any) -> Dict[str, Any]:
-        """Resolve + validate every option via the context."""
+        """Resolve + validate every option via the context.
+
+        Also warns on unknown keys in this plugin's scoped config dict —
+        a typo'd key (e.g. ``order`` vs ``filter_order``) silently falling
+        back to the default is far harder to debug than a warning.
+        """
+        scoped = context.config.get(self.provides)
+        if isinstance(scoped, dict):
+            from waveformanalysis_tpu.config.compat import CompatManager
+
+            compat = CompatManager()
+            for key in scoped:
+                if key in self.options:
+                    continue
+                canonical, was_alias = compat.resolve_alias(self.provides, key)
+                if was_alias and canonical in self.options:
+                    continue
+                import warnings
+
+                warnings.warn(
+                    f"config key '{key}' in the '{self.provides}' section is "
+                    f"not an option of this plugin (known: "
+                    f"{sorted(self.options)}); it will be ignored",
+                    UserWarning,
+                    stacklevel=2,
+                )
         return {key: context.get_config(self, key) for key in self.options}
 
     def __repr__(self) -> str:  # pragma: no cover - cosmetic
