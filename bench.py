@@ -25,7 +25,14 @@ N_EVENTS = 65_536  # throughput saturates by ~16k events; keep runtime short
 WAVE_LEN = 256
 
 
-def make_batch(n_events: int, wave_length: int, seed: int = 0) -> np.ndarray:
+def make_batch(n_events: int, wave_length: int, seed=None) -> np.ndarray:
+    """seed=None -> process-unique batch: the TPU terminal caches results of
+    previously-seen (executable, input) pairs ACROSS processes, so fixed
+    seeds make timing loops read from cache instead of the chip."""
+    import os as _os
+
+    if seed is None:
+        seed = int.from_bytes(_os.urandom(4), "little")
     rng = np.random.default_rng(seed)
     t = np.arange(wave_length)
     centers = rng.integers(60, wave_length - 60, n_events)
@@ -94,26 +101,32 @@ def run_tpu_side() -> float:
     # absorb one-time tunnel costs (first device->host transfer ~77 s on axon)
     np.asarray(jnp.zeros(8))
 
-    waves_np = make_batch(N_EVENTS, WAVE_LEN)
     cfg = ChainConfig(use_derivative=False, peak_height=80.0,
                       peak_prominence=50.0, peak_width=2.0)
     # fused Pallas kernel: whole chain in one HBM pass (output-verified
     # identical to models.full_chain.make_jit_chain on this workload)
     step = make_jit_chain_pallas(cfg)
 
-    waves = jnp.asarray(waves_np)
+    # UNIQUE input per iteration (waves + k, shifted on device) and block on
+    # every output: the axon terminal serves repeated (executable, input)
+    # pairs from a results cache, so same-input timing loops read near-zero.
+    waves = jnp.asarray(make_batch(N_EVENTS, WAVE_LEN))
     el = jnp.asarray(np.full(N_EVENTS, WAVE_LEN, np.int32))
     bl = jnp.asarray(np.full(N_EVENTS, 1000.0, np.float32))
     pol = jnp.asarray(np.full(N_EVENTS, 1, np.int8))
 
-    # compile + warm
-    jax.block_until_ready(step(waves, el, bl, pol))
+    stepk = jax.jit(lambda w, e, b, p, k: step(w + k, e, b + k, p))
 
-    iters = 5
+    # compile + warm
+    jax.block_until_ready(stepk(waves, el, bl, pol, jnp.int16(0)))
+    jax.block_until_ready(stepk(waves, el, bl, pol, jnp.int16(1)))
+
+    iters = 6
+    outs = []
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(waves, el, bl, pol)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        outs.append(stepk(waves, el, bl, pol, jnp.int16(i + 2)))
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters
     return N_EVENTS / dt
 

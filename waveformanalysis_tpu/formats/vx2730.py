@@ -10,6 +10,7 @@ pyarrow -> pandas-C -> numpy.
 from __future__ import annotations
 
 import logging
+import threading
 from pathlib import Path
 from typing import Any, Optional
 
@@ -25,6 +26,12 @@ from waveformanalysis_tpu.formats.base import (
     RawTimestampMode,
 )
 from waveformanalysis_tpu.formats.directory import DirectoryLayout
+
+# pyarrow's CSV reader is internally multithreaded but NOT safe to enter from
+# multiple python threads at once (observed segfaults when the channel-level
+# thread pool parses files concurrently) — serialize entry; parallelism comes
+# from pyarrow's own worker pool.
+_PYARROW_LOCK = threading.Lock()
 
 logger = logging.getLogger(__name__)
 
@@ -100,14 +107,17 @@ class VX2730Reader(FormatReader):
         try:
             from pyarrow import csv as pacsv
 
-            table = pacsv.read_csv(
-                str(path),
-                read_options=pacsv.ReadOptions(
-                    skip_rows=skiprows, autogenerate_column_names=True
-                ),
-                parse_options=pacsv.ParseOptions(delimiter=self.spec.delimiter),
-                convert_options=pacsv.ConvertOptions(),
-            )
+            with _PYARROW_LOCK:
+                table = pacsv.read_csv(
+                    str(path),
+                    read_options=pacsv.ReadOptions(
+                        skip_rows=skiprows, autogenerate_column_names=True
+                    ),
+                    parse_options=pacsv.ParseOptions(
+                        delimiter=self.spec.delimiter
+                    ),
+                    convert_options=pacsv.ConvertOptions(),
+                )
             cols = [c.to_numpy(zero_copy_only=False) for c in table.columns]
             return np.column_stack([c.astype(np.float64) for c in cols])
         except Exception as e:

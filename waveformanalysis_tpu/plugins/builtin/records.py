@@ -45,7 +45,8 @@ def _bundle_options() -> dict:
         ),
         "channel_workers": Option(
             default=None, type=int, track=False,
-            help="Channel-level parallel parse workers (perf knob, untracked)",
+            help="Channel-level parse workers (default serial; pyarrow is "
+                 "internally parallel and not thread-entry safe here)",
         ),
     }
 

@@ -94,9 +94,22 @@ def gather_pool(
     new_offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]) if len(lengths) else np.zeros(0, np.int64)
     if total == 0:
         return np.zeros(0, dtype=pool.dtype), new_offsets.astype(np.int64)
-    # position within each record: out_idx - repeat(out_start)
-    delta = np.arange(total, dtype=np.int64) - np.repeat(new_offsets, lengths)
-    src_index = np.repeat(offsets, lengths) + delta
+    if np.array_equal(offsets, new_offsets):
+        # already contiguous in this order
+        return pool[: total].copy(), new_offsets.astype(np.int64)
+    if (
+        lengths[0] > 0
+        and np.all(lengths == lengths[0])
+        and pool.size % int(lengths[0]) == 0
+        and np.all(offsets % int(lengths[0]) == 0)
+    ):
+        # fixed-length fast path: a row gather instead of per-sample indices
+        L = int(lengths[0])
+        return pool.reshape(-1, L)[offsets // L].ravel(), new_offsets.astype(np.int64)
+    # general variable-length path: out_idx -> source sample index
+    src_index = np.repeat(offsets - new_offsets, lengths) + np.arange(
+        total, dtype=np.int64
+    )
     return pool[src_index], new_offsets.astype(np.int64)
 
 
@@ -363,7 +376,14 @@ def build_records_from_raw_files(
     channel_workers: Optional[int] = None,
     **kwargs: Any,
 ) -> RecordsBundle:
-    """Full build: per-channel file parse (thread-parallel) -> parts -> merge."""
+    """Full build: per-channel file parse -> parts -> merge.
+
+    Parsing is SERIAL across channels by default: pyarrow's CSV reader is
+    internally multithreaded already, and entering it from multiple python
+    worker threads segfaults intermittently in this toolchain (observed in
+    the vx2730 end-to-end tests). Pass channel_workers>1 to opt back into
+    thread-level parallelism, e.g. for the pure-numpy parse engine.
+    """
     from waveformanalysis_tpu.formats.adapter import get_adapter
 
     adapter = get_adapter(adapter_name)
@@ -423,7 +443,7 @@ def build_records_from_raw_files(
 
         channel_args = list(enumerate(raw_files))
         all_parts: List[RecordsBundle] = []
-        workers = channel_workers or min(8, max(1, len(channel_args)))
+        workers = channel_workers or 1  # serial default; see docstring
         if workers > 1 and len(channel_args) > 1:
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 for parts in pool.map(build_channel, channel_args):
