@@ -222,3 +222,23 @@ class TestRandomizedScipyParity:
             )
             checked += 1
         assert checked > n // 2, (checked, skipped_ties)
+
+
+def test_plateau_into_valid_length_boundary_not_a_peak():
+    """A plateau running into the valid-length boundary has no real falling
+    edge inside the wave — scipy (on the unpadded array) reports nothing;
+    the padding sentinel must not fabricate one."""
+    import jax.numpy as jnp
+
+    sig = np.zeros((2, 32), np.float32)
+    sig[0, 5:10] = np.arange(5) * 20
+    sig[0, 10:20] = 100.0  # plateau up to the last valid sample (vlen=20)
+    sig[1, 5] = 50.0
+    r = P.find_peaks_batch(
+        jnp.asarray(sig), 10.0, 0.0, 0.0, distance=1, max_peaks=8,
+        valid_length=jnp.asarray(np.array([20, 32], np.int32)),
+    )
+    valid0 = np.asarray(r["valid"][0])
+    assert not valid0.any(), np.asarray(r["position"][0])[valid0]
+    pos1 = np.asarray(r["position"][1])[np.asarray(r["valid"][1])]
+    np.testing.assert_array_equal(pos1, find_peaks(sig[1], height=10.0)[0])

@@ -158,6 +158,9 @@ def _chain_kernel(
     midpoint = (left_edge + col) // 2
     is_peak = (d2 < 0) & prev_rise & on_diff
     is_peak &= (midpoint <= det_len - 2) & (midpoint >= 1)
+    # falling edge must be real (sample col+1 inside the valid window) —
+    # otherwise a plateau running into the boundary fabricates a peak
+    is_peak &= col <= det_len - 2
     is_peak &= x >= peak_height  # plateau value == right-edge sample
 
     rank = _cumsum(is_peak.astype(jnp.int32), col, L)

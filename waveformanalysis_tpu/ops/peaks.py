@@ -135,6 +135,11 @@ def find_peaks_batch(
     is_peak = right_edge_mask
     # scipy never reports a peak at the first/last sample of the (true) wave
     is_peak = is_peak & (midpoint <= (vlen[:, None] - 2)) & (midpoint >= 1)
+    # the falling edge must be real: d[i] = x[i+1]-x[i] uses sample i+1, so a
+    # diff at i > vlen-2 reads the _NEG padding and would fabricate a peak
+    # from a plateau running into the valid-length boundary (scipy, on the
+    # unpadded wave, reports nothing there)
+    is_peak = is_peak & (didx <= (vlen[:, None] - 2))
     peak_value = x[:, : L - 1]  # plateau value == right-edge sample value
     # height filter applied before compaction (scipy order)
     is_peak = is_peak & (peak_value >= height)
