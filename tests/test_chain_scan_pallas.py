@@ -1,0 +1,100 @@
+"""Streaming-scan chain kernel: equality vs the XLA full chain.
+
+Interpret mode on the CPU backend; the Mosaic-compiled kernel was verified
+identical to the tile kernel on real TPU at n=65536 (5.85M waveforms/s,
+5.1x the tile kernel).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from waveformanalysis_tpu.models.full_chain import ChainConfig, full_chain_step
+from waveformanalysis_tpu.ops.chain_scan_pallas import chain_scan_pallas
+
+RNG = np.random.default_rng(11)
+
+
+def _compare(cfg, waves, el, bl, pol):
+    batch = (jnp.asarray(waves), jnp.asarray(el), jnp.asarray(bl),
+             jnp.asarray(pol))
+    ref = full_chain_step(*batch, cfg)
+    out = chain_scan_pallas(*batch, cfg, interpret=True)
+    assert set(out) == set(ref)
+    for k in ref:
+        a, b = np.asarray(ref[k]), np.asarray(out[k])
+        if np.issubdtype(a.dtype, np.integer):
+            np.testing.assert_array_equal(a, b, err_msg=k)
+        else:
+            np.testing.assert_allclose(b, a, atol=1e-3, rtol=1e-4, err_msg=k)
+
+
+def _mixed_waves(n, L, seed=3):
+    rng = np.random.default_rng(seed)
+    t = np.arange(L)
+    waves = np.full((n, L), 1000.0)
+    for i in range(n):
+        c = rng.integers(50, L - 50)
+        amp = rng.choice([300, -280]) if i % 5 else 0
+        waves[i] += amp * np.exp(-((t - c) ** 2) / (2 * rng.uniform(2, 20) ** 2))
+    waves += rng.normal(0, 3, waves.shape)
+    return np.round(waves).astype(np.int16)
+
+
+class TestChainScanEquality:
+    def setup_method(self):
+        self.n, self.L = 50, 192
+        self.waves = _mixed_waves(self.n, self.L)
+        self.el = RNG.integers(self.L // 2, self.L + 1, self.n).astype(np.int32)
+        self.bl = np.full(self.n, 1000.0, np.float32)
+        self.pos = np.ones(self.n, np.int8)
+
+    def test_positive_polarity_varlen(self):
+        cfg = ChainConfig(use_derivative=False, peak_height=60.0,
+                          peak_prominence=30.0, peak_width=1.5)
+        _compare(cfg, self.waves, self.el, self.bl, self.pos)
+
+    def test_negative_polarity(self):
+        cfg = ChainConfig(use_derivative=False, peak_height=60.0,
+                          peak_prominence=30.0, peak_width=1.5)
+        _compare(cfg, self.waves, self.el, self.bl, -self.pos)
+
+    def test_derivative_mode(self):
+        cfg = ChainConfig(use_derivative=True, peak_height=20.0,
+                          peak_prominence=5.0, peak_width=1.0, peak_distance=3)
+        _compare(cfg, self.waves, self.el, self.bl, self.pos)
+
+    def test_dense_noise_high_capacity(self):
+        cfg = ChainConfig(use_derivative=False, peak_height=10.0,
+                          peak_prominence=2.0, peak_width=0.5, peak_distance=1,
+                          max_peaks=16, max_hits=16, hit_threshold=5.0)
+        noisy = (1000 + RNG.normal(0, 40, (self.n, self.L))).round().astype(np.int16)
+        _compare(cfg, noisy, self.el, self.bl, self.pos)
+
+    def test_mixed_polarity(self):
+        cfg = ChainConfig(use_derivative=False, peak_height=60.0,
+                          peak_prominence=30.0, peak_width=1.5)
+        pol = RNG.choice(np.array([-1, 1], np.int8), self.n)
+        _compare(cfg, self.waves, self.el, self.bl, pol)
+
+    def test_boundary_plateaus(self):
+        w2 = np.full((3, 64), 1000, np.int16)
+        w2[0, 10:40] = 1100   # plateau to the el=40 boundary -> no peak
+        w2[1, 10:39] = 1100   # falls inside -> midpoint peak
+        w2[2, 30] = 1400
+        cfg = ChainConfig(use_derivative=False, peak_height=50.0,
+                          peak_prominence=0.0, peak_width=0.0)
+        _compare(cfg, w2, np.array([40, 40, 64], np.int32),
+                 np.full(3, 1000.0, np.float32), np.ones(3, np.int8))
+
+    def test_s1_s2_classification(self):
+        from waveformanalysis_tpu.models.full_chain import example_chain_batch
+
+        cfg = ChainConfig(use_derivative=False, peak_height=80.0,
+                          peak_prominence=50.0, peak_width=2.0)
+        batch = example_chain_batch(32, 128)
+        out = chain_scan_pallas(*batch, cfg, interpret=True)
+        labels = np.asarray(out["label"])
+        assert (labels[0::2] == 1).all()
+        assert (labels[1::2] == 2).all()

@@ -67,6 +67,8 @@ _LAZY_API = {
     "make_jit_chain_pallas": ("waveformanalysis_tpu.ops.chain_pallas", "make_jit_chain_pallas"),
     "chain_pallas": ("waveformanalysis_tpu.ops.chain_pallas", "chain_pallas"),
     "make_sharded_chain_pallas": ("waveformanalysis_tpu.ops.chain_pallas", "make_sharded_chain_pallas"),
+    "make_jit_chain_scan": ("waveformanalysis_tpu.ops.chain_scan_pallas", "make_jit_chain_scan"),
+    "chain_scan_pallas": ("waveformanalysis_tpu.ops.chain_scan_pallas", "chain_scan_pallas"),
     # foundation
     "Profiler": ("waveformanalysis_tpu.foundation.profiler", "Profiler"),
     "ProgressTracker": ("waveformanalysis_tpu.foundation.progress", "ProgressTracker"),
