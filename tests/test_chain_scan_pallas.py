@@ -98,3 +98,47 @@ class TestChainScanEquality:
         labels = np.asarray(out["label"])
         assert (labels[0::2] == 1).all()
         assert (labels[1::2] == 2).all()
+
+
+class TestFindPeaksScan:
+    """find_peaks_scan vs the XLA find_peaks_batch (same contract)."""
+
+    def _compare(self, sig, vlen, **kw):
+        from waveformanalysis_tpu.ops.chain_scan_pallas import find_peaks_scan
+        from waveformanalysis_tpu.ops.peaks import find_peaks_batch
+
+        vl = None if vlen is None else jnp.asarray(vlen)
+        a = find_peaks_batch(jnp.asarray(sig), kw["height"], kw["prominence"],
+                             kw["width"], distance=kw["distance"],
+                             max_peaks=kw["max_peaks"], valid_length=vl)
+        b = find_peaks_scan(jnp.asarray(sig), kw["height"], kw["prominence"],
+                            kw["width"], distance=kw["distance"],
+                            max_peaks=kw["max_peaks"], valid_length=vl,
+                            interpret=True)
+        v = np.asarray(a["valid"])
+        np.testing.assert_array_equal(np.asarray(a["valid"]), np.asarray(b["valid"]))
+        np.testing.assert_array_equal(np.asarray(a["position"]), np.asarray(b["position"]))
+        np.testing.assert_array_equal(np.asarray(a["n_candidates"]), np.asarray(b["n_candidates"]))
+        for k in ("prominence", "left_ips", "right_ips", "widths"):
+            np.testing.assert_allclose(np.asarray(b[k])[v], np.asarray(a[k])[v],
+                                       atol=1e-3, rtol=1e-4, err_msg=k)
+        for k in ("left_bases", "right_bases"):
+            np.testing.assert_array_equal(np.asarray(b[k])[v], np.asarray(a[k])[v])
+
+    def test_noise_pulse_varlen(self):
+        rng = np.random.default_rng(7)
+        n, L = 40, 128
+        sig = rng.normal(0, 30, (n, L)).astype(np.float32)
+        sig[:, 50:60] += 200
+        vlen = rng.integers(L // 2, L + 1, n).astype(np.int32)
+        self._compare(sig, vlen, height=30.0, prominence=10.0, width=1.0,
+                      distance=3, max_peaks=8)
+
+    def test_plateaus(self):
+        rng = np.random.default_rng(9)
+        sig = np.zeros((8, 96), np.float32)
+        for i in range(8):
+            j = rng.integers(10, 60)
+            sig[i, j:j + rng.integers(2, 6)] = 100.0
+        self._compare(sig, None, height=10.0, prominence=0.0, width=0.0,
+                      distance=1, max_peaks=8)

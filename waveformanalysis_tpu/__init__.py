@@ -69,6 +69,8 @@ _LAZY_API = {
     "make_sharded_chain_pallas": ("waveformanalysis_tpu.ops.chain_pallas", "make_sharded_chain_pallas"),
     "make_jit_chain_scan": ("waveformanalysis_tpu.ops.chain_scan_pallas", "make_jit_chain_scan"),
     "chain_scan_pallas": ("waveformanalysis_tpu.ops.chain_scan_pallas", "chain_scan_pallas"),
+    "find_peaks_scan": ("waveformanalysis_tpu.ops.chain_scan_pallas", "find_peaks_scan"),
+    "make_sharded_chain_scan": ("waveformanalysis_tpu.ops.chain_scan_pallas", "make_sharded_chain_scan"),
     # foundation
     "Profiler": ("waveformanalysis_tpu.foundation.profiler", "Profiler"),
     "ProgressTracker": ("waveformanalysis_tpu.foundation.progress", "ProgressTracker"),

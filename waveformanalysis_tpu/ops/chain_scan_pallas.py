@@ -659,3 +659,325 @@ def make_jit_chain_scan(cfg: Any = None, interpret: bool = False):
                                  polarity_codes, cfg, interpret=interpret)
 
     return step
+
+
+def make_sharded_chain_scan(mesh, cfg: Any = None, axis: str = "data",
+                            interpret: bool = False):
+    """Streaming-scan chain sharded over the event axis (psum stats).
+
+    Same output contract as models.full_chain.make_sharded_chain; pass
+    interpret=True on CPU meshes.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from waveformanalysis_tpu.models.full_chain import (
+        CHAIN_OUT_KEYS,
+        CHAIN_STATS_KEYS,
+        ChainConfig,
+    )
+
+    cfg = cfg or ChainConfig()
+
+    def local(waves, event_length, baselines, polarity_codes):
+        out = chain_scan_pallas(waves, event_length, baselines,
+                                polarity_codes, cfg, interpret=interpret)
+        out["n_s1"] = jax.lax.psum(
+            jnp.sum(out["label"] == 1).astype(jnp.int32), axis
+        )
+        out["n_s2"] = jax.lax.psum(
+            jnp.sum(out["label"] == 2).astype(jnp.int32), axis
+        )
+        out["total_area"] = jax.lax.psum(jnp.sum(out["area"]), axis)
+        return out
+
+    out_specs = {k: P(axis) for k in CHAIN_OUT_KEYS}
+    out_specs.update({k: P() for k in CHAIN_STATS_KEYS})
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _peaks_scan_kernel(
+    x_ref, vlen_ref,
+    pos_ref, valid_ref, pval_ref, prom_ref, lips_ref, rips_ref,
+    wid_ref, lbase_ref, rbase_ref, ncand_ref,
+    pos_sc, val_sc, prm_sc, crs_sc,
+    *,
+    L: int,
+    height: float,
+    prominence: float,
+    width: float,
+    distance: int,
+    K: int,
+    rel_height: float,
+):
+    """Standalone scipy-parity find_peaks as 3 time-major scan passes.
+
+    Same contract as ops.peaks.find_peaks_batch, but O(L) per event instead
+    of K x L-wide masked reductions. Input x_ref is the raw detection signal
+    (padding handled via vlen masking, like the XLA kernel's _NEG fill).
+    """
+    S = (_SUB, _LANE)
+    f32 = jnp.float32
+    i32 = jnp.int32
+    det_len = vlen_ref[:].astype(i32)
+    zf = jnp.zeros(S, f32)
+    zi = jnp.zeros(S, i32)
+
+    def x_at(t):
+        raw = x_ref[t, :, :].astype(f32)
+        return _sel((zi + t) < det_len, raw, f32(_NEG))
+
+    for k in range(K):
+        pos_sc[k, :, :] = jnp.full(S, -1, i32)
+        val_sc[k, :, :] = jnp.full(S, _NEG, f32)
+
+    # ---- pass 1: plateau candidate emission ----
+    def p1(t, c):
+        prev_rise_i, left_edge, cand_count = c
+        prev_rise = prev_rise_i > 0
+        cur_x = x_at(t)
+        prev_xv = x_at(jnp.maximum(t - 1, 0))
+        d2 = cur_x - prev_xv
+        have = (zi + t) >= 1
+        emit = have & (d2 < 0) & prev_rise & ((zi + t) <= det_len - 1)
+        m_pt = (left_edge + (t - 1)) // 2
+        emit = emit & (m_pt >= 1) & (m_pt <= det_len - 2) & (prev_xv >= height)
+        for k in range(K):
+            wr = emit & (cand_count == k)
+            pos_sc[k, :, :] = _sel(wr, m_pt, pos_sc[k, :, :])
+            val_sc[k, :, :] = _sel(wr, prev_xv, val_sc[k, :, :])
+        cand_count = cand_count + emit.astype(i32)
+        nz = have & (d2 != 0)
+        prev_rise_i = _sel(nz, (d2 > 0).astype(i32), prev_rise_i)
+        left_edge = _sel(nz, zi + t, left_edge)
+        return (prev_rise_i, left_edge, cand_count)
+
+    _, _, cand_count = jax.lax.fori_loop(0, L, p1, (zi, zi, zi))
+
+    pos_s = [pos_sc[k, :, :] for k in range(K)]
+    val_s = [val_sc[k, :, :] for k in range(K)]
+    cand_valid = [(cand_count > k) for k in range(K)]
+
+    if distance > 1:
+        prio = []
+        for i in range(K):
+            r = zi
+            for j in range(K):
+                if i == j:
+                    continue
+                beats = (val_s[j] > val_s[i]) | (
+                    (val_s[j] == val_s[i]) & (j > i)
+                )
+                r = r + beats.astype(i32)
+            prio.append(r)
+        keep = list(cand_valid)
+        for rank in range(K):
+            for i in range(K):
+                hit_i = (prio[i] == rank) & cand_valid[i] & keep[i]
+                for j in range(K):
+                    if j == i:
+                        continue
+                    close = jnp.abs(pos_s[j] - pos_s[i]) < distance
+                    keep[j] = keep[j] & ~(hit_i & close)
+        cand_valid = [cand_valid[k] & keep[k] for k in range(K)]
+
+    # ---- pass 2: prominence bases ----
+    for k in range(K):
+        prm_sc[k, :, :] = jnp.full(S, _INF, f32)
+        prm_sc[K + k, :, :] = jnp.full(S, _INF, f32)
+        prm_sc[2 * K + k, :, :] = zf
+        prm_sc[3 * K + k, :, :] = jnp.full(S, float(L), f32)
+        prm_sc[4 * K + k, :, :] = zf
+
+    def p2(t, c):
+        x_t = x_at(t)
+        in_det_t = (zi + t) < det_len
+        for k in range(K):
+            p = pos_s[k]
+            v = val_s[k]
+            before = (zi + t) < p
+            resetl = before & (x_t > v)
+            lmin_k = _sel(resetl, f32(_INF), prm_sc[k, :, :])
+            lbase_k = _sel(resetl, (zi + t + 1).astype(f32),
+                           prm_sc[2 * K + k, :, :])
+            upd = (before | ((zi + t) == p)) & in_det_t & (x_t <= lmin_k)
+            prm_sc[2 * K + k, :, :] = _sel(upd, (zi + t).astype(f32), lbase_k)
+            prm_sc[k, :, :] = _sel(upd, x_t, lmin_k)
+            nh_k = prm_sc[4 * K + k, :, :] > 0
+            freeze = ((zi + t) > p) & (x_t > v) & ~nh_k
+            nh_new = nh_k | freeze
+            prm_sc[4 * K + k, :, :] = nh_new.astype(f32)
+            updr = ((zi + t) >= p) & ~nh_new & in_det_t & (
+                x_t < prm_sc[K + k, :, :]
+            )
+            prm_sc[3 * K + k, :, :] = _sel(updr, (zi + t).astype(f32),
+                                           prm_sc[3 * K + k, :, :])
+            prm_sc[K + k, :, :] = _sel(updr, x_t, prm_sc[K + k, :, :])
+        return c
+
+    jax.lax.fori_loop(0, L, p2, 0)
+
+    lbase = [prm_sc[2 * K + k, :, :].astype(i32) for k in range(K)]
+    rbase = [prm_sc[3 * K + k, :, :].astype(i32) for k in range(K)]
+    prom = [
+        _sel(cand_valid[k],
+             val_s[k] - jnp.maximum(prm_sc[k, :, :], prm_sc[K + k, :, :]),
+             0.0)
+        for k in range(K)
+    ]
+
+    # ---- pass 3: rel-height crossings ----
+    h_eval = [val_s[k] - prom[k] * rel_height for k in range(K)]
+    for k in range(K):
+        crs_sc[k, :, :] = jnp.full(S, -1.0, f32)
+        crs_sc[K + k, :, :] = jnp.full(S, _NEG, f32)
+        crs_sc[2 * K + k, :, :] = jnp.full(S, _NEG, f32)
+        crs_sc[3 * K + k, :, :] = jnp.full(S, float(L), f32)
+        crs_sc[4 * K + k, :, :] = jnp.full(S, _NEG, f32)
+        crs_sc[5 * K + k, :, :] = jnp.full(S, _NEG, f32)
+        crs_sc[6 * K + k, :, :] = zf
+
+    def p3(t, c):
+        x_t = x_at(t)
+        x_p = x_at(jnp.maximum(t - 1, 0))
+        in_det_t = (zi + t) < det_len
+        tf = (zi + t).astype(f32)
+        for k in range(K):
+            p = pos_s[k]
+            arm = crs_sc[6 * K + k, :, :] > 0
+            fire = arm & (tf == crs_sc[k, :, :] + 1.0)
+            crs_sc[2 * K + k, :, :] = _sel(fire, x_t, crs_sc[2 * K + k, :, :])
+            arm = arm & ~fire
+            below = x_t <= h_eval[k]
+            updl = below & ((zi + t) >= lbase[k]) & ((zi + t) <= p) & in_det_t
+            crs_sc[k, :, :] = _sel(updl, tf, crs_sc[k, :, :])
+            crs_sc[K + k, :, :] = _sel(updl, x_t, crs_sc[K + k, :, :])
+            crs_sc[6 * K + k, :, :] = (arm | updl).astype(f32)
+            updr = below & ((zi + t) >= p) & ((zi + t) <= rbase[k]) & \
+                in_det_t & (crs_sc[3 * K + k, :, :] >= L)
+            crs_sc[3 * K + k, :, :] = _sel(updr, tf, crs_sc[3 * K + k, :, :])
+            crs_sc[4 * K + k, :, :] = _sel(updr, x_t, crs_sc[4 * K + k, :, :])
+            crs_sc[5 * K + k, :, :] = _sel(updr, x_p, crs_sc[5 * K + k, :, :])
+        return c
+
+    jax.lax.fori_loop(0, L, p3, 0)
+
+    for k in range(K):
+        jl_k = crs_sc[k, :, :]
+        xl_k = crs_sc[K + k, :, :]
+        xl1_k = crs_sc[2 * K + k, :, :]
+        jr_k = crs_sc[3 * K + k, :, :]
+        xr_k = crs_sc[4 * K + k, :, :]
+        xr1_k = crs_sc[5 * K + k, :, :]
+        has_l = jl_k >= 0
+        hev = h_eval[k]
+        denom_l = _sel(xl1_k != xl_k, xl1_k - xl_k, 1.0)
+        lip = _sel(
+            has_l,
+            _sel(xl_k < hev, jl_k + (hev - xl_k) / denom_l, jl_k),
+            lbase[k].astype(f32),
+        )
+        has_r = jr_k < L
+        denom_r = _sel(xr1_k != xr_k, xr1_k - xr_k, 1.0)
+        rip = _sel(
+            has_r,
+            _sel(xr_k < hev, jr_k - (hev - xr_k) / denom_r, jr_k),
+            rbase[k].astype(f32),
+        )
+        ok = cand_valid[k]
+        lip = _sel(ok, lip, 0.0)
+        rip = _sel(ok, rip, 0.0)
+        wk = rip - lip
+        fv = ok & (prom[k] >= prominence) & (wk >= width)
+        pos_ref[k, :, :] = _sel(fv, pos_s[k], -1)
+        valid_ref[k, :, :] = fv.astype(i32)
+        pval_ref[k, :, :] = val_s[k]
+        prom_ref[k, :, :] = prom[k]
+        lips_ref[k, :, :] = lip
+        rips_ref[k, :, :] = rip
+        wid_ref[k, :, :] = wk
+        lbase_ref[k, :, :] = _sel(ok, lbase[k], 0)
+        rbase_ref[k, :, :] = _sel(ok, rbase[k], 0)
+    ncand_ref[:] = cand_count
+
+
+def find_peaks_scan(
+    signal: jax.Array,
+    height: float,
+    prominence: float,
+    width: float,
+    distance: int = 1,
+    max_peaks: int = 8,
+    rel_height: float = 0.5,
+    valid_length: jax.Array = None,
+    interpret: bool = False,
+) -> Dict[str, jax.Array]:
+    """find_peaks over an (n, L) batch via the streaming scan — drop-in for
+    ops.peaks.find_peaks_batch (same outputs, scipy parity, ~5x faster on
+    TPU at production batch sizes)."""
+    x = signal.astype(jnp.float32)
+    n, L = x.shape
+    K = int(max_peaks)
+    if valid_length is None:
+        vlen = jnp.full((n,), L, jnp.int32)
+    else:
+        vlen = valid_length.astype(jnp.int32)
+
+    pad = (-n) % BLOCK_EVENTS
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        vlen = jnp.pad(vlen, (0, pad))
+    n_pad = n + pad
+
+    x_T = x.T.reshape(L, n_pad // _LANE, _LANE)
+    vl2 = vlen.reshape(n_pad // _LANE, _LANE)
+
+    kernel = functools.partial(
+        _peaks_scan_kernel,
+        L=L, height=float(height), prominence=float(prominence),
+        width=float(width), distance=int(distance), K=K,
+        rel_height=float(rel_height),
+    )
+    f32, i32 = jnp.float32, jnp.int32
+    evt_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((K, _SUB, _LANE), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    out_dtypes = [i32, i32, f32, f32, f32, f32, f32, i32, i32]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_pad // BLOCK_EVENTS,),
+        in_specs=[
+            pl.BlockSpec((L, _SUB, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            evt_spec,
+        ],
+        out_specs=[k_spec] * 9 + [evt_spec],
+        out_shape=[jax.ShapeDtypeStruct((K, n_pad // _LANE, _LANE), dt)
+                   for dt in out_dtypes]
+        + [jax.ShapeDtypeStruct((n_pad // _LANE, _LANE), i32)],
+        scratch_shapes=[
+            pltpu.VMEM((K, _SUB, _LANE), i32),      # pos_sc
+            pltpu.VMEM((K, _SUB, _LANE), f32),      # val_sc
+            pltpu.VMEM((K * 5, _SUB, _LANE), f32),  # prm_sc
+            pltpu.VMEM((K * 7, _SUB, _LANE), f32),  # crs_sc
+        ],
+        interpret=interpret,
+    )(x_T, vl2)
+
+    def unk(a):  # (K, n//L, L) -> (n, K)
+        return a.reshape(K, n_pad).T[:n]
+
+    keys = ("position", "valid", "peak_value", "prominence", "left_ips",
+            "right_ips", "widths", "left_bases", "right_bases")
+    result = {k: unk(v) for k, v in zip(keys, outs[:9])}
+    result["valid"] = result["valid"] > 0
+    result["n_candidates"] = outs[9].reshape(n_pad)[:n]
+    return result

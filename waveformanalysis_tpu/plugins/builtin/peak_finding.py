@@ -19,6 +19,7 @@ from typing import Any, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from waveformanalysis_tpu.dtypes.schema import Field, Schema
@@ -84,6 +85,11 @@ class HitFinderPlugin(Plugin):
         "max_peaks_per_waveform": Option(
             default=PK.DEFAULT_MAX_PEAKS, type=int, track=False,
             help="Fixed device capacity per waveform (perf knob)"),
+        "peaks_backend": Option(
+            default="auto", type=str, track=False,
+            choices=["auto", "scan", "xla"],
+            help="find_peaks kernel: streaming-scan Pallas (TPU, ~3.5x) or "
+                 "XLA reductions; auto picks scan on TPU"),
     }
 
     def resolve_depends_on(self, context: Any, run_id: Optional[str] = None):
@@ -124,11 +130,25 @@ class HitFinderPlugin(Plugin):
             )
             det_len = lengths
 
-        results = PK.find_peaks_batch(
-            jnp.asarray(det), height=height, prominence=prominence, width=width,
-            distance=distance, max_peaks=max_peaks,
-            valid_length=jnp.asarray(det_len.astype(np.int32)),
-        )
+        backend = context.get_config(self, "peaks_backend")
+        if backend == "auto":
+            backend = "scan" if jax.default_backend() == "tpu" else "xla"
+        if backend == "scan":
+            from waveformanalysis_tpu.ops.chain_scan_pallas import (
+                find_peaks_scan,
+            )
+
+            results = find_peaks_scan(
+                jnp.asarray(det), height=height, prominence=prominence,
+                width=width, distance=distance, max_peaks=max_peaks,
+                valid_length=jnp.asarray(det_len.astype(np.int32)),
+            )
+        else:
+            results = PK.find_peaks_batch(
+                jnp.asarray(det), height=height, prominence=prominence,
+                width=width, distance=distance, max_peaks=max_peaks,
+                valid_length=jnp.asarray(det_len.astype(np.int32)),
+            )
         heights = PK.peak_heights_batch(
             jnp.asarray(waves.astype(np.float32)),
             results["left_ips"], results["right_ips"], results["valid"],
