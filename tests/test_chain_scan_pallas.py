@@ -142,3 +142,45 @@ class TestFindPeaksScan:
             sig[i, j:j + rng.integers(2, 6)] = 100.0
         self._compare(sig, None, height=10.0, prominence=0.0, width=0.0,
                       distance=1, max_peaks=8)
+
+
+class TestThresholdHitsScan:
+    """threshold_hits_scan vs the XLA threshold_hits_batch."""
+
+    def _compare(self, sig, thr, vlen, **kw):
+        from waveformanalysis_tpu.ops.chain_scan_pallas import threshold_hits_scan
+        from waveformanalysis_tpu.ops.hits import threshold_hits_batch
+
+        a = threshold_hits_batch(jnp.asarray(sig), jnp.asarray(thr),
+                                 jnp.asarray(vlen), **kw)
+        b = threshold_hits_scan(jnp.asarray(sig), jnp.asarray(thr),
+                                jnp.asarray(vlen), interpret=True, **kw)
+        v = np.asarray(a["valid"])
+        np.testing.assert_array_equal(np.asarray(a["valid"]), np.asarray(b["valid"]))
+        np.testing.assert_array_equal(np.asarray(a["n_runs"]), np.asarray(b["n_runs"]))
+        for k in ("position", "seg_start", "seg_end", "run_start", "run_end"):
+            np.testing.assert_array_equal(np.asarray(a[k])[v], np.asarray(b[k])[v],
+                                          err_msg=k)
+        for k in ("height", "integral"):
+            np.testing.assert_allclose(np.asarray(b[k])[v], np.asarray(a[k])[v],
+                                       atol=1e-4, err_msg=k)
+
+    def test_pulses_varlen_per_event_thresholds(self):
+        rng = np.random.default_rng(5)
+        n, L = 40, 128
+        sig = rng.normal(0, 15, (n, L)).astype(np.float32)
+        sig[:, 30:45] += 80
+        sig[:, 70:72] += 60
+        vlen = rng.integers(L // 2, L + 1, n).astype(np.int32)
+        thr = rng.uniform(20, 60, n).astype(np.float32)
+        self._compare(sig, thr, vlen, left_extension=2, right_extension=2,
+                      max_hits=8)
+
+    def test_run_to_boundary_and_overflow(self):
+        sig = np.zeros((4, 96), np.float32)
+        for i in range(10):
+            sig[:, 5 + 9 * i: 8 + 9 * i] = 100.0
+        sig[:, 90:] = 100.0  # runs into the wave end
+        self._compare(sig, np.full(4, 30.0, np.float32),
+                      np.full(4, 96, np.int32),
+                      left_extension=1, right_extension=1, max_hits=4)

@@ -981,3 +981,197 @@ def find_peaks_scan(
     result["valid"] = result["valid"] > 0
     result["n_candidates"] = outs[9].reshape(n_pad)[:n]
     return result
+
+
+def _hits_scan_kernel(
+    x_ref, thr_ref, vlen_ref,
+    valid_ref, pos_ref, height_ref, integ_ref, segs_ref, sege_ref,
+    rstart_ref, rend_ref, nruns_ref,
+    hseg_sc, hval_sc,
+    *,
+    L: int,
+    left_extension: int,
+    right_extension: int,
+    K_hits: int,
+):
+    """Threshold-run detection as ONE time-major scan pass.
+
+    Same contract as ops.hits.threshold_hits_batch. Per-slot state lives in
+    scratch: hseg_sc rows = [seg_s | seg_e | started | ended | run_start |
+    run_end | hpos] (i32), hval_sc rows = [acc | hmax] (f32).
+    """
+    S = (_SUB, _LANE)
+    f32 = jnp.float32
+    i32 = jnp.int32
+    thr = thr_ref[:]
+    el = vlen_ref[:].astype(i32)
+    zf = jnp.zeros(S, f32)
+    zi = jnp.zeros(S, i32)
+
+    def sig_at(t):
+        return x_ref[t, :, :].astype(f32)
+
+    for k in range(K_hits):
+        hseg_sc[k, :, :] = jnp.full(S, L + 16, i32)            # seg_s
+        hseg_sc[K_hits + k, :, :] = jnp.full(S, L + 16, i32)   # seg_e
+        hseg_sc[2 * K_hits + k, :, :] = zi                     # started
+        hseg_sc[3 * K_hits + k, :, :] = zi                     # ended
+        hseg_sc[4 * K_hits + k, :, :] = zi                     # run_start
+        hseg_sc[5 * K_hits + k, :, :] = jnp.full(S, L, i32)    # run_end
+        hseg_sc[6 * K_hits + k, :, :] = zi                     # hpos
+        hval_sc[k, :, :] = zf                                  # acc
+        hval_sc[K_hits + k, :, :] = jnp.full(S, -_INF, f32)    # hmax
+
+    def body(t, c):
+        prev_on_i, run_idx, n_runs = c
+        prev_on = prev_on_i > 0
+        sig_t = sig_at(t)
+        sp_t = jnp.maximum(sig_t, 0.0)
+        on = (sig_t >= thr) & ((zi + t) < el)
+        is_start = on & ~prev_on
+        ended_prev = prev_on & ~on
+        n_runs = n_runs + is_start.astype(i32)
+        for k in range(K_hits):
+            started_k = hseg_sc[2 * K_hits + k, :, :] > 0
+            ended_k = hseg_sc[3 * K_hits + k, :, :] > 0
+            close_k = ended_prev & started_k & ~ended_k & (run_idx == k + 1)
+            hseg_sc[K_hits + k, :, :] = _sel(
+                close_k, jnp.minimum(zi + t + right_extension, L),
+                hseg_sc[K_hits + k, :, :],
+            )
+            hseg_sc[5 * K_hits + k, :, :] = _sel(
+                close_k, zi + t, hseg_sc[5 * K_hits + k, :, :]
+            )
+            hseg_sc[3 * K_hits + k, :, :] = (ended_k | close_k).astype(i32)
+        for k in range(K_hits):
+            open_k = is_start & (run_idx == k)
+            ss = jnp.maximum(zi + t - left_extension, 0)
+            hseg_sc[k, :, :] = _sel(open_k, ss, hseg_sc[k, :, :])
+            hseg_sc[4 * K_hits + k, :, :] = _sel(
+                open_k, zi + t, hseg_sc[4 * K_hits + k, :, :]
+            )
+            started_k = hseg_sc[2 * K_hits + k, :, :] > 0
+            hseg_sc[2 * K_hits + k, :, :] = (started_k | open_k).astype(i32)
+            # retro-include the left-extension samples (indices t-1, t-2) in
+            # both the integral and the max, re-read from the input ref
+            for back in range(left_extension, 0, -1):
+                idx_b = zi + t - back
+                x_b = sig_at(jnp.maximum(t - back, 0))
+                in_seg = open_k & (idx_b >= ss) & (idx_b >= 0)
+                hval_sc[k, :, :] = _sel(
+                    in_seg, hval_sc[k, :, :] + jnp.maximum(x_b, 0.0),
+                    hval_sc[k, :, :],
+                )
+                better = in_seg & (x_b > hval_sc[K_hits + k, :, :])
+                hseg_sc[6 * K_hits + k, :, :] = _sel(
+                    better, idx_b, hseg_sc[6 * K_hits + k, :, :]
+                )
+                hval_sc[K_hits + k, :, :] = _sel(
+                    better, x_b, hval_sc[K_hits + k, :, :]
+                )
+        run_idx = run_idx + (is_start & (run_idx < K_hits)).astype(i32)
+        for k in range(K_hits):
+            started_k = hseg_sc[2 * K_hits + k, :, :] > 0
+            ended_k = hseg_sc[3 * K_hits + k, :, :] > 0
+            active = started_k & ((zi + t) >= hseg_sc[k, :, :]) & (
+                (~ended_k) | ((zi + t) < hseg_sc[K_hits + k, :, :])
+            )
+            hval_sc[k, :, :] = _sel(active, hval_sc[k, :, :] + sp_t,
+                                    hval_sc[k, :, :])
+            better = active & (sig_t > hval_sc[K_hits + k, :, :])
+            hseg_sc[6 * K_hits + k, :, :] = _sel(
+                better, zi + t, hseg_sc[6 * K_hits + k, :, :]
+            )
+            hval_sc[K_hits + k, :, :] = _sel(
+                better, sig_t, hval_sc[K_hits + k, :, :]
+            )
+        return (on.astype(i32), run_idx, n_runs)
+
+    _, _, n_runs = jax.lax.fori_loop(0, L, body, (zi, zi, zi))
+
+    for k in range(K_hits):
+        started_k = hseg_sc[2 * K_hits + k, :, :] > 0
+        valid_ref[k, :, :] = started_k.astype(i32)
+        pos_ref[k, :, :] = _sel(started_k, hseg_sc[6 * K_hits + k, :, :], 0)
+        height_ref[k, :, :] = _sel(started_k, hval_sc[K_hits + k, :, :], 0.0)
+        integ_ref[k, :, :] = _sel(started_k, hval_sc[k, :, :], 0.0)
+        ended_k = hseg_sc[3 * K_hits + k, :, :] > 0
+        # a run still open at the wave end closes at L
+        segs_ref[k, :, :] = _sel(started_k, hseg_sc[k, :, :], 0)
+        sege_ref[k, :, :] = _sel(
+            started_k, _sel(ended_k, hseg_sc[K_hits + k, :, :], zi + L), 0
+        )
+        rstart_ref[k, :, :] = _sel(started_k, hseg_sc[4 * K_hits + k, :, :], 0)
+        rend_ref[k, :, :] = _sel(
+            started_k, _sel(ended_k, hseg_sc[5 * K_hits + k, :, :], zi + L), 0
+        )
+    nruns_ref[:] = n_runs
+
+
+def threshold_hits_scan(
+    signal: jax.Array,
+    thresholds: jax.Array,
+    valid_length: jax.Array,
+    left_extension: int = 2,
+    right_extension: int = 2,
+    max_hits: int = 8,
+    interpret: bool = False,
+) -> Dict[str, jax.Array]:
+    """Threshold-run detection via the streaming scan — drop-in for
+    ops.hits.threshold_hits_batch (same outputs)."""
+    x = signal.astype(jnp.float32)
+    n, L = x.shape
+    K_hits = int(max_hits)
+    thr = thresholds.astype(jnp.float32)
+    vlen = valid_length.astype(jnp.int32)
+
+    pad = (-n) % BLOCK_EVENTS
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        thr = jnp.pad(thr, (0, pad), constant_values=jnp.float32(_INF))
+        vlen = jnp.pad(vlen, (0, pad))
+    n_pad = n + pad
+
+    x_T = x.T.reshape(L, n_pad // _LANE, _LANE)
+    thr2 = thr.reshape(n_pad // _LANE, _LANE)
+    vl2 = vlen.reshape(n_pad // _LANE, _LANE)
+
+    kernel = functools.partial(
+        _hits_scan_kernel,
+        L=L, left_extension=int(left_extension),
+        right_extension=int(right_extension), K_hits=K_hits,
+    )
+    f32, i32 = jnp.float32, jnp.int32
+    evt_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((K_hits, _SUB, _LANE), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    out_dtypes = [i32, i32, f32, f32, i32, i32, i32, i32]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_pad // BLOCK_EVENTS,),
+        in_specs=[
+            pl.BlockSpec((L, _SUB, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            evt_spec, evt_spec,
+        ],
+        out_specs=[k_spec] * 8 + [evt_spec],
+        out_shape=[jax.ShapeDtypeStruct((K_hits, n_pad // _LANE, _LANE), dt)
+                   for dt in out_dtypes]
+        + [jax.ShapeDtypeStruct((n_pad // _LANE, _LANE), i32)],
+        scratch_shapes=[
+            pltpu.VMEM((K_hits * 7, _SUB, _LANE), i32),
+            pltpu.VMEM((K_hits * 2, _SUB, _LANE), f32),
+        ],
+        interpret=interpret,
+    )(x_T, thr2, vl2)
+
+    def unk(a):
+        return a.reshape(K_hits, n_pad).T[:n]
+
+    keys = ("valid", "position", "height", "integral", "seg_start",
+            "seg_end", "run_start", "run_end")
+    result = {k: unk(v) for k, v in zip(keys, outs[:8])}
+    result["valid"] = result["valid"] > 0
+    result["n_runs"] = outs[8].reshape(n_pad)[:n]
+    return result

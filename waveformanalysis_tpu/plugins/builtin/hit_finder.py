@@ -14,6 +14,7 @@ from typing import Any, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from waveformanalysis_tpu.dtypes.schema import Field, Schema
@@ -75,6 +76,11 @@ class ThresholdHitPlugin(Plugin):
         "max_hits_per_waveform": Option(
             default=HT.DEFAULT_MAX_HITS, type=int, track=False,
             help="Fixed device capacity per waveform (perf knob)"),
+        "hits_backend": Option(
+            default="auto", type=str, track=False,
+            choices=["auto", "scan", "xla"],
+            help="threshold-run kernel: streaming-scan Pallas (TPU) or XLA; "
+                 "auto picks scan on TPU"),
     }
 
     def resolve_depends_on(self, context: Any, run_id: Optional[str] = None):
@@ -107,14 +113,31 @@ class ThresholdHitPlugin(Plugin):
             waves.astype(np.float32) - meta["baseline"][:, None].astype(np.float32)
         )
 
-        results = HT.threshold_hits_batch(
-            jnp.asarray(signal),
-            jnp.asarray(thresholds.astype(np.float32)),
-            jnp.asarray(lengths.astype(np.int32)),
-            left_extension=left_ext,
-            right_extension=right_ext,
-            max_hits=max_hits,
-        )
+        backend = context.get_config(self, "hits_backend")
+        if backend == "auto":
+            backend = "scan" if jax.default_backend() == "tpu" else "xla"
+        if backend == "scan":
+            from waveformanalysis_tpu.ops.chain_scan_pallas import (
+                threshold_hits_scan,
+            )
+
+            results = threshold_hits_scan(
+                jnp.asarray(signal),
+                jnp.asarray(thresholds.astype(np.float32)),
+                jnp.asarray(lengths.astype(np.int32)),
+                left_extension=left_ext,
+                right_extension=right_ext,
+                max_hits=max_hits,
+            )
+        else:
+            results = HT.threshold_hits_batch(
+                jnp.asarray(signal),
+                jnp.asarray(thresholds.astype(np.float32)),
+                jnp.asarray(lengths.astype(np.int32)),
+                left_extension=left_ext,
+                right_extension=right_ext,
+                max_hits=max_hits,
+            )
         results = {k: np.asarray(v) for k, v in results.items()}
         overflow = int(np.sum(results["n_runs"] > max_hits))
         if overflow:
