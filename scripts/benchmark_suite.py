@@ -114,7 +114,6 @@ def config_2(n_events: int = 100000, n_channels: int = 4, L: int = 64) -> None:
         rate = n / dt
 
         # reference-style baseline: per-row python decode + heap merge
-        import csv as _csv
         import heapq
 
         t0 = time.perf_counter()

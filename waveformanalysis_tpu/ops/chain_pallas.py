@@ -22,9 +22,7 @@ hit_finder,waveform_width,s1_s2_classifier}.py)
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
-
-import numpy as np
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

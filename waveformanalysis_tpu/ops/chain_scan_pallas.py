@@ -32,8 +32,6 @@ from __future__ import annotations
 import functools
 from typing import Any, Dict, Tuple
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

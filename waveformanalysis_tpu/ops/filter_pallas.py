@@ -20,7 +20,7 @@ waveform_analysis/core/plugins/builtin/cpu/filtering.py:198-224)
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 
