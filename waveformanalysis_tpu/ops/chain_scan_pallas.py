@@ -1173,3 +1173,4 @@ def threshold_hits_scan(
     result["valid"] = result["valid"] > 0
     result["n_runs"] = outs[8].reshape(n_pad)[:n]
     return result
+
