@@ -54,6 +54,16 @@ def _sel(c, a, b):
     return jnp.where(c, a, b)
 
 
+def _scan_steps(L, body, init):
+    """fori_loop over L steps, manually 2x-unrolled when L is even —
+    halves the per-step loop overhead (Mosaic supports no partial unroll)."""
+    if L % 2 == 0:
+        return jax.lax.fori_loop(
+            0, L // 2, lambda i, c: body(2 * i + 1, body(2 * i, c)), init
+        )
+    return jax.lax.fori_loop(0, L, body, init)
+
+
 def _chain_scan_kernel(
     w_ref, el_ref, bl_ref, sign_ref,
     height_ref, amp_ref, area_ref, mad_ref, peak_pos_ref, n_peaks_ref,
@@ -217,7 +227,7 @@ def _chain_scan_kernel(
 
     carry1 = (jnp.full(S, _INF, f32), jnp.full(S, -_INF, f32), zf, zf, zf,
               zf, zf, zi, zi, zi, zi, zi, zi)
-    out1 = jax.lax.fori_loop(0, L, p1, carry1)
+    out1 = _scan_steps(L, p1, carry1)
     (min_h, max_h, count_h, sum_a, count_a, mad, bl_w_sum,
      _, run_idx, n_runs, _, _, cand_count) = out1
 
@@ -321,7 +331,7 @@ def _chain_scan_kernel(
             prm_sc[K + k, :, :] = _sel(updr, x_t, prm_sc[K + k, :, :])
         return c
 
-    jax.lax.fori_loop(0, L, p2, 0)
+    _scan_steps(L, p2, 0)
 
     if _DEBUG_PASSES <= 2:
         _write_minimal()
@@ -371,7 +381,7 @@ def _chain_scan_kernel(
             crs_sc[5 * K + k, :, :] = _sel(updr, x_p, crs_sc[5 * K + k, :, :])
         return c
 
-    jax.lax.fori_loop(0, L, p3, 0)
+    _scan_steps(L, p3, 0)
 
     lips, rips, final_valid = [], [], []
     for k in range(K):
@@ -430,7 +440,7 @@ def _chain_scan_kernel(
             )
         return c
 
-    jax.lax.fori_loop(0, L, p4, 0)
+    _scan_steps(L, p4, 0)
     pheights = [
         _sel(final_valid[k] & (ws[k] < we[k]),
              ph_sc[k, :, :] - ph_sc[K + k, :, :], 0.0)
@@ -471,7 +481,7 @@ def _chain_scan_kernel(
         wid_sc[16, :, :] = _sel((zi + t) == p_safe, corr_t, wid_sc[16, :, :])
         return c
 
-    jax.lax.fori_loop(0, L, p5a, 0)
+    _scan_steps(L, p5a, 0)
     pv = wid_sc[16, :, :]
     valid_w = (p_w >= 0) & (p_w < L) & (pv > 0)
     thr_rl = pv * rise_low
@@ -503,7 +513,7 @@ def _chain_scan_kernel(
             wid_sc[12 + q, :, :] = pend.astype(f32)
         return c
 
-    jax.lax.fori_loop(0, L, p5, 0)
+    _scan_steps(L, p5, 0)
 
     def cross_out(q, thr, rising):
         idx = wid_sc[q, :, :]
@@ -757,7 +767,7 @@ def _peaks_scan_kernel(
         left_edge = _sel(nz, zi + t, left_edge)
         return (prev_rise_i, left_edge, cand_count)
 
-    _, _, cand_count = jax.lax.fori_loop(0, L, p1, (zi, zi, zi))
+    _, _, cand_count = _scan_steps(L, p1, (zi, zi, zi))
 
     pos_s = [pos_sc[k, :, :] for k in range(K)]
     val_s = [val_sc[k, :, :] for k in range(K)]
@@ -820,7 +830,7 @@ def _peaks_scan_kernel(
             prm_sc[K + k, :, :] = _sel(updr, x_t, prm_sc[K + k, :, :])
         return c
 
-    jax.lax.fori_loop(0, L, p2, 0)
+    _scan_steps(L, p2, 0)
 
     lbase = [prm_sc[2 * K + k, :, :].astype(i32) for k in range(K)]
     rbase = [prm_sc[3 * K + k, :, :].astype(i32) for k in range(K)]
@@ -865,7 +875,7 @@ def _peaks_scan_kernel(
             crs_sc[5 * K + k, :, :] = _sel(updr, x_p, crs_sc[5 * K + k, :, :])
         return c
 
-    jax.lax.fori_loop(0, L, p3, 0)
+    _scan_steps(L, p3, 0)
 
     for k in range(K):
         jl_k = crs_sc[k, :, :]
@@ -1085,7 +1095,7 @@ def _hits_scan_kernel(
             )
         return (on.astype(i32), run_idx, n_runs)
 
-    _, _, n_runs = jax.lax.fori_loop(0, L, body, (zi, zi, zi))
+    _, _, n_runs = _scan_steps(L, body, (zi, zi, zi))
 
     for k in range(K_hits):
         started_k = hseg_sc[2 * K_hits + k, :, :] > 0
