@@ -57,6 +57,13 @@ def _sel(c, a, b):
 def _scan_steps(L, body, init):
     """fori_loop over L steps, manually 2x-unrolled when L is even —
     halves the per-step loop overhead (Mosaic supports no partial unroll)."""
+    if L % 4 == 0:
+        def quad(i, c):
+            c = body(4 * i, c)
+            c = body(4 * i + 1, c)
+            c = body(4 * i + 2, c)
+            return body(4 * i + 3, c)
+        return jax.lax.fori_loop(0, L // 4, quad, init)
     if L % 2 == 0:
         return jax.lax.fori_loop(
             0, L // 2, lambda i, c: body(2 * i + 1, body(2 * i, c)), init
