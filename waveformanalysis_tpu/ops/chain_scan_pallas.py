@@ -54,9 +54,13 @@ def _sel(c, a, b):
     return jnp.where(c, a, b)
 
 
-def _scan_steps(L, body, init):
-    """fori_loop over L steps, manually 2x-unrolled when L is even —
-    halves the per-step loop overhead (Mosaic supports no partial unroll)."""
+def _scan_steps(L, body, init, unrolled=True):
+    """fori_loop over L steps, manually unrolled 4x/2x when L allows —
+    cuts per-step loop overhead (Mosaic supports no partial unroll).
+    Pass unrolled=False in interpret mode: the larger traced body makes
+    tracing (which dominates there) slower for no benefit."""
+    if not unrolled:
+        return jax.lax.fori_loop(0, L, body, init)
     if L % 4 == 0:
         def quad(i, c):
             c = body(4 * i, c)
@@ -97,6 +101,7 @@ def _chain_scan_kernel(
     s1_width_max: float,
     s2_width_min: float,
     baseline_samples: int,
+    unrolled: bool = True,
 ):
     S = (_SUB, _LANE)
     f32 = jnp.float32
@@ -234,7 +239,7 @@ def _chain_scan_kernel(
 
     carry1 = (jnp.full(S, _INF, f32), jnp.full(S, -_INF, f32), zf, zf, zf,
               zf, zf, zi, zi, zi, zi, zi, zi)
-    out1 = _scan_steps(L, p1, carry1)
+    out1 = _scan_steps(L, p1, carry1, unrolled)
     (min_h, max_h, count_h, sum_a, count_a, mad, bl_w_sum,
      _, run_idx, n_runs, _, _, cand_count) = out1
 
@@ -338,7 +343,7 @@ def _chain_scan_kernel(
             prm_sc[K + k, :, :] = _sel(updr, x_t, prm_sc[K + k, :, :])
         return c
 
-    _scan_steps(L, p2, 0)
+    _scan_steps(L, p2, 0, unrolled)
 
     if _DEBUG_PASSES <= 2:
         _write_minimal()
@@ -388,7 +393,7 @@ def _chain_scan_kernel(
             crs_sc[5 * K + k, :, :] = _sel(updr, x_p, crs_sc[5 * K + k, :, :])
         return c
 
-    _scan_steps(L, p3, 0)
+    _scan_steps(L, p3, 0, unrolled)
 
     lips, rips, final_valid = [], [], []
     for k in range(K):
@@ -447,7 +452,7 @@ def _chain_scan_kernel(
             )
         return c
 
-    _scan_steps(L, p4, 0)
+    _scan_steps(L, p4, 0, unrolled)
     pheights = [
         _sel(final_valid[k] & (ws[k] < we[k]),
              ph_sc[k, :, :] - ph_sc[K + k, :, :], 0.0)
@@ -488,7 +493,7 @@ def _chain_scan_kernel(
         wid_sc[16, :, :] = _sel((zi + t) == p_safe, corr_t, wid_sc[16, :, :])
         return c
 
-    _scan_steps(L, p5a, 0)
+    _scan_steps(L, p5a, 0, unrolled)
     pv = wid_sc[16, :, :]
     valid_w = (p_w >= 0) & (p_w < L) & (pv > 0)
     thr_rl = pv * rise_low
@@ -520,7 +525,7 @@ def _chain_scan_kernel(
             wid_sc[12 + q, :, :] = pend.astype(f32)
         return c
 
-    _scan_steps(L, p5, 0)
+    _scan_steps(L, p5, 0, unrolled)
 
     def cross_out(q, thr, rising):
         idx = wid_sc[q, :, :]
@@ -622,6 +627,7 @@ def chain_scan_pallas(
         s1_width_max=float(cfg.s1_width_max),
         s2_width_min=float(cfg.s2_width_min),
         baseline_samples=50,
+        unrolled=not interpret,
     )
 
     grid = (n_pad // BLOCK_EVENTS,)
@@ -731,6 +737,7 @@ def _peaks_scan_kernel(
     distance: int,
     K: int,
     rel_height: float,
+    unrolled: bool = True,
 ):
     """Standalone scipy-parity find_peaks as 3 time-major scan passes.
 
@@ -774,7 +781,7 @@ def _peaks_scan_kernel(
         left_edge = _sel(nz, zi + t, left_edge)
         return (prev_rise_i, left_edge, cand_count)
 
-    _, _, cand_count = _scan_steps(L, p1, (zi, zi, zi))
+    _, _, cand_count = _scan_steps(L, p1, (zi, zi, zi), unrolled)
 
     pos_s = [pos_sc[k, :, :] for k in range(K)]
     val_s = [val_sc[k, :, :] for k in range(K)]
@@ -837,7 +844,7 @@ def _peaks_scan_kernel(
             prm_sc[K + k, :, :] = _sel(updr, x_t, prm_sc[K + k, :, :])
         return c
 
-    _scan_steps(L, p2, 0)
+    _scan_steps(L, p2, 0, unrolled)
 
     lbase = [prm_sc[2 * K + k, :, :].astype(i32) for k in range(K)]
     rbase = [prm_sc[3 * K + k, :, :].astype(i32) for k in range(K)]
@@ -882,7 +889,7 @@ def _peaks_scan_kernel(
             crs_sc[5 * K + k, :, :] = _sel(updr, x_p, crs_sc[5 * K + k, :, :])
         return c
 
-    _scan_steps(L, p3, 0)
+    _scan_steps(L, p3, 0, unrolled)
 
     for k in range(K):
         jl_k = crs_sc[k, :, :]
@@ -958,7 +965,7 @@ def find_peaks_scan(
         _peaks_scan_kernel,
         L=L, height=float(height), prominence=float(prominence),
         width=float(width), distance=int(distance), K=K,
-        rel_height=float(rel_height),
+        rel_height=float(rel_height), unrolled=not interpret,
     )
     f32, i32 = jnp.float32, jnp.int32
     evt_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
@@ -1008,6 +1015,7 @@ def _hits_scan_kernel(
     left_extension: int,
     right_extension: int,
     K_hits: int,
+    unrolled: bool = True,
 ):
     """Threshold-run detection as ONE time-major scan pass.
 
@@ -1102,7 +1110,7 @@ def _hits_scan_kernel(
             )
         return (on.astype(i32), run_idx, n_runs)
 
-    _, _, n_runs = _scan_steps(L, body, (zi, zi, zi))
+    _, _, n_runs = _scan_steps(L, body, (zi, zi, zi), unrolled)
 
     for k in range(K_hits):
         started_k = hseg_sc[2 * K_hits + k, :, :] > 0
@@ -1155,6 +1163,7 @@ def threshold_hits_scan(
         _hits_scan_kernel,
         L=L, left_extension=int(left_extension),
         right_extension=int(right_extension), K_hits=K_hits,
+        unrolled=not interpret,
     )
     f32, i32 = jnp.float32, jnp.int32
     evt_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
