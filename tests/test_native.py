@@ -1,0 +1,99 @@
+"""Native C++ CSV decoder: parity with the pyarrow engine + edge cases.
+
+The decoder (waveformanalysis_tpu/native/csv_decode.cpp) is the default
+VX2730 parse engine; these tests pin its contract: numeric parity with the
+pyarrow path on well-formed files, documented handling of malformed rows,
+and graceful fallback when the native library is unavailable.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from utils import create_daq_run
+
+from waveformanalysis_tpu.formats.vx2730 import VX2730Reader
+from waveformanalysis_tpu.native import decode_csv_bytes, get_lib
+
+pytestmark = pytest.mark.skipif(
+    get_lib() is None, reason="native toolchain unavailable"
+)
+
+
+def test_parity_with_pyarrow_on_synthetic_run(tmp_path):
+    create_daq_run(tmp_path, "r", n_channels=2, n_rows=200, n_samples=32)
+    rd = VX2730Reader()
+    for f in sorted((tmp_path / "r" / "RAW").glob("*.CSV")):
+        a = rd.read_file(f, is_first_file=True, parse_engine="native")
+        b = rd.read_file(f, is_first_file=True, parse_engine="pyarrow")
+        assert a.shape == b.shape
+        assert np.array_equal(a, b, equal_nan=True)
+
+
+def test_floats_exponents_and_signs():
+    out = decode_csv_bytes(b"1.5;-2;+3\n-4.25e2;0;7\n", skip_rows=0)
+    assert out.tolist() == [[1.5, -2.0, 3.0], [-425.0, 0.0, 7.0]]
+
+
+def test_skip_rows_and_blank_lines():
+    out = decode_csv_bytes(b"header\njunk;x\n1;2\n\n3;4\n", skip_rows=2)
+    assert out.tolist() == [[1.0, 2.0], [3.0, 4.0]]
+
+
+def test_malformed_rows_skipped_trailing_delim_ok():
+    # column count fixed by the first data row; short/long rows drop;
+    # a trailing delimiter does not open a field
+    data = b"1;2;3\n1;2\n1;2;3;4\n4;5;6;\n;;\n"
+    out = decode_csv_bytes(data, skip_rows=0)
+    assert out.tolist() == [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]
+
+
+def test_empty_fields_are_nan():
+    out = decode_csv_bytes(b"1;;3\n", skip_rows=0)
+    assert out.shape == (1, 3)
+    assert np.isnan(out[0, 1]) and out[0, 2] == 3.0
+
+
+def test_no_trailing_newline():
+    out = decode_csv_bytes(b"1;2\n3;4", skip_rows=0)
+    assert out.tolist() == [[1.0, 2.0], [3.0, 4.0]]
+
+
+def test_large_int64_timestamps_exact():
+    # ps timestamps exceed float64's 2^53 integer range; the digit
+    # accumulator is exact, so the double is the nearest representable —
+    # identical to pyarrow's int64 -> float64 cast
+    ts = 2**60 + 12345
+    out = decode_csv_bytes(f"{ts};1\n".encode(), skip_rows=0)
+    assert out[0, 0] == float(np.int64(ts))
+
+
+def test_empty_and_headers_only():
+    assert decode_csv_bytes(b"", skip_rows=0).shape == (0, 0)
+    assert decode_csv_bytes(b"h1\nh2\n", skip_rows=2).shape == (0, 0)
+
+
+def test_reader_auto_prefers_native(tmp_path, monkeypatch):
+    create_daq_run(tmp_path, "r", n_channels=1, n_rows=10, n_samples=8)
+    f = next((tmp_path / "r" / "RAW").glob("*.CSV"))
+    rd = VX2730Reader()
+    called = {}
+    orig = rd._read_native
+
+    def spy(path, skiprows):
+        called["native"] = True
+        return orig(path, skiprows)
+
+    monkeypatch.setattr(rd, "_read_native", spy)
+    rd.read_file(f, is_first_file=True)
+    assert called.get("native")
+
+
+def test_fallback_when_native_unavailable(tmp_path, monkeypatch):
+    create_daq_run(tmp_path, "r", n_channels=1, n_rows=10, n_samples=8)
+    f = next((tmp_path / "r" / "RAW").glob("*.CSV"))
+    rd = VX2730Reader()
+    monkeypatch.setattr(rd, "_read_native", lambda *a, **k: None)
+    out = rd.read_file(f, is_first_file=True)  # falls through to pyarrow
+    assert out.shape[0] == 10

@@ -71,7 +71,14 @@ VX2730_LAYOUT = DirectoryLayout(
 
 
 class VX2730Reader(FormatReader):
-    """Delimited-text reader with pyarrow -> pandas -> numpy engine fallback."""
+    """Delimited-text reader: native C++ -> pyarrow -> pandas -> numpy.
+
+    The native engine (waveformanalysis_tpu/native/csv_decode.cpp) parses
+    the bytes in one pass straight into the float64 matrix; measured ~10x
+    the pyarrow path end-to-end in the records build (the reference uses
+    Polars/PyArrow, vx2730.py:50-68). Falls back automatically when the
+    g++ toolchain is unavailable.
+    """
 
     def __init__(self, spec: Optional[FormatSpec] = None,
                  parse_engine: str = "auto") -> None:
@@ -89,6 +96,12 @@ class VX2730Reader(FormatReader):
             else self.spec.header_rows_other_files
         )
         engine = parse_engine or self.parse_engine
+        if engine in ("auto", "native"):
+            arr = self._read_native(path, skiprows)
+            if arr is not None:
+                return arr
+            if engine == "native":
+                raise RuntimeError("native CSV parse unavailable")
         if engine in ("auto", "pyarrow"):
             arr = self._read_pyarrow(path, skiprows)
             if arr is not None:
@@ -102,6 +115,18 @@ class VX2730Reader(FormatReader):
             if engine == "pandas":
                 raise RuntimeError("pandas CSV parse failed")
         return self._read_numpy(path, skiprows)
+
+    def _read_native(self, path: Path, skiprows: int) -> Optional[np.ndarray]:
+        try:
+            from waveformanalysis_tpu.native import decode_csv_bytes
+
+            return decode_csv_bytes(
+                path.read_bytes(), skip_rows=skiprows,
+                delimiter=self.spec.delimiter,
+            )
+        except Exception as e:
+            logger.debug("native parse of %s failed: %s", path, e)
+            return None
 
     def _read_pyarrow(self, path: Path, skiprows: int) -> Optional[np.ndarray]:
         try:
