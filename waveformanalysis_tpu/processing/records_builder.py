@@ -378,11 +378,13 @@ def build_records_from_raw_files(
 ) -> RecordsBundle:
     """Full build: per-channel file parse -> parts -> merge.
 
-    Parsing is SERIAL across channels by default: pyarrow's CSV reader is
-    internally multithreaded already, and entering it from multiple python
-    worker threads segfaults intermittently in this toolchain (observed in
-    the vx2730 end-to-end tests). Pass channel_workers>1 to opt back into
-    thread-level parallelism, e.g. for the pure-numpy parse engine.
+    Channel parallelism: with the native C++ decoder available (the default
+    engine), channels parse in a thread pool — ctypes releases the GIL for
+    the duration of the C call, so decode scales with cores. Without it,
+    parsing is SERIAL across channels: pyarrow's CSV reader is internally
+    multithreaded already, and entering it from multiple python worker
+    threads segfaults intermittently in this toolchain (observed in the
+    vx2730 end-to-end tests). channel_workers overrides either default.
     """
     from waveformanalysis_tpu.formats.adapter import get_adapter
 
@@ -443,7 +445,19 @@ def build_records_from_raw_files(
 
         channel_args = list(enumerate(raw_files))
         all_parts: List[RecordsBundle] = []
-        workers = channel_workers or 1  # serial default; see docstring
+        if channel_workers is None:
+            # threads only when the GIL-releasing native decoder will do
+            # the parsing; the pyarrow fallback is not thread-safe here
+            from waveformanalysis_tpu.native import get_lib
+            import os
+
+            if (get_lib() is not None
+                    and hasattr(adapter.format_reader, "_read_native")):
+                workers = min(len(channel_args), os.cpu_count() or 1, 8)
+            else:
+                workers = 1  # serial; see docstring
+        else:
+            workers = channel_workers
         if workers > 1 and len(channel_args) > 1:
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 for parts in pool.map(build_channel, channel_args):
