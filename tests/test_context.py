@@ -284,6 +284,12 @@ class TestPreviewAndIntrospection:
     def test_search_field(self, ctx):
         assert set(ctx.search_field("value")) == {"source", "doubled"}
 
+    def test_quickstart(self, ctx):
+        text = ctx.quickstart()
+        assert "Quickstart" in text
+        assert "get_data" in text
+        assert "doubled" in text  # names the registered plugins
+
 
 class TestCloneAndFactory:
     def test_clone_shares_storage(self, ctx):

@@ -569,6 +569,46 @@ class Context:
             )
         return "\n".join(lines)
 
+    def quickstart(self) -> str:
+        """Getting-started walkthrough for this Context (reference:
+        context.py:2318). Prints runnable steps using the currently
+        registered plugins and configuration."""
+        target = "df_paired" if "df_paired" in self._plugins else (
+            sorted(self._plugins)[-1] if self._plugins else "<data_name>"
+        )
+        data_root = self.config.get("data_root", "/path/to/data")
+        adapter = self.config.get("daq_adapter", "vx2730")
+        lines = [
+            "Quickstart",
+            "==========",
+            "",
+            "1. Point the context at a DAQ run directory:",
+            "     ctx = Context(config={",
+            f"         'data_root': {str(data_root)!r},",
+            f"         'daq_adapter': {adapter!r},",
+            "         'n_channels': 2,",
+            "     }, storage_dir='./wfa_cache')",
+            "",
+            "2. Register a plugin profile:",
+            "     from waveformanalysis_tpu.plugins.plugin_sets import tpu_default",
+            "     ctx.register(*tpu_default())",
+            "",
+            f"3. Compute any data name (full DAG runs on demand):",
+            f"     data = ctx.get_data('run_001', {target!r})",
+            "",
+            "4. Re-reads hit the lineage-hashed cache; config changes",
+            "   invalidate exactly the affected subtree:",
+            "     ctx.set_config({'hit.height': 40.0})",
+            "",
+            "5. Inspect before running:",
+            "     print(ctx.preview_execution('run_001', " + repr(target) + "))",
+            "     print(ctx.help())",
+            "",
+            "Registered now: "
+            + (", ".join(sorted(self._plugins)) or "(nothing registered)"),
+        ]
+        return "\n".join(lines)
+
     # ------------------------------------------------------------------
     # Cloning / factories
     # ------------------------------------------------------------------
