@@ -27,17 +27,22 @@ KERNEL_VERSION = "grouping-v1"
 def anchor_window_boundaries(ts_sorted: np.ndarray, window_ps: float) -> np.ndarray:
     """Cluster boundaries: each cluster = hits within window of its first hit.
 
+    One BATCHED searchsorted computes every hit's window end (n log n), then
+    the anchor chain is followed with pure O(1) indexing — the sequential
+    dependence is irreducible, but each step is an array lookup instead of
+    its own searchsorted call (was ~33 us/cluster of numpy dispatch).
     (reference: event_grouping.py:478-526 numba loop / :176-183 fallback)
     """
     n = len(ts_sorted)
     if n == 0:
         return np.array([0], dtype=np.int64)
+    nxt = np.searchsorted(ts_sorted, ts_sorted + window_ps, side="right")
+    jump = nxt.tolist()  # list indexing is ~3x faster than ndarray scalar
     boundaries = [0]
     curr = 0
     while curr < n:
-        nxt = int(np.searchsorted(ts_sorted, ts_sorted[curr] + window_ps, side="right"))
-        boundaries.append(nxt)
-        curr = nxt
+        curr = jump[curr]
+        boundaries.append(curr)
     return np.asarray(boundaries, dtype=np.int64)
 
 
@@ -94,11 +99,13 @@ def group_multi_channel_hits(
     ts_s, ch_s = ts_all[order], ch_all[order]
     area_s, height_s = area_all[order], height_all[order]
 
-    splits = boundaries[1:-1]
-    channels_list = np.split(ch_s, splits)
-    areas_list = np.split(area_s, splits)
-    heights_list = np.split(height_s, splits)
-    ts_list = np.split(ts_s, splits)
+    # direct view slicing: np.split's swapaxes path costs ~25 us per piece
+    bl = boundaries.tolist()
+    pairs = list(zip(bl[:-1], bl[1:]))
+    channels_list = [ch_s[lo:hi] for lo, hi in pairs]
+    areas_list = [area_s[lo:hi] for lo, hi in pairs]
+    heights_list = [height_s[lo:hi] for lo, hi in pairs]
+    ts_list = [ts_s[lo:hi] for lo, hi in pairs]
 
     # t_min/t_max per cluster (vectorized via reduceat on the time-sorted view)
     t_mins = np.minimum.reduceat(ts_all, boundaries[:-1])
@@ -223,29 +230,43 @@ def group_hit_windows(
     ids_final = ids_sorted[inner]
     bounds = np.concatenate([[0], np.flatnonzero(np.diff(ids_final)) + 1, [len(sub)]])
 
-    records = []
-    for ei in range(n_events):
-        lo, hi = int(bounds[ei]), int(bounds[ei + 1])
-        idxs = sub[lo:hi]
-        t_min = int(np.min(abs_starts[idxs]))
-        t_max = int(np.max(abs_ends[idxs]))
-        records.append({
-            "event_id": ei,
-            "t_min": t_min,
-            "t_max": t_max,
-            "dt/ns": (t_max - t_min) / 1e3,
-            "n_hits": int(len(idxs)),
-            "dt": dt_values[idxs].astype(np.int32, copy=True),
-            "boards": boards[idxs].copy(),
-            "channels": channels[idxs].copy(),
-            "heights": heights[idxs].copy(),
-            "integrals": integrals[idxs].copy(),
-            "timestamps": timestamps[idxs].copy(),
-            "record_ids": record_ids[idxs].copy(),
-            "sample_starts": starts_rel[idxs].astype(np.int32, copy=True),
-            "sample_ends": ends_rel[idxs].astype(np.int32, copy=True),
-        })
-    return pd.DataFrame(records, columns=columns)
+    # columnar build: gather once in event order, then slice per-event views
+    # (a per-event dict loop costs ~40 us/event in pandas construction)
+    s_sorted = abs_starts[sub]
+    e_sorted = abs_ends[sub]
+    starts_at = bounds[:-1]
+    t_mins = np.minimum.reduceat(s_sorted, starts_at).astype(np.int64)
+    t_maxs = np.maximum.reduceat(e_sorted, starts_at).astype(np.int64)
+    dt_g = dt_values[sub].astype(np.int32)
+    boards_g = boards[sub]
+    channels_g = channels[sub]
+    heights_g = heights[sub]
+    integrals_g = integrals[sub]
+    timestamps_g = timestamps[sub]
+    record_ids_g = record_ids[sub]
+    ss_g = starts_rel[sub].astype(np.int32)
+    se_g = ends_rel[sub].astype(np.int32)
+    bl = bounds.tolist()
+    pairs = list(zip(bl[:-1], bl[1:]))
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n_events, dtype=np.int64),
+            "t_min": t_mins,
+            "t_max": t_maxs,
+            "dt/ns": (t_maxs - t_mins) / 1e3,
+            "n_hits": np.diff(bounds).astype(np.int64),
+            "dt": [dt_g[lo:hi] for lo, hi in pairs],
+            "boards": [boards_g[lo:hi] for lo, hi in pairs],
+            "channels": [channels_g[lo:hi] for lo, hi in pairs],
+            "heights": [heights_g[lo:hi] for lo, hi in pairs],
+            "integrals": [integrals_g[lo:hi] for lo, hi in pairs],
+            "timestamps": [timestamps_g[lo:hi] for lo, hi in pairs],
+            "record_ids": [record_ids_g[lo:hi] for lo, hi in pairs],
+            "sample_starts": [ss_g[lo:hi] for lo, hi in pairs],
+            "sample_ends": [se_g[lo:hi] for lo, hi in pairs],
+        },
+        columns=columns,
+    )
 
 
 def pair_events(
