@@ -203,6 +203,23 @@ class TestExport:
             df = pd.read_csv(path)
             assert len(df) == 6
 
+    @pytest.mark.parametrize("fmt", ["npy", "npz", "hdf5"])
+    def test_dataframe_targets_in_array_formats(self, ectx, tmp_path, fmt):
+        # DataFrame data names must export through the structured-array
+        # writers too (regression: _to_structured rejected DataFrames)
+        from waveformanalysis_tpu.plugins.builtin.dataframe import (
+            DataFramePlugin,
+        )
+
+        ectx.register(DataFramePlugin())
+        path = DataExporter(ectx).export(
+            "test_run", "df", tmp_path / f"df_out.{fmt}", fmt=fmt
+        )
+        assert path.exists() and path.stat().st_size > 0
+        if fmt == "npy":
+            arr = np.load(path, allow_pickle=True)
+            assert len(arr) == 6 and "area" in arr.dtype.names
+
     def test_batch_export(self, ectx, tmp_path):
         out = DataExporter(ectx).batch_export(
             "test_run", ["basic_features"], tmp_path / "batch", fmt="csv"

@@ -91,6 +91,15 @@ class DataExporter:
             return data.to_numpy()
         if isinstance(data, np.ndarray):
             return data
+        try:
+            import pandas as pd
+
+            if isinstance(data, pd.DataFrame):
+                # ragged/object columns become object fields (npy/npz store
+                # them pickled, matching the reference's np.save behavior)
+                return data.to_records(index=False)
+        except ImportError:  # pragma: no cover
+            pass
         raise TypeError(f"Cannot convert {type(data)} to an array")
 
     # -- writers ---------------------------------------------------------------
