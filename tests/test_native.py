@@ -90,6 +90,64 @@ def test_reader_auto_prefers_native(tmp_path, monkeypatch):
     assert called.get("native")
 
 
+class TestV1725Native:
+    def _write_run(self, tmp_path, n_events=200, trunc_tail=False):
+        from utils import make_v1725_event
+
+        rng = np.random.default_rng(1)
+        blobs = []
+        for i in range(n_events):
+            w = (1000 + rng.integers(-3, 4, 32)).astype(np.int16)
+            blobs.append(make_v1725_event(
+                {0: w, 2: (w - 5).astype(np.int16)},
+                timestamps={0: i * 777, 2: i * 777 + 3},
+                baselines={0: 990, 2: 991},
+                trunc=(i % 5 == 0),
+            ))
+        data = b"".join(blobs)
+        if trunc_tail:
+            data = data[:-13]
+        f = tmp_path / "wave_b2.bin"
+        f.write_bytes(data)
+        return f
+
+    @pytest.mark.parametrize("trunc_tail", [False, True])
+    def test_parity_with_python_reader(self, tmp_path, trunc_tail):
+        from unittest import mock
+
+        from waveformanalysis_tpu.processing import records_builder as rb
+
+        f = self._write_run(tmp_path, trunc_tail=trunc_tail)
+        b_native = rb.build_records_from_v1725_files([str(f)], default_dt_ns=4)
+        with mock.patch("waveformanalysis_tpu.native.get_lib",
+                        return_value=None):
+            b_py = rb.build_records_from_v1725_files([str(f)],
+                                                     default_dt_ns=4)
+        hn, hp = b_native.records.to_host(), b_py.records.to_host()
+        assert len(hn) == len(hp) > 0
+        for k in hn.columns:
+            assert np.array_equal(np.asarray(hn[k]), np.asarray(hp[k]),
+                                  equal_nan=True), k
+        assert np.array_equal(b_native.wave_pool, b_py.wave_pool)
+
+    def test_negative_samples_wrap_like_int16_view(self, tmp_path):
+        from utils import make_v1725_event
+
+        from waveformanalysis_tpu.native import decode_v1725_bytes
+
+        w = np.array([-1, -32768, 32767, 0], dtype=np.int16)
+        data = make_v1725_event({1: w}, timestamps={1: 42})
+        dec = decode_v1725_bytes(data)
+        assert dec["timestamp"].tolist() == [42]
+        assert np.array_equal(dec["wave_pool"], w.view(np.uint16))
+
+    def test_empty_buffer(self):
+        from waveformanalysis_tpu.native import decode_v1725_bytes
+
+        dec = decode_v1725_bytes(b"")
+        assert len(dec["channel"]) == 0 and len(dec["wave_pool"]) == 0
+
+
 def test_fallback_when_native_unavailable(tmp_path, monkeypatch):
     create_daq_run(tmp_path, "r", n_channels=1, n_rows=10, n_samples=8)
     f = next((tmp_path / "r" / "RAW").glob("*.CSV"))

@@ -75,6 +75,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_char, ctypes.c_longlong, ctypes.c_longlong,
                 ctypes.POINTER(ctypes.c_double),
             ]
+            lib.wfa_v1725_scan.restype = ctypes.c_longlong
+            lib.wfa_v1725_scan.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong,
+                ctypes.POINTER(ctypes.c_longlong),
+            ]
+            lib.wfa_v1725_decode.restype = ctypes.c_longlong
+            lib.wfa_v1725_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong,
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.POINTER(ctypes.c_longlong),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_longlong),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint16),
+            ]
             _lib = lib
         except Exception as err:
             logger.warning("native load failed: %s", err)
@@ -108,3 +124,43 @@ def decode_csv_bytes(data: bytes, skip_rows: int = 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return out[:got]
+
+
+def decode_v1725_bytes(data: bytes) -> Optional[dict]:
+    """Decode one V1725 DAW_DEMO binary buffer to columnar arrays.
+
+    Returns {channel i16, timestamp i64, baseline f8, trunc u8,
+    wave_offset i64, event_length i32, wave_pool u16} or None when the
+    native library is unavailable. Bit-identical to the Python reader
+    (formats/v1725.py), including stop-at-malformed-tail behavior.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    total_samples = ctypes.c_longlong(0)
+    records = lib.wfa_v1725_scan(data, n, ctypes.byref(total_samples))
+    channel = np.empty(records, dtype=np.int16)
+    timestamp = np.empty(records, dtype=np.int64)
+    baseline = np.empty(records, dtype=np.float64)
+    trunc = np.empty(records, dtype=np.uint8)
+    offset = np.empty(records, dtype=np.int64)
+    length = np.empty(records, dtype=np.int32)
+    pool = np.empty(total_samples.value, dtype=np.uint16)
+    if records:
+        got = lib.wfa_v1725_decode(
+            data, n,
+            channel.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            timestamp.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            baseline.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            trunc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offset.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            length.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            pool.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        )
+        assert got == records, (got, records)
+    return {
+        "channel": channel, "timestamp": timestamp, "baseline": baseline,
+        "trunc": trunc, "wave_offset": offset, "event_length": length,
+        "wave_pool": pool,
+    }

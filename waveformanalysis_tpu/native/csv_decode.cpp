@@ -187,3 +187,96 @@ long long wfa_csv_decode(const char* buf, long long len, int skip_rows,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CAEN V1725 DAW_DEMO binary decode (wire format: formats/v1725.py docstring;
+// reference analog: waveform_analysis/utils/formats/v1725.py:26-115).
+// Event header 16 B (channel mask = byte4 | byte11<<8); per active channel a
+// 12 B header (22-bit size in words incl. 3 header words, trunc = bit6 of
+// byte3, 48-bit LE timestamp at bytes 4-9, 16-bit baseline at bytes 10-11)
+// followed by (size-3)*4 bytes of LE int16 samples. Malformed tails stop the
+// file, matching the Python reader's truncation handling.
+
+namespace {
+
+inline unsigned long long le_u48(const unsigned char* p) {
+    unsigned long long v = 0;
+    for (int i = 5; i >= 0; --i) v = (v << 8) | p[i];
+    return v;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Count records and total samples (for exact preallocation).
+long long wfa_v1725_scan(const char* buf, long long len,
+                         long long* total_samples_out) {
+    const unsigned char* b = (const unsigned char*)buf;
+    long long pos = 0, records = 0, samples = 0;
+    while (pos + 16 <= len) {
+        unsigned mask = b[pos + 4] | ((unsigned)b[pos + 11] << 8);
+        pos += 16;
+        bool bad = false;
+        for (int ch = 0; ch < 16 && mask; ++ch) {
+            if (!(mask & (1u << ch))) continue;
+            mask &= ~(1u << ch);
+            if (pos + 12 > len) { bad = true; break; }
+            long long words = (long long)(b[pos] | ((unsigned)b[pos + 1] << 8)
+                              | ((unsigned)b[pos + 2] << 16)) & ((1 << 22) - 1);
+            long long sig_bytes = (words - 3) * 4;
+            pos += 12;
+            if (sig_bytes < 0 || pos + sig_bytes > len) { bad = true; break; }
+            pos += sig_bytes;
+            ++records;
+            samples += sig_bytes / 2;
+        }
+        if (bad) break;
+    }
+    *total_samples_out = samples;
+    return records;
+}
+
+// Fill per-record columns + the contiguous uint16 sample pool. Outputs must
+// be sized from wfa_v1725_scan. Returns records written.
+long long wfa_v1725_decode(const char* buf, long long len,
+                           short* channel_out, long long* timestamp_out,
+                           double* baseline_out, unsigned char* trunc_out,
+                           long long* offset_out, int* length_out,
+                           unsigned short* pool_out) {
+    const unsigned char* b = (const unsigned char*)buf;
+    long long pos = 0, rec = 0, pool_pos = 0;
+    while (pos + 16 <= len) {
+        unsigned mask = b[pos + 4] | ((unsigned)b[pos + 11] << 8);
+        pos += 16;
+        bool bad = false;
+        for (int ch = 0; ch < 16 && mask; ++ch) {
+            if (!(mask & (1u << ch))) continue;
+            mask &= ~(1u << ch);
+            if (pos + 12 > len) { bad = true; break; }
+            const unsigned char* h = b + pos;
+            long long words = (long long)(h[0] | ((unsigned)h[1] << 8)
+                              | ((unsigned)h[2] << 16)) & ((1 << 22) - 1);
+            long long sig_bytes = (words - 3) * 4;
+            pos += 12;
+            if (sig_bytes < 0 || pos + sig_bytes > len) { bad = true; break; }
+            channel_out[rec] = (short)ch;
+            trunc_out[rec] = (h[3] >> 6) & 1;
+            timestamp_out[rec] = (long long)le_u48(h + 4);
+            baseline_out[rec] = (double)(h[10] | ((unsigned)h[11] << 8));
+            long long n_samp = sig_bytes / 2;
+            offset_out[rec] = pool_pos;
+            length_out[rec] = (int)n_samp;
+            // raw little-endian int16 bytes reinterpret as uint16 — bit-
+            // identical to the Python path's int16 -> astype(uint16)
+            memcpy(pool_out + pool_pos, b + pos, (size_t)sig_bytes);
+            pool_pos += n_samp;
+            pos += sig_bytes;
+            ++rec;
+        }
+        if (bad) break;
+    }
+    return rec;
+}
+
+}  // extern "C"

@@ -326,10 +326,81 @@ def build_records_from_v1725_files(
     default_dt_ns: int = 4,
     reader: Any = None,
 ) -> RecordsBundle:
-    """Build a bundle straight from V1725 binary files (variable lengths)."""
+    """Build a bundle straight from V1725 binary files (variable lengths).
+
+    Fast path: the native C++ decoder parses each file's bytes directly
+    into columnar arrays + pool (~50x the per-event Python walk); the
+    Python reader remains as the toolchain-free fallback.
+    """
+    from pathlib import Path
+
     from waveformanalysis_tpu.formats.v1725 import V1725Reader
+    from waveformanalysis_tpu.native import decode_v1725_bytes, get_lib
 
     reader = reader or V1725Reader()
+
+    if get_lib() is not None and file_list:
+        cols = {k: [] for k in ("board", "channel", "timestamp", "baseline",
+                                "trunc", "event_length")}
+        pools: List[np.ndarray] = []
+        pool_base = 0
+        offsets_parts: List[np.ndarray] = []
+        decoded_any = True
+        for f in file_list:
+            p = Path(f)
+            if not p.exists():
+                logger.warning("File not found: %s", p)
+                continue
+            dec = decode_v1725_bytes(p.read_bytes())
+            if dec is None:
+                decoded_any = False
+                break
+            board = reader._extract_board_from_path(p)
+            nrec = len(dec["channel"])
+            cols["board"].append(np.full(nrec, board, dtype=np.int16))
+            cols["channel"].append(dec["channel"])
+            cols["timestamp"].append(dec["timestamp"])
+            cols["baseline"].append(dec["baseline"])
+            cols["trunc"].append(dec["trunc"])
+            cols["event_length"].append(dec["event_length"])
+            offsets_parts.append(dec["wave_offset"] + pool_base)
+            pools.append(dec["wave_pool"])
+            pool_base += len(dec["wave_pool"])
+        if decoded_any:
+            if not pools:
+                return empty_bundle()
+            cat = {k: np.concatenate(v) for k, v in cols.items()}
+            n = len(cat["channel"])
+            if n == 0:
+                return empty_bundle()
+            ts_ps = reader.spec.normalize_timestamp_to_ps(
+                cat["timestamp"], dt_ns=default_dt_ns
+            ).astype(np.int64)
+            records = Table(
+                {
+                    "timestamp": ts_ps,
+                    "pid": np.zeros(n, dtype=np.int32),
+                    "board": cat["board"],
+                    "channel": cat["channel"].astype(np.int16),
+                    "baseline": cat["baseline"],
+                    "baseline_upstream": np.full(n, np.nan),
+                    "polarity": np.zeros(n, dtype=np.int8),
+                    "record_id": np.arange(n, dtype=np.int64),
+                    "dt": np.full(n, default_dt_ns, dtype=np.int32),
+                    "trigger_type": np.zeros(n, dtype=np.int16),
+                    "flags": np.where(cat["trunc"] > 0, np.uint32(1),
+                                      np.uint32(0)),
+                    "wave_offset": np.concatenate(offsets_parts),
+                    "event_length": cat["event_length"],
+                    "time": ts_ps // 1000,
+                },
+                schema=RECORDS_SCHEMA,
+            )
+            return sort_bundle(
+                RecordsBundle(records=records,
+                              wave_pool=np.concatenate(pools))
+            )
+
     data = reader.read_files(list(file_list))
     if data.size == 0:
         return empty_bundle()
