@@ -92,6 +92,37 @@ class TestThreadBatch:
         assert result.cancelled
         assert len(result.succeeded) == 0
 
+    def test_polling_mode_reports_progress(self, ctx):
+        # the reference's Jupyter polling mode: wake every interval, call
+        # on_progress(done, total), stay cancellable while workers run
+        seen = []
+        bp = BatchProcessor(ctx, max_workers=2)
+        result = bp.process_runs(
+            ["r1", "r2", "r3"], "synthetic",
+            poll_interval_s=0.01,
+            on_progress=lambda done, total: seen.append((done, total)),
+        )
+        assert sorted(result.succeeded) == ["r1", "r2", "r3"]
+        assert seen and all(t == 3 for _, t in seen)
+        assert seen[-1][0] == 3
+
+    def test_polling_mode_cancellation_mid_batch(self, ctx):
+        token = CancellationToken()
+        bp = BatchProcessor(ctx, max_workers=1)
+
+        def cancel_after_first(done, total):
+            if done >= 1:
+                token.cancel()
+
+        result = bp.process_runs(
+            ["r1", "r2", "r3", "r4"], "synthetic",
+            cancellation_token=token,
+            poll_interval_s=0.01,
+            on_progress=cancel_after_first,
+        )
+        assert result.cancelled
+        assert len(result.succeeded) < 4
+
     def test_config_grid(self, ctx):
         bp = BatchProcessor(ctx, max_workers=2)
         result = bp.process_runs_with_config_grid(

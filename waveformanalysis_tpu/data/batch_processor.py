@@ -13,7 +13,7 @@ from __future__ import annotations
 import logging
 import time
 import traceback
-from concurrent.futures import as_completed
+from concurrent.futures import FIRST_COMPLETED, as_completed, wait
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -187,11 +187,21 @@ class BatchProcessor:
         data_name: str,
         cancellation_token: Optional[CancellationToken] = None,
         keep_data: bool = True,
+        poll_interval_s: Optional[float] = None,
+        on_progress: Optional[Callable[[int, int], None]] = None,
     ) -> BatchResult:
         """Compute ``data_name`` for every run id
-        (reference: batch_processor.py:197)."""
+        (reference: batch_processor.py:197).
+
+        poll_interval_s enables polling mode (the reference's Jupyter mode,
+        batch_processor.py:330): instead of blocking until each future
+        completes, the loop wakes every interval and reports progress via
+        ``on_progress(done, total)`` — keeping notebook output and
+        cancellation responsive while workers run.
+        """
         tasks = [(rid, None) for rid in run_ids]
-        return self._process_tasks(tasks, data_name, cancellation_token, keep_data)
+        return self._process_tasks(tasks, data_name, cancellation_token,
+                                   keep_data, poll_interval_s, on_progress)
 
     def process_runs_with_config_grid(
         self,
@@ -209,6 +219,29 @@ class BatchProcessor:
             for i, overrides in enumerate(config_grid):
                 tasks.append((f"{rid}#{i}", dict(overrides, __run_id=rid)))
         return self._process_tasks(tasks, data_name, cancellation_token, keep_data)
+
+    def _iter_completed(self, futures, poll_interval_s, on_progress, token,
+                        result):
+        """as_completed, or polling-mode wait loop with progress callbacks."""
+        if not poll_interval_s:
+            yield from as_completed(futures)
+            return
+        total = len(futures)
+        pending = set(futures)
+        while pending:
+            done, pending = wait(pending, timeout=poll_interval_s,
+                                 return_when=FIRST_COMPLETED)
+            if on_progress is not None:
+                try:
+                    on_progress(total - len(pending), total)
+                except Exception:  # progress display must never kill the batch
+                    logger.debug("on_progress callback failed", exc_info=True)
+            yield from done  # deliver finished work before honoring cancel
+            if token is not None and token.cancelled:
+                for fut in pending:
+                    fut.cancel()
+                result.cancelled = True
+                return
 
     def process_func(
         self,
@@ -256,6 +289,8 @@ class BatchProcessor:
         data_name: str,
         token: Optional[CancellationToken],
         keep_data: bool,
+        poll_interval_s: Optional[float] = None,
+        on_progress: Optional[Callable[[int, int], None]] = None,
     ) -> BatchResult:
         provider = self._worker_target()
         result = BatchResult()
@@ -289,7 +324,8 @@ class BatchProcessor:
                           max_workers=self.max_workers) as pool:
             futures = submit_all(pool)
             stop = False
-            for fut in as_completed(futures):
+            for fut in self._iter_completed(futures, poll_interval_s,
+                                            on_progress, token, result):
                 key = futures[fut]
                 try:
                     raw = fut.result()
