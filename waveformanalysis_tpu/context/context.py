@@ -569,6 +569,22 @@ class Context:
             )
         return "\n".join(lines)
 
+    def plot_lineage(self, data_name: str, renderer: str = "labview"):
+        """Render the dependency/lineage graph for a data name
+        (reference: context.py:1189). renderer: 'labview' (matplotlib) or
+        'plotly'."""
+        from waveformanalysis_tpu.utils.visualization import (
+            plot_lineage_labview,
+            plot_lineage_plotly,
+        )
+
+        lineage = self.get_lineage(data_name)
+        if renderer == "plotly":
+            return plot_lineage_plotly(lineage, data_name)
+        if renderer == "labview":
+            return plot_lineage_labview(lineage, data_name)
+        raise ValueError(f"unknown renderer {renderer!r}; use labview|plotly")
+
     def quickstart(self) -> str:
         """Getting-started walkthrough for this Context (reference:
         context.py:2318). Prints runnable steps using the currently
