@@ -57,7 +57,7 @@ class ThresholdHitPlugin(Plugin):
     provides = "hit_threshold"
     depends_on = []  # dynamic
     description = "Threshold-only hit detector with THRESHOLD_HIT_DTYPE output."
-    version = "0.11.0"
+    version = "0.11.1"
     kernel_version = HT.KERNEL_VERSION
     save_when = "always"
     output_dtype = THRESHOLD_HIT_SCHEMA

@@ -108,7 +108,7 @@ class RecordsPlugin(Plugin):
     provides = "records"
     depends_on = ["raw_files"]
     description = "Globally time-sorted records with wave_pool addressing."
-    version = "2.0.0"
+    version = "2.0.1"
     save_when = "always"
     output_dtype = RECORDS_SCHEMA
     options = _bundle_options()
@@ -123,7 +123,7 @@ class WavePoolPlugin(Plugin):
     provides = "wave_pool"
     depends_on = ["raw_files"]
     description = "Contiguous uint16 waveform sample pool."
-    version = "2.0.0"
+    version = "2.0.1"
     save_when = "always"
     options = _bundle_options()
 
