@@ -1,0 +1,52 @@
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <random>
+#include <vector>
+extern "C" {
+long long wfa_csv_shape(const char*, long long, int, char, long long*);
+long long wfa_csv_decode(const char*, long long, int, char, long long, long long, double*);
+long long wfa_v1725_scan(const char*, long long, long long*);
+long long wfa_v1725_decode(const char*, long long, short*, long long*, double*,
+                           unsigned char*, long long*, int*, unsigned short*);
+}
+int main() {
+    std::mt19937 rng(42);
+    const char alpha[] = "0123456789;.-+e\n\r ";
+    for (int iter = 0; iter < 4000; ++iter) {
+        int n = rng() % 4096;
+        std::vector<char> buf(n + 1);
+        bool structured = iter % 2;
+        for (int i = 0; i < n; ++i)
+            buf[i] = structured ? alpha[rng() % (sizeof(alpha) - 1)]
+                                : (char)(rng() % 256);
+        long long ncols = 0;
+        long long rows = wfa_csv_shape(buf.data(), n, rng() % 3, ';', &ncols);
+        if (rows > 0 && ncols > 0) {
+            std::vector<double> out((size_t)rows * ncols);
+            long long got = wfa_csv_decode(buf.data(), n, rng() % 3, ';',
+                                           ncols, rows, out.data());
+            if (got > rows) { printf("OVERFLOW csv %lld > %lld\n", got, rows); return 1; }
+        }
+        long long samp = 0;
+        long long rec = wfa_v1725_scan(buf.data(), n, &samp);
+        if (rec > 0) {
+            std::vector<short> ch(rec); std::vector<long long> ts(rec), off(rec);
+            std::vector<double> bl(rec); std::vector<unsigned char> tr(rec);
+            std::vector<int> len(rec);
+            std::vector<unsigned short> pool(samp ? samp : 1);
+            long long got = wfa_v1725_decode(buf.data(), n, ch.data(), ts.data(),
+                bl.data(), tr.data(), off.data(), len.data(), pool.data());
+            if (got > rec) { printf("OVERFLOW v1725\n"); return 1; }
+        }
+    }
+    printf("ASAN FUZZ OK\n");
+    return 0;
+}
+// Build & run:
+//   g++ -O1 -g -fsanitize=address,undefined \
+//       waveformanalysis_tpu/native/csv_decode.cpp scripts/fuzz_native.cpp \
+//       -o /tmp/fuzz && /tmp/fuzz
+// Sanitizer-backed fuzz of the native decoders (CSV + V1725) over random
+// and structured-random buffers; exercised manually / in CI, complements
+// tests/test_native.py's in-process fuzz.

@@ -155,3 +155,22 @@ def test_fallback_when_native_unavailable(tmp_path, monkeypatch):
     monkeypatch.setattr(rd, "_read_native", lambda *a, **k: None)
     out = rd.read_file(f, is_first_file=True)  # falls through to pyarrow
     assert out.shape[0] == 10
+
+
+def test_fuzz_decoders_do_not_crash():
+    """Bounded in-process fuzz: random + structured-random buffers must
+    never crash the C decoders (full ASAN/UBSAN sweep: scripts/fuzz_native.cpp)."""
+    rng = np.random.default_rng(123)
+    from waveformanalysis_tpu.native import decode_v1725_bytes
+
+    alphabet = b"0123456789;.-+e\n\r "
+    for i in range(60):
+        n = int(rng.integers(0, 2000))
+        raw = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        structured = bytes(alphabet[j]
+                           for j in rng.integers(0, len(alphabet), n))
+        for data in (raw, structured):
+            out = decode_csv_bytes(data, skip_rows=int(rng.integers(0, 3)))
+            assert out is None or out.ndim == 2
+            dec = decode_v1725_bytes(data)
+            assert dec is None or len(dec["wave_offset"]) == len(dec["channel"])
