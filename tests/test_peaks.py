@@ -242,3 +242,63 @@ def test_plateau_into_valid_length_boundary_not_a_peak():
     assert not valid0.any(), np.asarray(r["position"][0])[valid0]
     pos1 = np.asarray(r["position"][1])[np.asarray(r["valid"][1])]
     np.testing.assert_array_equal(pos1, find_peaks(sig[1], height=10.0)[0])
+
+
+@pytest.mark.parametrize("height,distance,prominence,width", [
+    (10.0, 1, 0.5, 1.0),
+    (30.0, 2, 0.7, 4.0),     # hit-plugin defaults
+    (50.0, 5, 20.0, 2.0),
+    (5.0, 1, 0.0, 0.0),      # permissive: many peaks per row
+    (100.0, 8, 50.0, 6.0),   # strict: few survive
+])
+def test_config_sweep_parity(height, distance, prominence, width):
+    """scipy parity across the find_peaks config space on mixed random data
+    (narrow + wide pulses + plateaus + noise rows)."""
+    from scipy.signal import find_peaks
+
+    rng = np.random.default_rng(int(height * 10 + distance))
+    n, L = 48, 192
+    t = np.arange(L)
+    sig = rng.normal(0, 3, (n, L))
+    for i in range(n):
+        for c in rng.integers(10, L - 10, size=rng.integers(0, 4)):
+            s = rng.choice([2.0, 6.0, 15.0])
+            sig[i] += rng.uniform(20, 200) * np.exp(-((t - c) ** 2) / (2 * s * s))
+        if i % 5 == 0:  # plateau
+            j = rng.integers(5, L - 12)
+            sig[i, j:j + 4] = sig[i, j]
+    sig = sig.astype(np.float32)
+
+    dev = P.find_peaks_batch(
+        sig, height=height, prominence=prominence, width=width,
+        distance=distance, max_peaks=48,
+    )
+    dev = {k: np.asarray(v) for k, v in dev.items()}
+    checked = 0
+    for i in range(n):
+        # skip rows with equal-height ties inside the distance window:
+        # scipy's pruning order is an implementation detail there
+        cand, _ = find_peaks(sig[i].astype(np.float64), height=height)
+        h = sig[i][cand]
+        if any(h[a] == h[b] and abs(cand[a] - cand[b]) < max(distance, 1)
+               for a in range(len(cand)) for b in range(a + 1, len(cand))):
+            continue
+        pos, props = find_peaks(
+            sig[i].astype(np.float64), height=height, distance=distance,
+            prominence=prominence, width=width,
+        )
+        valid = dev["valid"][i]
+        np.testing.assert_array_equal(dev["position"][i][valid], pos,
+                                      err_msg=f"row {i}")
+        if len(pos):
+            np.testing.assert_allclose(dev["prominence"][i][valid],
+                                       props["prominences"], atol=1e-2,
+                                       err_msg=f"row {i}")
+            np.testing.assert_allclose(dev["left_ips"][i][valid],
+                                       props["left_ips"], atol=5e-3,
+                                       err_msg=f"row {i}")
+            np.testing.assert_allclose(dev["right_ips"][i][valid],
+                                       props["right_ips"], atol=5e-3,
+                                       err_msg=f"row {i}")
+        checked += 1
+    assert checked > n // 2

@@ -47,6 +47,35 @@ from waveformanalysis_tpu.storage.memmap import MemmapStorage
 
 logger = logging.getLogger(__name__)
 
+_jax_cache_enabled_for: Optional[str] = None
+
+
+def _enable_jax_compilation_cache(storage_dir: Optional[str]) -> None:
+    """Point jax's persistent compilation cache at ``storage_dir``.
+
+    Best-effort and idempotent: first Context wins (jax reads the setting at
+    first compile), failures only log. Respects an explicit user setting via
+    the JAX_COMPILATION_CACHE_DIR environment variable.
+    """
+    global _jax_cache_enabled_for
+    if storage_dir is None or _jax_cache_enabled_for is not None:
+        return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        _jax_cache_enabled_for = os.environ["JAX_COMPILATION_CACHE_DIR"]
+        return
+    try:
+        import jax
+
+        cache_dir = os.path.join(storage_dir, "_jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache every >1s compile regardless of size heuristics
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax_cache_enabled_for = cache_dir
+        logger.debug("jax compilation cache -> %s", cache_dir)
+    except Exception as err:  # pragma: no cover - jax version dependent
+        logger.debug("could not enable jax compilation cache: %s", err)
+
 # Context-owned config keys (documented for show_config; reference:
 # context.py:215-231 _CONTEXT_CONFIG_NOTES).
 CONTEXT_CONFIG_NOTES: Dict[str, str] = {
@@ -141,6 +170,13 @@ class Context:
         from waveformanalysis_tpu.context.time_domain import TimeDomain
 
         self.time_domain = TimeDomain(self)
+
+        # persistent XLA compilation cache next to the data cache: a fresh
+        # process's first jitted-kernel run loads the compiled executable
+        # instead of recompiling (~tens of seconds on TPU). Opt out with
+        # config={"jax_compilation_cache": False}.
+        if self.config.get("jax_compilation_cache", True):
+            _enable_jax_compilation_cache(self.storage_dir)
 
         if register:
             self.register(*register)
