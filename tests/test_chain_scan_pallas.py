@@ -184,3 +184,43 @@ class TestThresholdHitsScan:
         self._compare(sig, np.full(4, 30.0, np.float32),
                       np.full(4, 96, np.int32),
                       left_extension=1, right_extension=1, max_hits=4)
+
+
+def test_sharded_chain_scan_multidevice():
+    """make_sharded_chain_scan over the 8-device CPU mesh (interpret mode):
+    per-event outputs match the single-device kernel; psum stats match
+    global reductions."""
+    import jax
+
+    from waveformanalysis_tpu.models.full_chain import CHAIN_STATS_KEYS
+    from waveformanalysis_tpu.ops.chain_scan_pallas import (
+        make_sharded_chain_scan,
+    )
+    from waveformanalysis_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    n_dev = len(jax.devices())
+    cfg = ChainConfig(use_derivative=False, peak_height=80.0,
+                      peak_prominence=50.0, peak_width=2.0)
+    n, L = n_dev * 16, 128
+    waves, el, bl, pol = (np.asarray(a) for a in (
+        _mixed_waves(n, L), np.full(n, L, np.int32),
+        np.full(n, 1000.0, np.float32), np.full(n, 1, np.int8)))
+
+    mesh = make_mesh(n_devices=n_dev, axis_names=("data",))
+    step = make_sharded_chain_scan(mesh, cfg, interpret=True)
+    out = {k: np.asarray(v) for k, v in
+           step(jnp.asarray(waves), jnp.asarray(el), jnp.asarray(bl),
+                jnp.asarray(pol)).items()}
+
+    single = {k: np.asarray(v) for k, v in chain_scan_pallas(
+        jnp.asarray(waves), jnp.asarray(el), jnp.asarray(bl),
+        jnp.asarray(pol), cfg, interpret=True).items()}
+    for k, v in single.items():
+        np.testing.assert_allclose(out[k], v, atol=1e-3, err_msg=k)
+    assert set(CHAIN_STATS_KEYS) <= set(out)
+    assert out["n_s1"] == np.sum(single["label"] == 1)
+    assert out["n_s2"] == np.sum(single["label"] == 2)
+    np.testing.assert_allclose(out["total_area"], single["area"].sum(),
+                               rtol=1e-5)
