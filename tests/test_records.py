@@ -118,6 +118,10 @@ class TestRecordsView:
         assert waves.shape == (2, 128)  # padded to lane multiple
         np.testing.assert_array_equal(lens, lengths)
         assert waves[0, 4] == 0  # padding zeroed
+        # device gather variant matches the host matrix exactly
+        dwaves, dlens = rv.padded_wave_matrix_device()
+        np.testing.assert_array_equal(np.asarray(dwaves), waves)
+        np.testing.assert_array_equal(np.asarray(dlens), lens)
 
 
 @pytest.fixture

@@ -119,6 +119,39 @@ class RecordsView:
         out = np.where(mask, out, 0).astype(dtype, copy=False)
         return out, lengths.astype(np.int32)
 
+    def padded_wave_matrix_device(
+        self,
+        pad_to: Optional[int] = None,
+        dtype: Any = None,
+    ):
+        """Device-side variant of :meth:`padded_wave_matrix`.
+
+        Uploads the flat pool ONCE and builds the padded matrix with a
+        device gather (jnp.take), so feeding kernels from records costs one
+        host->device transfer of pool-size bytes instead of materializing
+        the padded matrix (pool x pad-factor bytes) in host memory first.
+        Returns (waves[n, L] int16 device array, event_length[n] int32
+        device array).
+        """
+        import jax.numpy as jnp
+
+        n = len(self._offsets)
+        if n == 0:
+            L = pad_to or 0
+            return (jnp.zeros((0, L), jnp.int16), jnp.zeros((0,), jnp.int32))
+        max_len = int(self._lengths.max())
+        L = pad_to if pad_to is not None else pad_to_multiple(max(max_len, 1), 128)
+        if max_len > L:
+            raise ValueError(f"pad_to={L} smaller than longest wave {max_len}")
+        pool = jnp.asarray(self.wave_pool)  # single transfer
+        offs = jnp.asarray(self._offsets)
+        lens = jnp.asarray(self._lengths)
+        col = jnp.arange(L, dtype=jnp.int64)[None, :]
+        mask = col < lens[:, None]
+        idx = jnp.where(mask, offs[:, None] + col, 0)
+        out = jnp.where(mask, jnp.take(pool, idx), 0).astype(dtype or jnp.int16)
+        return out, lens.astype(jnp.int32)
+
     def signal_matrix(
         self, pad_to: Optional[int] = None
     ) -> Tuple[np.ndarray, np.ndarray]:
