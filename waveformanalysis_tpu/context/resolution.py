@@ -10,7 +10,7 @@ checks for ``(name, ">=1.0")`` dependency specs.
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional
 
 logger = logging.getLogger(__name__)
 

@@ -14,7 +14,6 @@ import logging
 from datetime import datetime
 from typing import Any, Dict, Optional, Tuple
 
-import numpy as np
 
 from waveformanalysis_tpu.foundation.time_conversion import (
     EpochExtractor,

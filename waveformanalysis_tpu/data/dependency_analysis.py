@@ -10,8 +10,8 @@ and bottleneck plugins; exports dict/markdown.
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Set, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
 
 from waveformanalysis_tpu.context.resolution import get_plugin_dependencies
 

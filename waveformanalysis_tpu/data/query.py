@@ -14,12 +14,11 @@ import logging
 from collections import OrderedDict
 from dataclasses import dataclass
 from datetime import datetime
-from typing import Any, Dict, Optional, Tuple, Union
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
 from waveformanalysis_tpu.dtypes import chunk as C
-from waveformanalysis_tpu.dtypes.table import Table
 from waveformanalysis_tpu.foundation.time_conversion import TimeConverter
 
 logger = logging.getLogger(__name__)

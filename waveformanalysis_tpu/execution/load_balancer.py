@@ -15,10 +15,9 @@ from __future__ import annotations
 
 import logging
 import os
-import time
 from collections import deque
 from dataclasses import dataclass
-from typing import Any, Deque, Dict, Optional
+from typing import Deque, Dict, Optional
 
 logger = logging.getLogger(__name__)
 

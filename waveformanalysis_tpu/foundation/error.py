@@ -107,7 +107,6 @@ class ErrorManager:
 def _describe(obj: Any) -> Any:
     """Shape/dtype description of arrays, recursively for containers."""
     try:
-        import numpy as np
 
         if hasattr(obj, "shape") and hasattr(obj, "dtype"):
             return {"shape": tuple(obj.shape), "dtype": str(obj.dtype)}

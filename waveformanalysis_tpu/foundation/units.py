@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import enum
 import warnings
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 
 class TimestampUnit(enum.Enum):

@@ -17,8 +17,7 @@ Multi-chip: :func:`make_sharded_chain` shards the event axis over a
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

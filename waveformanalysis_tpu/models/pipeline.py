@@ -15,17 +15,15 @@ chunk-parallel thread pools (streaming.py:740) as an SPMD program.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from waveformanalysis_tpu.ops.features import feature_reductions
 
 PIPELINE_VERSION = "pipeline-v1"
 

@@ -17,7 +17,7 @@ Behavioral analog of the reference event-grouping layer
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import numpy as np
 

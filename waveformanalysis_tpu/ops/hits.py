@@ -18,7 +18,7 @@ counted per event.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional
+from typing import Dict
 
 import numpy as np
 

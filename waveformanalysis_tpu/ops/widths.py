@@ -19,9 +19,8 @@ Both kernels are one row per hit/event — fully vectorized, no inner loops.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp

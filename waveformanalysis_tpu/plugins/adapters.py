@@ -11,7 +11,7 @@ the adapters duck-type against its plugin attribute conventions.
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, List, Optional, Type
+from typing import Any, Dict, List
 
 import numpy as np
 

@@ -10,8 +10,8 @@ plugin is registered, then records (+wave_pool), then st_waveforms.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, List, Optional
+from dataclasses import dataclass
+from typing import Any, Optional
 
 import numpy as np
 

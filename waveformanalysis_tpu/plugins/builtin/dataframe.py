@@ -10,7 +10,7 @@ calibration block) adds area_pe/height_pe calibrated columns.
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import numpy as np
 

@@ -10,7 +10,7 @@ batched find_peaks device kernel instead of a per-waveform scipy loop.
 from __future__ import annotations
 
 import logging
-from typing import Any, Iterator, List, Optional
+from typing import Any, List, Optional
 
 import numpy as np
 

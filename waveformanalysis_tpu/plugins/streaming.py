@@ -32,8 +32,7 @@ from typing import Any, Dict, Generator, Iterable, Iterator, List, Optional, Tup
 import numpy as np
 
 from waveformanalysis_tpu.dtypes import chunk as C
-from waveformanalysis_tpu.dtypes.chunk import Chunk, ChunkInfo
-from waveformanalysis_tpu.dtypes.table import Table
+from waveformanalysis_tpu.dtypes.chunk import Chunk
 from waveformanalysis_tpu.execution.manager import get_executor, is_picklable
 from waveformanalysis_tpu.foundation.exceptions import ValidationError
 from waveformanalysis_tpu.plugins.base import Option, Plugin

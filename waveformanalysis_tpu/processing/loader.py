@@ -10,7 +10,6 @@ DAQRun object, a registered adapter scan, or a filesystem walk.
 from __future__ import annotations
 
 import logging
-from pathlib import Path
 from typing import Any, List, Optional
 
 logger = logging.getLogger(__name__)

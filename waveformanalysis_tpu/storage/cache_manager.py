@@ -8,7 +8,7 @@ hit/miss statistics feeding the cache-statistics reports.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 
 class RuntimeCacheManager:

@@ -9,9 +9,8 @@ verify against stored metadata, and scan directories.
 from __future__ import annotations
 
 import hashlib
-import os
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple, Union
+from typing import Dict, List, Optional, Tuple, Union
 
 _CHUNK = 4 * 1024 * 1024
 

@@ -9,7 +9,7 @@ so feature plugins can be unit-tested without DAQ decode.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import numpy as np
 

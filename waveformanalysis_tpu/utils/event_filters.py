@@ -8,7 +8,7 @@ numba JIT loops; these are vectorized NumPy over the per-event arrays.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import numpy as np
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import logging
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, Dict, List, Union
 
 from waveformanalysis_tpu.plugins.base import Plugin
 from waveformanalysis_tpu.plugins.spec import PluginSpec
