@@ -275,6 +275,12 @@ class TestPreviewAndIntrospection:
         prev2 = ctx.preview_execution("run1", "doubled")
         assert prev2["will_compute"] == []
 
+    def test_preview_execution_config_deltas(self, ctx):
+        assert ctx.preview_execution("run1", "doubled")["config_deltas"] == {}
+        ctx.set_config({"source.n": 5})
+        deltas = ctx.preview_execution("run1", "doubled")["config_deltas"]
+        assert deltas["source"]["n"] == {"value": 5, "source": "explicit"}
+
     def test_help(self, ctx):
         text = ctx.help()
         assert "source" in text and "doubled" in text

@@ -519,6 +519,21 @@ class Context:
             for name in plan
         }
         needed = self.execution_domain.compute_needed_set(plan, data_name, run_id)
+        # config deltas: every non-default resolved value per plugin
+        from waveformanalysis_tpu.config.types import ConfigSource
+
+        config_deltas: Dict[str, Dict[str, Any]] = {}
+        for name in plan:
+            if name not in self._plugins:
+                continue
+            resolved = self.get_resolved_config(name, run_id)
+            deltas = {
+                key: {"value": cv.value, "source": cv.source.value}
+                for key, cv in resolved.values.items()
+                if cv.source != ConfigSource.PLUGIN_DEFAULT
+            }
+            if deltas:
+                config_deltas[name] = deltas
         preview = {
             "run_id": run_id,
             "target": data_name,
@@ -526,12 +541,15 @@ class Context:
             "cache_status": cache_status,
             "needed": sorted(needed),
             "will_compute": [n for n in plan if n in needed],
+            "config_deltas": config_deltas,
         }
         if verbose:
             print(f"Execution preview for ({run_id}, {data_name}):")
             for name in plan:
                 mark = "compute" if name in needed else f"cached ({cache_status[name]})"
                 print(f"  {name:<30} {mark}")
+                for key, d in config_deltas.get(name, {}).items():
+                    print(f"    {key} = {d['value']!r} ({d['source']})")
         return preview
 
     def analyze_dependencies(self, target_name: str,
