@@ -68,3 +68,16 @@ class TestSosfiltfiltPallas:
                                      interpret=True)
         assert out.shape == self.waves.shape
         assert np.abs(out.mean()) < np.abs(self.waves.mean())
+
+
+def test_multigroup_ilp_path_matches_scipy():
+    """Batches past one block take the interleaved-groups kernel (ILP
+    against the IIR dependency chain); parity must hold there too."""
+    rng = np.random.default_rng(5)
+    L = 96
+    waves = rng.normal(0, 20, (1500, L)).astype(np.float32) + 500.0
+    sos = design_butterworth_sos(2, 0.1, 0.2, 0.5)
+    ref = sosfiltfilt(sos, waves.astype(np.float64), axis=-1)
+    out = sosfiltfilt_pallas(waves, sos, interpret=True)
+    assert out.shape == waves.shape
+    assert _rel_err(out, ref) < 5e-5

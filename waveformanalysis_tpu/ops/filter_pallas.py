@@ -40,32 +40,44 @@ KERNEL_VERSION = "filter-pallas-v1"
 _SUB = 8      # sublanes per vreg
 _LANE = 128   # lanes per vreg
 _BLOCK_EVENTS = _SUB * _LANE
+# independent event-groups advanced per time step (ILP against the IIR
+# dependency chain); batches are padded to groups*1024 events. 2 is the
+# VMEM ceiling: 4 groups x (288,32,128) f32 in+out with double buffering
+# exceeds the 16 MB scoped-vmem limit
+_ILP_GROUPS = 2
 
 
-def _sosfilt_kernel(x_ref, zi_ref, y_ref, *, sos: tuple, n_steps: int):
+def _sosfilt_kernel(x_ref, zi_ref, y_ref, *, sos: tuple, n_steps: int,
+                    groups: int):
     """Direct-form-II-transposed SOS cascade, time-major.
 
-    x_ref/y_ref: (Lp, 8, 128) one block of 1024 events; zi_ref: (2S, 8, 128)
-    per-event scaled initial conditions for each section.
+    x_ref/y_ref: (Lp, groups*8, 128) — ``groups`` independent 1024-event
+    blocks advance in ONE time loop. The recurrence's serial dependency
+    chain (y -> z0 -> next y, section to section) leaves the VPU idle
+    between dependent ops; interleaving independent groups fills those
+    latency bubbles and amortizes the per-step loop overhead, which
+    dominates a body this small. zi_ref: (2S, groups*8, 128) per-event
+    scaled initial conditions.
     """
     S = len(sos)
     z = []
-    for s in range(S):
-        z.append(zi_ref[2 * s, :, :])
-        z.append(zi_ref[2 * s + 1, :, :])
+    for g in range(groups):
+        for s in range(2 * S):
+            z.append(zi_ref[s, 8 * g:8 * (g + 1), :])
 
     def body(t, zs):
-        x = x_ref[t, :, :]
         new_zs = list(zs)
-        for s in range(S):
-            b0, b1, b2, a1, a2 = sos[s]
-            y = b0 * x + zs[2 * s]
-            new_zs[2 * s] = b1 * x - a1 * y + zs[2 * s + 1]
-            new_zs[2 * s + 1] = b2 * x - a2 * y
-            x = y
-            zs = tuple(new_zs)
-        y_ref[t, :, :] = x
-        return zs
+        for g in range(groups):
+            x = x_ref[t, 8 * g:8 * (g + 1), :]
+            base = g * 2 * S
+            for s in range(S):
+                b0, b1, b2, a1, a2 = sos[s]
+                y = b0 * x + zs[base + 2 * s]
+                new_zs[base + 2 * s] = b1 * x - a1 * y + zs[base + 2 * s + 1]
+                new_zs[base + 2 * s + 1] = b2 * x - a2 * y
+                x = y
+            y_ref[t, 8 * g:8 * (g + 1), :] = x
+        return tuple(new_zs)
 
     jax.lax.fori_loop(0, n_steps, body, tuple(z))
 
@@ -85,19 +97,23 @@ def _sosfilt_pallas_timemajor(ext_T: jax.Array, sos_np: np.ndarray,
     if Lp_pad != Lp:
         ext_T = jnp.pad(ext_T, ((0, Lp_pad - Lp), (0, 0)))
 
+    groups = _ILP_GROUPS if n % (_ILP_GROUPS * _BLOCK_EVENTS) == 0 else 1
+
     x3 = ext_T.reshape(Lp_pad, n // _LANE, _LANE)
     zi3 = zi0.reshape(2 * S, n // _LANE, _LANE)
-    grid = (n // _BLOCK_EVENTS,)
+    grid = (n // (groups * _BLOCK_EVENTS),)
     y3 = pl.pallas_call(
-        functools.partial(_sosfilt_kernel, sos=sos_static, n_steps=Lp),
+        functools.partial(_sosfilt_kernel, sos=sos_static, n_steps=Lp,
+                          groups=groups),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Lp_pad, _SUB, _LANE), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * S, _SUB, _LANE), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lp_pad, groups * _SUB, _LANE),
+                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * S, groups * _SUB, _LANE),
+                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Lp_pad, _SUB, _LANE), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((Lp_pad, groups * _SUB, _LANE),
+                               lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Lp_pad, n // _LANE, _LANE),
                                        jnp.float32),
@@ -130,7 +146,10 @@ def sosfiltfilt_pallas(
         raise ValueError(f"wave length {L} must exceed padlen {padlen}")
     zi_unit = sosfilt_zi(sos)  # (S, 2)
 
-    pad_n = (-n) % _BLOCK_EVENTS
+    # pad to the ILP-group granularity once past one block so the kernel
+    # runs with interleaved groups (small batches stay single-group)
+    unit = _ILP_GROUPS * _BLOCK_EVENTS if n > _BLOCK_EVENTS else _BLOCK_EVENTS
+    pad_n = (-n) % unit
     x = jnp.asarray(x_np)
     if pad_n:
         x = jnp.pad(x, ((0, pad_n), (0, 0)))
