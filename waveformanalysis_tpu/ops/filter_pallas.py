@@ -122,6 +122,133 @@ def _sosfilt_pallas_timemajor(ext_T: jax.Array, sos_np: np.ndarray,
     return y3.reshape(Lp_pad, n)[:Lp]
 
 
+def _sosfiltfilt_fused_kernel(x_ref, y_ref, y_sc, *, sos: tuple,
+                              zi_unit: tuple, L: int, padlen: int,
+                              groups: int):
+    """Whole zero-phase filter in ONE kernel: reflection padding by index
+    arithmetic, forward cascade into VMEM scratch, backward cascade reading
+    the scratch in reverse — no materialized ext/reverse/intermediate
+    arrays, one HBM read + one write per event block.
+
+    x_ref: (L, groups*8, 128) mean-removed input; y_ref: same shape output;
+    y_sc scratch: (Lp, groups*8, 128) with Lp = L + 2*padlen.
+    """
+    S = len(sos)
+    Lp = L + 2 * padlen
+    f32 = jnp.float32
+    shape = (_SUB, _LANE)
+    zb = jnp.zeros(shape, jnp.bool_)
+
+    for g in range(groups):
+        lo, hi = 8 * g, 8 * (g + 1)
+        x0 = x_ref[0, lo:hi, :]
+        xL = x_ref[L - 1, lo:hi, :]
+
+        def ext_at(t, x0=x0, xL=xL, lo=lo, hi=hi):
+            """Odd-reflected extended sample at ext index t (scipy pad)."""
+            in_left = t < padlen
+            in_right = t >= padlen + L
+            idx = jnp.where(
+                in_left, padlen - t,
+                jnp.where(in_right, 2 * (L - 1) + padlen - t, t - padlen),
+            )
+            xv = x_ref[idx, lo:hi, :]
+            left_v = 2.0 * x0 - xv
+            right_v = 2.0 * xL - xv
+            mid = jnp.where(zb | in_left, left_v,
+                            jnp.where(zb | in_right, right_v, xv))
+            return mid
+
+        # forward: ext -> y_sc
+        first = ext_at(0)
+        carry_f = tuple(
+            f32(zi_unit[2 * s + i]) * first for s in range(S) for i in (0, 1)
+        )
+
+        def fwd(t, zs, lo=lo, hi=hi, ext_at=ext_at):
+            x = ext_at(t)
+            new_zs = list(zs)
+            for s in range(S):
+                b0, b1, b2, a1, a2 = sos[s]
+                y = b0 * x + zs[2 * s]
+                new_zs[2 * s] = b1 * x - a1 * y + zs[2 * s + 1]
+                new_zs[2 * s + 1] = b2 * x - a2 * y
+                x = y
+            y_sc[t, lo:hi, :] = x
+            return tuple(new_zs)
+
+        jax.lax.fori_loop(0, Lp, fwd, carry_f)
+
+        # backward: y_sc reversed -> y_ref (only the central L samples)
+        first_b = y_sc[Lp - 1, lo:hi, :]
+        carry_b = tuple(
+            f32(zi_unit[2 * s + i]) * first_b
+            for s in range(S) for i in (0, 1)
+        )
+
+        def bwd(t, zs, lo=lo, hi=hi):
+            rt = Lp - 1 - t
+            x = y_sc[rt, lo:hi, :]
+            new_zs = list(zs)
+            for s in range(S):
+                b0, b1, b2, a1, a2 = sos[s]
+                y = b0 * x + zs[2 * s]
+                new_zs[2 * s] = b1 * x - a1 * y + zs[2 * s + 1]
+                new_zs[2 * s + 1] = b2 * x - a2 * y
+                x = y
+
+            def store(x=x, rt=rt, lo=lo, hi=hi):
+                y_ref[rt - padlen, lo:hi, :] = x
+            pl.when((rt >= padlen) & (rt < padlen + L))(store)
+            return tuple(new_zs)
+
+        jax.lax.fori_loop(0, Lp, bwd, carry_b)
+
+
+def _sosfiltfilt_fused_timemajor(x_T: jax.Array, sos_np: np.ndarray,
+                                 zi_unit: np.ndarray, padlen: int,
+                                 interpret: bool) -> jax.Array:
+    """One fused forward+backward pass over (L, n) time-major input."""
+    L, n = x_T.shape
+    S = sos_np.shape[0]
+    sos_static = tuple(
+        (float(r[0] / r[3]), float(r[1] / r[3]), float(r[2] / r[3]),
+         float(r[4] / r[3]), float(r[5] / r[3]))
+        for r in sos_np
+    )
+    zi_static = tuple(float(v) for v in np.asarray(zi_unit).reshape(-1))
+    Lp = L + 2 * padlen
+    Lp_pad = Lp + ((-Lp) % _SUB)
+    L_pad = L + ((-L) % _SUB)
+    if L_pad != L:
+        x_T = jnp.pad(x_T, ((0, L_pad - L), (0, 0)))
+
+    groups = _ILP_GROUPS if n % (_ILP_GROUPS * _BLOCK_EVENTS) == 0 else 1
+    x3 = x_T.reshape(L_pad, n // _LANE, _LANE)
+    grid = (n // (groups * _BLOCK_EVENTS),)
+    y3 = pl.pallas_call(
+        functools.partial(
+            _sosfiltfilt_fused_kernel, sos=sos_static, zi_unit=zi_static,
+            L=L, padlen=padlen, groups=groups,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L_pad, groups * _SUB, _LANE),
+                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L_pad, groups * _SUB, _LANE),
+                               lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L_pad, n // _LANE, _LANE),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((Lp_pad, groups * _SUB, _LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x3)
+    return y3.reshape(L_pad, n)[:L]
+
+
 def _zi_block(zi_unit: np.ndarray, first: jax.Array) -> jax.Array:
     """(2S, n) per-event initial conditions: zi_unit[s] * first."""
     zi_flat = jnp.asarray(zi_unit.reshape(-1), jnp.float32)  # (2S,)
@@ -161,8 +288,8 @@ def sosfiltfilt_pallas(
     return np.asarray(out[:n], dtype=dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _sosfiltfilt_pallas_jit(x, sos_t, zi_t, padlen, interpret):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _sosfiltfilt_pallas_jit(x, sos_t, zi_t, padlen, interpret, fused=True):
     sos_np = np.asarray(sos_t, np.float64)
     zi_unit = np.asarray(zi_t, np.float64)
 
@@ -173,6 +300,15 @@ def _sosfiltfilt_pallas_jit(x, sos_t, zi_t, padlen, interpret):
                             / np.sum(sos_np[:, 3:], axis=1)))
     dc_response = mean * (dc_gain * dc_gain)
     x = x - mean
+
+    if fused:
+        # reflection, forward and backward cascades all inside ONE kernel —
+        # the two-pass path below materializes ~6 full-array HBM round
+        # trips (concat/reverse/intermediate) that dominate its runtime
+        y_T = _sosfiltfilt_fused_timemajor(
+            x.T, sos_np, zi_unit, padlen, interpret
+        )
+        return y_T.T + dc_response
 
     # odd reflection padding (scipy contract)
     left = 2.0 * x[:, :1] - x[:, padlen:0:-1]
