@@ -138,71 +138,79 @@ def _sosfiltfilt_fused_kernel(x_ref, y_ref, y_sc, *, sos: tuple,
     f32 = jnp.float32
     shape = (_SUB, _LANE)
     zb = jnp.zeros(shape, jnp.bool_)
+    G = groups
 
-    for g in range(groups):
+    def ext_at(t, g, x0, xL):
+        """Odd-reflected extended sample at ext index t (scipy pad)."""
         lo, hi = 8 * g, 8 * (g + 1)
-        x0 = x_ref[0, lo:hi, :]
-        xL = x_ref[L - 1, lo:hi, :]
-
-        def ext_at(t, x0=x0, xL=xL, lo=lo, hi=hi):
-            """Odd-reflected extended sample at ext index t (scipy pad)."""
-            in_left = t < padlen
-            in_right = t >= padlen + L
-            idx = jnp.where(
-                in_left, padlen - t,
-                jnp.where(in_right, 2 * (L - 1) + padlen - t, t - padlen),
-            )
-            xv = x_ref[idx, lo:hi, :]
-            left_v = 2.0 * x0 - xv
-            right_v = 2.0 * xL - xv
-            mid = jnp.where(zb | in_left, left_v,
-                            jnp.where(zb | in_right, right_v, xv))
-            return mid
-
-        # forward: ext -> y_sc
-        first = ext_at(0)
-        carry_f = tuple(
-            f32(zi_unit[2 * s + i]) * first for s in range(S) for i in (0, 1)
+        in_left = t < padlen
+        in_right = t >= padlen + L
+        idx = jnp.where(
+            in_left, padlen - t,
+            jnp.where(in_right, 2 * (L - 1) + padlen - t, t - padlen),
         )
+        xv = x_ref[idx, lo:hi, :]
+        left_v = 2.0 * x0 - xv
+        right_v = 2.0 * xL - xv
+        return jnp.where(zb | in_left, left_v,
+                         jnp.where(zb | in_right, right_v, xv))
 
-        def fwd(t, zs, lo=lo, hi=hi, ext_at=ext_at):
-            x = ext_at(t)
-            new_zs = list(zs)
-            for s in range(S):
-                b0, b1, b2, a1, a2 = sos[s]
-                y = b0 * x + zs[2 * s]
-                new_zs[2 * s] = b1 * x - a1 * y + zs[2 * s + 1]
-                new_zs[2 * s + 1] = b2 * x - a2 * y
-                x = y
-            y_sc[t, lo:hi, :] = x
-            return tuple(new_zs)
+    x0s = [x_ref[0, 8 * g:8 * (g + 1), :] for g in range(G)]
+    xLs = [x_ref[L - 1, 8 * g:8 * (g + 1), :] for g in range(G)]
 
-        jax.lax.fori_loop(0, Lp, fwd, carry_f)
+    # All groups advance in LOCKSTEP inside one loop body, statements
+    # interleaved per section so the independent chains overlap — written
+    # as one sequential per-group loop, Mosaic scheduled the chains back
+    # to back and the latency bubbles stayed empty.
+    def step_sections(xs, zs):
+        """One cascade step for every group; returns (ys, new_zs)."""
+        new_zs = list(zs)
+        xs = list(xs)
+        for s in range(S):
+            b0, b1, b2, a1, a2 = sos[s]
+            ys = [b0 * xs[g] + zs[g * 2 * S + 2 * s] for g in range(G)]
+            for g in range(G):
+                base = g * 2 * S
+                new_zs[base + 2 * s] = (
+                    b1 * xs[g] - a1 * ys[g] + zs[base + 2 * s + 1]
+                )
+                new_zs[base + 2 * s + 1] = b2 * xs[g] - a2 * ys[g]
+            xs = ys
+        return xs, new_zs
 
-        # backward: y_sc reversed -> y_ref (only the central L samples)
-        first_b = y_sc[Lp - 1, lo:hi, :]
-        carry_b = tuple(
-            f32(zi_unit[2 * s + i]) * first_b
-            for s in range(S) for i in (0, 1)
-        )
+    # forward: ext -> y_sc
+    carry_f = []
+    for g in range(G):
+        first = ext_at(0, g, x0s[g], xLs[g])
+        carry_f += [f32(zi_unit[j]) * first for j in range(2 * S)]
 
-        def bwd(t, zs, lo=lo, hi=hi):
-            rt = Lp - 1 - t
-            x = y_sc[rt, lo:hi, :]
-            new_zs = list(zs)
-            for s in range(S):
-                b0, b1, b2, a1, a2 = sos[s]
-                y = b0 * x + zs[2 * s]
-                new_zs[2 * s] = b1 * x - a1 * y + zs[2 * s + 1]
-                new_zs[2 * s + 1] = b2 * x - a2 * y
-                x = y
+    def fwd(t, zs):
+        xs = [ext_at(t, g, x0s[g], xLs[g]) for g in range(G)]
+        ys, new_zs = step_sections(xs, zs)
+        for g in range(G):
+            y_sc[t, 8 * g:8 * (g + 1), :] = ys[g]
+        return tuple(new_zs)
 
-            def store(x=x, rt=rt, lo=lo, hi=hi):
-                y_ref[rt - padlen, lo:hi, :] = x
-            pl.when((rt >= padlen) & (rt < padlen + L))(store)
-            return tuple(new_zs)
+    jax.lax.fori_loop(0, Lp, fwd, tuple(carry_f))
 
-        jax.lax.fori_loop(0, Lp, bwd, carry_b)
+    # backward: y_sc reversed -> y_ref (only the central L samples)
+    carry_b = []
+    for g in range(G):
+        first_b = y_sc[Lp - 1, 8 * g:8 * (g + 1), :]
+        carry_b += [f32(zi_unit[j]) * first_b for j in range(2 * S)]
+
+    def bwd(t, zs):
+        rt = Lp - 1 - t
+        xs = [y_sc[rt, 8 * g:8 * (g + 1), :] for g in range(G)]
+        ys, new_zs = step_sections(xs, zs)
+
+        def store():
+            for g in range(G):
+                y_ref[rt - padlen, 8 * g:8 * (g + 1), :] = ys[g]
+        pl.when((rt >= padlen) & (rt < padlen + L))(store)
+        return tuple(new_zs)
+
+    jax.lax.fori_loop(0, Lp, bwd, tuple(carry_b))
 
 
 def _sosfiltfilt_fused_timemajor(x_T: jax.Array, sos_np: np.ndarray,
