@@ -232,3 +232,62 @@ class TestShardedScan:
         mesh = make_mesh(n_devices=n_dev)
         (x,) = shard_table_arrays(mesh, np.ones(n_dev + 1))
         assert x.shape[0] == 2 * n_dev  # padded up
+
+
+class WindowedSmoother(StreamingPlugin):
+    """Time-windowed kernel: value averaged with rows within +-window_ns.
+
+    Correct results at chunk edges REQUIRE halo rows — this is the plugin
+    shape the halo machinery exists for.
+    """
+
+    provides = "smoothed_stream"
+    depends_on = ["source_data"]
+    version = "1.0"
+    WINDOW_NS = 3  # +-3 ns around each row (times are ps)
+
+    def compute_chunk(self, context, run_id, chunk):
+        data = chunk.data
+        t = np.asarray(data["time"], np.int64)
+        v = np.asarray(data["value"], np.float64)
+        win_ps = self.WINDOW_NS * 1000
+        lo = np.searchsorted(t, t - win_ps, side="left")
+        hi = np.searchsorted(t, t + win_ps, side="right")
+        csum = np.concatenate([[0.0], np.cumsum(v)])
+        out = (csum[hi] - csum[lo]) / (hi - lo)
+        return data.with_columns(value=out)
+
+
+class TestChunkInvariance:
+    """Streamed-with-halo output must equal the unchunked computation for
+    EVERY chunk size — the core streaming invariant."""
+
+    @pytest.mark.parametrize("chunk_size", [3, 5, 7, 20, 50])
+    def test_windowed_kernel_chunk_invariant(self, tmp_path, chunk_size):
+        ctx = make_tiny_context(tmp_path,
+                               st_waveforms=make_fake_st_waveforms(4, 32))
+        rng = np.random.default_rng(chunk_size)
+        # irregular spacing so windows span chunk boundaries unpredictably
+        times = np.cumsum(rng.integers(500, 4000, 40)).astype(np.int64)
+        tbl = make_timed_records(times)
+        ctx.inject_data("test_run", "source_data", tbl)
+        ctx.register(WindowedSmoother())
+        ctx.set_config({"smoothed_stream": {"streaming_config": {
+            "chunk_size": chunk_size,
+            "required_halo_ns": WindowedSmoother.WINDOW_NS,
+        }}})
+
+        chunks = list(ctx.get_data("test_run", "smoothed_stream"))
+        streamed = np.concatenate(
+            [np.asarray(c.data["value"]) for c in chunks])
+        streamed_t = np.concatenate(
+            [np.asarray(c.data["time"]) for c in chunks])
+
+        # unchunked ground truth
+        whole = WindowedSmoother().compute_chunk(
+            None, "test_run",
+            type("C", (), {"data": tbl})(),
+        )
+        np.testing.assert_array_equal(streamed_t, times)
+        np.testing.assert_allclose(streamed, np.asarray(whole["value"]),
+                                   err_msg=f"chunk_size={chunk_size}")
