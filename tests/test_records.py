@@ -224,3 +224,37 @@ class TestWavePoolFiltered:
         # smoothing reduces total variation
         assert np.abs(np.diff(out[:40])).sum() < np.abs(np.diff(
             np.asarray(pool[:40]).astype(np.float32))).sum()
+
+
+class TestBuildInvariance:
+    """The bundle must be bit-identical however the build is partitioned:
+    part size and channel-worker count are pure perf knobs."""
+
+    @pytest.mark.parametrize("part_size,workers", [
+        (7, 1), (25, 1), (1000, 1), (25, 4), (1000, 4),
+    ])
+    def test_partitioning_invariant(self, tmp_path, part_size, workers):
+        from waveformanalysis_tpu.processing.loader import get_raw_files
+        from waveformanalysis_tpu.processing.records_builder import (
+            build_records_from_raw_files,
+        )
+
+        create_daq_run(tmp_path / "daq", run_name="r1", n_channels=3,
+                       n_files_per_channel=2, n_rows=40, n_samples=24)
+        raw = get_raw_files("r1", data_root=str(tmp_path / "daq"),
+                            daq_adapter="vx2730")
+        ref = build_records_from_raw_files(raw, adapter_name="vx2730",
+                                           default_dt_ns=2)
+        got = build_records_from_raw_files(
+            raw, adapter_name="vx2730", default_dt_ns=2,
+            part_size=part_size, channel_workers=workers,
+        )
+        h_ref, h_got = ref.records.to_host(), got.records.to_host()
+        assert len(h_ref) == len(h_got)
+        for k in h_ref.columns:
+            if k == "pid":
+                continue  # part index; partitioning-dependent by design
+            np.testing.assert_array_equal(
+                np.asarray(h_ref[k]), np.asarray(h_got[k]), err_msg=k
+            )
+        np.testing.assert_array_equal(ref.wave_pool, got.wave_pool)
