@@ -185,3 +185,16 @@ class TestChunkObject:
         left, right = ch.split(40)
         assert len(left) == 1 and len(right) == 1
         assert left.end == 40 and right.start == 40
+
+
+def test_select_time_range_keeps_point_rows_on_window_start():
+    """Zero-duration rows (no length/dt fields -> endtime == time) sitting
+    exactly at the window start must be selected — regression: the interval
+    test (endtime > start) alone dropped the first row of every streamed
+    chunk for point-event tables."""
+    from waveformanalysis_tpu.dtypes.table import Table
+
+    tbl = Table({"time": np.array([100, 200, 300], dtype=np.int64),
+                 "value": np.arange(3.0)})
+    out = C.select_time_range(tbl, start=200, end=400)
+    np.testing.assert_array_equal(np.asarray(out["time"]), [200, 300])

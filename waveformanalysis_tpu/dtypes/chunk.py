@@ -322,7 +322,11 @@ def select_time_range(
             mask &= endtime <= end
     else:
         if start is not None:
-            mask &= endtime > start
+            # endtime > start catches intervals reaching into the window;
+            # time >= start additionally keeps zero-duration rows (tables
+            # without length/dt fields have endtime == time) sitting exactly
+            # on the window start
+            mask &= (endtime > start) | (time >= start)
         if end is not None:
             mask &= time < end
     return _take(data, mask)
