@@ -18,10 +18,17 @@ def build_parser() -> argparse.ArgumentParser:
         prog="waveform-cache",
         description="Inspect and maintain the waveform pipeline cache",
     )
-    p.add_argument("--storage-dir", required=True, help="Cache storage directory")
+    p.add_argument("--storage-dir", default=None, help="Cache storage directory")
     p.add_argument("--run-name", default=None, help="Restrict to one run")
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument("--json", action="store_true", help="JSON output")
+    # accept the global flags after the subcommand too (the natural CLI
+    # habit); SUPPRESS so an absent subcommand-level flag never clobbers a
+    # value given before the subcommand
+    common.add_argument("--storage-dir", dest="storage_dir",
+                        default=argparse.SUPPRESS, help=argparse.SUPPRESS)
+    common.add_argument("--run-name", dest="run_name",
+                        default=argparse.SUPPRESS, help=argparse.SUPPRESS)
     sub = p.add_subparsers(dest="command", required=True)
 
     sub.add_parser("info", help="Cache summary", parents=[common])
@@ -50,7 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not args.storage_dir:
+        parser.error("--storage-dir is required")
 
     from waveformanalysis_tpu.storage.cache_ops import (
         CacheAnalyzer,
