@@ -202,6 +202,14 @@ def config_4() -> None:
 
 def config_5(n_events: int = 32768, L: int = 128) -> None:
     """streaming chunked full-run: dual baseline + grouping + cache lineage."""
+    import jax
+    import jax.numpy as jnp
+
+    # absorb the one-time tunnel warm-up (~77 s first device->host transfer)
+    # so standalone runs measure the same "cold" as --all runs: jit compile
+    # + compute, not tunnel setup
+    np.asarray(jnp.zeros(8))
+
     from waveformanalysis_tpu.context.context import Context
     from waveformanalysis_tpu.plugins.builtin.basic_features import (
         BasicFeaturesPlugin,
