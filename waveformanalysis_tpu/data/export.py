@@ -147,14 +147,27 @@ class DataExporter:
             # pandas HDFStore fallback
             self._to_dataframe(data).to_hdf(path, key="data", mode="w")
             return
+        def dataset_value(v: np.ndarray):
+            # object columns (per-event ragged arrays from the event frames)
+            # have no native HDF5 type — JSON-encode them like the parquet
+            # writer's fallback does
+            if v.dtype == object:
+                return np.asarray([
+                    json.dumps(np.asarray(x).tolist())
+                    if hasattr(x, "__len__") and not isinstance(x, str)
+                    else str(x)
+                    for x in v
+                ], dtype=h5py.string_dtype())
+            return v
+
         with h5py.File(path, "w") as f:
             if isinstance(data, Table):
                 for k, v in data.to_host().columns.items():
-                    f.create_dataset(k, data=np.asarray(v))
+                    f.create_dataset(k, data=dataset_value(np.asarray(v)))
             else:
                 arr = self._to_structured(data)
                 if arr.dtype.names:
                     for n in arr.dtype.names:
-                        f.create_dataset(n, data=arr[n])
+                        f.create_dataset(n, data=dataset_value(arr[n]))
                 else:
                     f.create_dataset("data", data=arr)

@@ -143,14 +143,20 @@ class RecordsView:
         L = pad_to if pad_to is not None else pad_to_multiple(max(max_len, 1), 128)
         if max_len > L:
             raise ValueError(f"pad_to={L} smaller than longest wave {max_len}")
+        if len(self.wave_pool) >= 2**31 - (L + 1):
+            # device gather indices are int32 under default jax config
+            # (x64 disabled); offsets past 2^31 samples would wrap — build
+            # the padded matrix on the host (exact int64 indexing) instead
+            waves, lens = self.padded_wave_matrix(pad_to=L, dtype=dtype or np.int16)
+            return jnp.asarray(waves), jnp.asarray(lens)
         pool = jnp.asarray(self.wave_pool)  # single transfer
-        offs = jnp.asarray(self._offsets)
-        lens = jnp.asarray(self._lengths)
-        col = jnp.arange(L, dtype=jnp.int64)[None, :]
+        offs = jnp.asarray(self._offsets.astype(np.int32))
+        lens = jnp.asarray(self._lengths.astype(np.int32))
+        col = jnp.arange(L, dtype=jnp.int32)[None, :]
         mask = col < lens[:, None]
         idx = jnp.where(mask, offs[:, None] + col, 0)
         out = jnp.where(mask, jnp.take(pool, idx), 0).astype(dtype or jnp.int16)
-        return out, lens.astype(jnp.int32)
+        return out, lens
 
     def signal_matrix(
         self, pad_to: Optional[int] = None

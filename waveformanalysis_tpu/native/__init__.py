@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import ctypes
 import logging
+import os
 import subprocess
 import threading
 from pathlib import Path
@@ -37,13 +38,16 @@ def _build() -> bool:
     try:
         if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
             return True
-        tmp = _LIB.with_suffix(".so.tmp")
+        # per-process temp name: concurrent builders must not share a tmp
+        # file (interleaved g++ output would install a corrupt .so); the
+        # final rename is atomic, so whichever finishes last wins cleanly
+        tmp = _LIB.with_suffix(f".so.tmp.{os.getpid()}")
         cmd = ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(tmp)]
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
         if proc.returncode != 0:
             logger.warning("native build failed: %s", proc.stderr[-500:])
             return False
-        tmp.replace(_LIB)  # atomic: concurrent processes race benignly
+        tmp.replace(_LIB)
         return True
     except Exception as err:  # toolchain missing, read-only dir, ...
         logger.warning("native build unavailable: %s", err)

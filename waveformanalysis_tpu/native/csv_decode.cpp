@@ -18,6 +18,7 @@
 //
 // Build: g++ -O3 -shared -fPIC csv_decode.cpp -o libwfa_native.so
 
+#include <charconv>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -62,16 +63,21 @@ long long count_fields(const char* p, const char* line_end, char delim) {
     return fields;
 }
 
-// Slow-path field parse for [p, field_end): trims spaces, strtod. Used when
-// the inline digit walk rejects (floats, exponents, >19 digits, garbage).
+// Slow-path field parse for [p, field_end): trims spaces, then
+// std::from_chars — locale-INDEPENDENT, unlike strtod, which would
+// mis-parse "3.14" as 3.0 under a comma-decimal LC_NUMERIC set by the
+// embedding application. Used when the inline digit walk rejects (floats,
+// exponents, >19 digits, garbage).
 double parse_field_slow(const char* p, const char* field_end) {
     while (p < field_end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
     const char* e = field_end;
     while (e > p && (e[-1] == ' ' || e[-1] == '\t' || e[-1] == '\r')) --e;
     if (p >= e) return std::nan("");
-    char* endptr = nullptr;
-    double v = std::strtod(p, &endptr);
-    if (endptr == p || endptr > e) return std::nan("");
+    // from_chars rejects a leading '+' (strtod accepted it) — skip it
+    if (*p == '+') ++p;
+    double v = 0.0;
+    auto res = std::from_chars(p, e, v);
+    if (res.ec != std::errc() || res.ptr != e) return std::nan("");
     return v;
 }
 

@@ -251,30 +251,30 @@ def _chain_scan_kernel(
                     ended_k | close_k
                 ).astype(i32)
             close_slot()
-        # left-extension lookback re-read from the input (no delay ring)
-
-        def open_slots():
-            retro = zf
-            for back in range(1, left_extension + 1):
-                w_b = w_ref[jnp.maximum(t - back, 0), :, :].astype(f32)
-                sp_b = jnp.maximum(sign * (w_b - bl), 0.0)
-                retro = retro + _sel((zi + t - back) >= 0, sp_b, 0.0)
-            for k in range(K_hits):
-                def open_slot(k=k, retro=retro):
-                    open_k = is_start & (run_idx == k)
-                    hseg_sc[k, :, :] = _sel(
-                        open_k, jnp.maximum(zi + t - left_extension, 0),
-                        hseg_sc[k, :, :],
-                    )
-                    started_k = hseg_sc[2 * K_hits + k, :, :] > 0
-                    hseg_sc[2 * K_hits + k, :, :] = (
-                        started_k | open_k
-                    ).astype(i32)
-                    hacc_sc[k, :, :] = _sel(
-                        open_k, hacc_sc[k, :, :] + retro, hacc_sc[k, :, :]
-                    )
-                open_slot()
-        pl.when(max_runs_s > 0)(open_slots)
+        # left-extension lookback re-read from the input (no delay ring);
+        # no per-step pl.when here — the whole walk is already gated on
+        # max_runs_s below, and per-step scalar branches defeat Mosaic's
+        # loop pipelining (see the module docstring)
+        retro = zf
+        for back in range(1, left_extension + 1):
+            w_b = w_ref[jnp.maximum(t - back, 0), :, :].astype(f32)
+            sp_b = jnp.maximum(sign * (w_b - bl), 0.0)
+            retro = retro + _sel((zi + t - back) >= 0, sp_b, 0.0)
+        for k in range(K_hits):
+            def open_slot(k=k, retro=retro):
+                open_k = is_start & (run_idx == k)
+                hseg_sc[k, :, :] = _sel(
+                    open_k, jnp.maximum(zi + t - left_extension, 0),
+                    hseg_sc[k, :, :],
+                )
+                started_k = hseg_sc[2 * K_hits + k, :, :] > 0
+                hseg_sc[2 * K_hits + k, :, :] = (
+                    started_k | open_k
+                ).astype(i32)
+                hacc_sc[k, :, :] = _sel(
+                    open_k, hacc_sc[k, :, :] + retro, hacc_sc[k, :, :]
+                )
+            open_slot()
 
         run_idx = run_idx + (is_start & (run_idx < K_hits)).astype(i32)
         for k in range(K_hits):

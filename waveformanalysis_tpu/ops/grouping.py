@@ -248,6 +248,8 @@ def group_hit_windows(
     se_g = ends_rel[sub].astype(np.int32)
     bl = bounds.tolist()
     pairs = list(zip(bl[:-1], bl[1:]))
+    # per-event cells are COPIES: views into the shared gathered column
+    # would let an in-place mutation of one event corrupt its neighbors
     return pd.DataFrame(
         {
             "event_id": np.arange(n_events, dtype=np.int64),
@@ -255,15 +257,15 @@ def group_hit_windows(
             "t_max": t_maxs,
             "dt/ns": (t_maxs - t_mins) / 1e3,
             "n_hits": np.diff(bounds).astype(np.int64),
-            "dt": [dt_g[lo:hi] for lo, hi in pairs],
-            "boards": [boards_g[lo:hi] for lo, hi in pairs],
-            "channels": [channels_g[lo:hi] for lo, hi in pairs],
-            "heights": [heights_g[lo:hi] for lo, hi in pairs],
-            "integrals": [integrals_g[lo:hi] for lo, hi in pairs],
-            "timestamps": [timestamps_g[lo:hi] for lo, hi in pairs],
-            "record_ids": [record_ids_g[lo:hi] for lo, hi in pairs],
-            "sample_starts": [ss_g[lo:hi] for lo, hi in pairs],
-            "sample_ends": [se_g[lo:hi] for lo, hi in pairs],
+            "dt": [dt_g[lo:hi].copy() for lo, hi in pairs],
+            "boards": [boards_g[lo:hi].copy() for lo, hi in pairs],
+            "channels": [channels_g[lo:hi].copy() for lo, hi in pairs],
+            "heights": [heights_g[lo:hi].copy() for lo, hi in pairs],
+            "integrals": [integrals_g[lo:hi].copy() for lo, hi in pairs],
+            "timestamps": [timestamps_g[lo:hi].copy() for lo, hi in pairs],
+            "record_ids": [record_ids_g[lo:hi].copy() for lo, hi in pairs],
+            "sample_starts": [ss_g[lo:hi].copy() for lo, hi in pairs],
+            "sample_ends": [se_g[lo:hi].copy() for lo, hi in pairs],
         },
         columns=columns,
     )

@@ -518,7 +518,9 @@ def build_records_from_raw_files(
         all_parts: List[RecordsBundle] = []
         if channel_workers is None:
             # threads only when the GIL-releasing native decoder will do
-            # the parsing; the pyarrow fallback is not thread-safe here
+            # the parsing. Should a worker's native parse fail and fall
+            # back to pyarrow, _PYARROW_LOCK (formats/vx2730.py) serializes
+            # that entry, so the thread-entry segfault hazard stays closed.
             from waveformanalysis_tpu.native import get_lib
             import os
 
