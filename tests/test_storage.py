@@ -1,6 +1,8 @@
 """Storage layer tests: memmap round-trips, atomicity, locks, streams, SQLite."""
 
 import json
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -216,3 +218,46 @@ class TestSQLiteBackend:
         assert meta["n_rows"] == 3
         out = backend.load_memmap("s", run_id="r")
         assert len(out) == 3
+
+
+@pytest.mark.slow
+def test_concurrent_processes_computing_same_key(tmp_path):
+    """Six processes race to compute and persist the same (run, data) key
+    against one storage dir: every process must succeed (fcntl locks +
+    atomic tmp-rename), and the surviving cache entry must be valid."""
+    import subprocess
+    import sys
+
+    code = """
+import os, sys, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax; jax.config.update("jax_platforms", "cpu")
+from waveformanalysis_tpu.context.context import Context
+from waveformanalysis_tpu.plugins.base import Plugin
+
+class Slow(Plugin):
+    provides = "slow_data"
+    version = "1.0.0"
+    save_when = "always"
+    def compute(self, context, run_id, **kw):
+        time.sleep(0.2)
+        return np.arange(1000, dtype=np.float64) * 3.0
+
+ctx = Context(storage_dir=sys.argv[1], config={{"show_progress": False}})
+ctx.register(Slow())
+out = np.asarray(ctx.get_data("r", "slow_data"))
+assert out.shape == (1000,) and out[999] == 2997.0
+""".format(repo=str(Path(__file__).parent.parent))
+    store = str(tmp_path / "store")
+    procs = [subprocess.Popen([sys.executable, "-c", code, store],
+                              stderr=subprocess.PIPE, text=True)
+             for _ in range(6)]
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-500:]
+    # a fresh context must read the surviving entry cleanly
+    r = subprocess.run([sys.executable, "-c", code, store],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-500:]
