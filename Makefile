@@ -3,7 +3,8 @@
 PYTEST ?= python -m pytest
 
 .PHONY: test test-core test-records test-stw test-kernels bench bench-io \
-        docs docs-check perf-baseline perf-check schema-check clean
+        docs docs-check perf-baseline perf-check schema-check fuzz-native \
+        fuzz-chain clean
 
 test:
 	$(PYTEST) tests/ -q
@@ -40,6 +41,14 @@ perf-check:
 
 schema-check:
 	python scripts/schema_compat_check.py
+
+fuzz-native:
+	g++ -O1 -g -fsanitize=address,undefined \
+	    waveformanalysis_tpu/native/csv_decode.cpp scripts/fuzz_native.cpp \
+	    -o /tmp/wfa_fuzz && /tmp/wfa_fuzz
+
+fuzz-chain:
+	JAX_PLATFORMS=cpu python scripts/fuzz_chain_configs.py
 
 clean:
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
