@@ -83,6 +83,97 @@ class TestGroupingOps:
         assert out.iloc[0]["n_hits"] == 2
         np.testing.assert_array_equal(out.iloc[0]["channels"], [0, 1])
 
+    def test_device_backend_matches_host(self):
+        # plugin-scale parity: host oracle vs jitted device kernels on the
+        # same table, forced through both backends explicitly
+        rng = np.random.default_rng(7)
+        n = 5000
+        ts = np.sort(10**15 + np.cumsum(rng.integers(0, 300_000, n)))
+        df = pd.DataFrame({
+            "timestamp": ts,
+            "channel": rng.integers(0, 4, n).astype(np.int16),
+            "area": rng.uniform(0, 100, n),
+            "height": rng.uniform(0, 10, n),
+        })
+        host = G.group_multi_channel_hits(df, time_window_ns=250, backend="host")
+        dev = G.group_multi_channel_hits(df, time_window_ns=250, backend="device")
+        assert len(host) == len(dev)
+        np.testing.assert_array_equal(host["t_min"], dev["t_min"])
+        np.testing.assert_array_equal(host["t_max"], dev["t_max"])
+        np.testing.assert_array_equal(host["n_hits"], dev["n_hits"])
+        for i in (0, len(host) // 2, len(host) - 1):
+            np.testing.assert_array_equal(
+                host.iloc[i]["channels"], dev.iloc[i]["channels"]
+            )
+            np.testing.assert_array_equal(
+                host.iloc[i]["areas"], dev.iloc[i]["areas"]
+            )
+
+    def test_device_backend_matches_host_hit_windows(self):
+        rng = np.random.default_rng(11)
+        n = 2000
+        ts = np.sort(10**15 + np.cumsum(rng.integers(0, 500_000, n)))
+        hits = {
+            "timestamp": ts.astype(np.int64),
+            "position": rng.uniform(5, 20, n),
+            "board": np.zeros(n, np.int16),
+            "channel": rng.integers(0, 4, n).astype(np.int16),
+            "height": rng.uniform(1, 10, n).astype(np.float32),
+            "integral": rng.uniform(10, 100, n).astype(np.float32),
+            "record_id": np.arange(n, dtype=np.int64),
+            "dt": np.full(n, 2, np.int32),
+            "sample_start": rng.integers(0, 10, n).astype(np.int32),
+            "sample_end": rng.integers(20, 40, n).astype(np.int32),
+        }
+        host = G.group_hit_windows(hits, time_window_ns=300, backend="host")
+        dev = G.group_hit_windows(hits, time_window_ns=300, backend="device")
+        assert len(host) == len(dev)
+        np.testing.assert_array_equal(host["t_min"], dev["t_min"])
+        np.testing.assert_array_equal(host["n_hits"], dev["n_hits"])
+
+    def test_device_event_ids_random_parity(self):
+        from waveformanalysis_tpu.ops import grouping_device as GD
+
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            n = int(rng.integers(1, 1500))
+            ts = np.sort(
+                int(rng.integers(10**14, 10**15))
+                + np.cumsum(rng.integers(0, 200_000, n))
+            ).astype(np.int64)
+            w = float(rng.uniform(0, 400_000))
+            hb = G.anchor_window_boundaries(ts, w)
+            eid = np.asarray(GD.anchor_window_event_ids(ts, w))
+            np.testing.assert_array_equal(
+                hb, GD.boundaries_from_event_ids(eid)
+            )
+            # event ids are the dense cluster ordinals of those boundaries
+            assert eid[0] == 0
+            assert np.all(np.diff(eid) >= 0)
+
+    def test_group_events_device_aggregates(self):
+        from waveformanalysis_tpu.ops import grouping_device as GD
+
+        rng = np.random.default_rng(5)
+        n = 3000
+        ts = np.sort(10**15 + np.cumsum(rng.integers(0, 150_000, n)))
+        areas = rng.uniform(0, 50, n)
+        heights = rng.uniform(0, 5, n)
+        out = GD.group_events_device(
+            ts, np.zeros(n, np.int16), areas, heights, time_window_ns=200.0
+        )
+        b = G.anchor_window_boundaries(ts.astype(np.int64), 200.0 * 1e3)
+        assert out["n_events"] == len(b) - 1
+        np.testing.assert_array_equal(
+            out["t_min"], np.minimum.reduceat(ts, b[:-1])
+        )
+        np.testing.assert_array_equal(
+            out["n_hits"], np.diff(b).astype(np.int32)
+        )
+        np.testing.assert_allclose(
+            out["area_sum"], np.add.reduceat(areas, b[:-1]), rtol=1e-12
+        )
+
     def test_pair_events(self):
         df_events = pd.DataFrame({
             "event_id": [0, 1],

@@ -21,7 +21,24 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-KERNEL_VERSION = "grouping-v1"
+KERNEL_VERSION = "grouping-v2"
+
+# Below this row count the per-call device dispatch overhead (~3.5 ms over
+# the TPU tunnel) exceeds the host kernel's entire runtime.
+DEVICE_BACKEND_MIN_ROWS = 8192
+
+
+def _resolve_backend(backend: str, n_rows: int) -> str:
+    """auto|host|device -> host|device. Auto picks the device kernels for
+    large tables (binary-lifting clustering, segment reductions) and the
+    host oracles for small ones."""
+    if backend == "host":
+        return "host"
+    if backend == "device":
+        return "device"
+    if backend != "auto":
+        raise ValueError(f"unknown grouping backend: {backend!r}")
+    return "device" if n_rows >= DEVICE_BACKEND_MIN_ROWS else "host"
 
 
 def anchor_window_boundaries(ts_sorted: np.ndarray, window_ps: float) -> np.ndarray:
@@ -64,6 +81,7 @@ def group_multi_channel_hits(
     time_window_ns: float,
     use_numba: bool = True,  # accepted for API parity; vectorized regardless
     n_processes: Optional[int] = None,
+    backend: str = "auto",
 ) -> Any:
     """Cluster a (timestamp, channel, area, height) table into events.
 
@@ -90,7 +108,13 @@ def group_multi_channel_hits(
     if n == 0:
         return pd.DataFrame(columns=empty_cols)
 
-    boundaries = anchor_window_boundaries(ts_all.astype(np.int64), time_window_ps)
+    if _resolve_backend(backend, n) == "device":
+        from waveformanalysis_tpu.ops import grouping_device as GD
+
+        eid = GD.anchor_window_event_ids(ts_all.astype(np.int64), time_window_ps)
+        boundaries = GD.boundaries_from_event_ids(np.asarray(eid))
+    else:
+        boundaries = anchor_window_boundaries(ts_all.astype(np.int64), time_window_ps)
     n_events = len(boundaries) - 1
     event_of = np.repeat(np.arange(n_events), np.diff(boundaries))
 
@@ -132,6 +156,7 @@ def group_hit_windows(
     dt_values: Optional[np.ndarray] = None,
     component_rows: Optional[Dict[str, np.ndarray]] = None,
     component_hits: Optional[Dict[str, np.ndarray]] = None,
+    backend: str = "auto",
 ) -> Any:
     """Group merged hits into coincidence events by absolute windows.
 
@@ -217,7 +242,14 @@ def group_hit_windows(
 
     order = np.lexsort((record_ids, timestamps, dt_values, abs_starts))
     gap_ps = time_window_ns * 1e3
-    ids_sorted = chained_gap_cluster_ids(abs_starts[order], abs_ends[order], gap_ps)
+    if _resolve_backend(backend, n) == "device":
+        from waveformanalysis_tpu.ops import grouping_device as GD
+
+        ids_sorted = np.asarray(
+            GD.chained_gap_cluster_ids(abs_starts[order], abs_ends[order], gap_ps)
+        ).astype(np.int64)
+    else:
+        ids_sorted = chained_gap_cluster_ids(abs_starts[order], abs_ends[order], gap_ps)
     n_events = int(ids_sorted[-1]) + 1 if len(ids_sorted) else 0
 
     # within-event ordering: boards, channels, dt, abs_start, timestamp, rid

@@ -37,16 +37,23 @@ class GroupedEventsPlugin(Plugin):
         ),
         "n_processes": Option(default=None, type=int, track=False,
                               help="Accepted for API parity (vectorized path)"),
+        "grouping_backend": Option(
+            default="auto", type=str, track=False,
+            choices=("auto", "host", "device"),
+            help="auto|host|device: device uses the jitted binary-lifting "
+                 "clustering kernel (ops/grouping_device.py)",
+        ),
     }
 
     def compute(self, context: Any, run_id: str, **kwargs: Any):
         df = context.get_data(run_id, "df")
         tw = float(context.get_config(self, "time_window_ns"))
+        backend = context.get_config(self, "grouping_backend")
         analyzer = EventAnalyzer(
             n_channels=context.config.get("n_channels", 2),
             start_channel_slice=context.config.get("start_channel", 0),
         )
-        return analyzer.group_events(df, time_window_ns=tw)
+        return analyzer.group_events(df, time_window_ns=tw, backend=backend)
 
 
 class HitGroupedPlugin(Plugin):
@@ -64,6 +71,12 @@ class HitGroupedPlugin(Plugin):
             default=float(FeatureDefaults.TIME_WINDOW_NS), type=float,
             help="Coincidence window (ns) between hit windows",
         ),
+        "grouping_backend": Option(
+            default="auto", type=str, track=False,
+            choices=("auto", "host", "device"),
+            help="auto|host|device: device uses the jitted chained-gap "
+                 "cummax kernel (ops/grouping_device.py)",
+        ),
     }
 
     def compute(self, context: Any, run_id: str, **kwargs: Any):
@@ -71,10 +84,12 @@ class HitGroupedPlugin(Plugin):
         components = _as_columns(context.get_data(run_id, "hit_merged_components"))
         threshold_hits = _as_columns(context.get_data(run_id, "hit_threshold"))
         tw = float(context.get_config(self, "time_window_ns"))
+        backend = context.get_config(self, "grouping_backend")
         return G.group_hit_windows(
             merged, tw,
             component_rows=components,
             component_hits=threshold_hits,
+            backend=backend,
         )
 
 

@@ -28,11 +28,13 @@ class EventAnalyzer:
         time_window_ns: Optional[float] = None,
         use_numba: bool = True,
         n_processes: Optional[int] = None,
+        backend: str = "auto",
     ) -> Any:
         if time_window_ns is not None:
             self.time_window_ns = time_window_ns
         return group_multi_channel_hits(
-            df, self.time_window_ns, use_numba=use_numba, n_processes=n_processes
+            df, self.time_window_ns, use_numba=use_numba,
+            n_processes=n_processes, backend=backend,
         )
 
     def pair_events(self, df_events: Any, time_window_ns: Optional[float] = None) -> Any:
