@@ -1,0 +1,191 @@
+"""Fused subgraph execution: identical results, one device program.
+
+Covers context/fusion.py + the execution-domain integration: the
+basic_features / hit / hit_threshold bundle must produce bit-identical
+outputs to the per-plugin path, honor save_when + lineage, skip plugins
+with overridden compute, and be disabled by config.
+"""
+
+import numpy as np
+import pytest
+
+from waveformanalysis_tpu.context.context import Context
+from waveformanalysis_tpu.context.fusion import WaveChainFusion
+from waveformanalysis_tpu.dtypes.table import Table
+from waveformanalysis_tpu.plugins.builtin.basic_features import BasicFeaturesPlugin
+from waveformanalysis_tpu.plugins.builtin.hit_finder import ThresholdHitPlugin
+from waveformanalysis_tpu.plugins.builtin.peak_finding import HitFinderPlugin
+from waveformanalysis_tpu.plugins.builtin.s1_s2_classifier import S1S2ClassifierPlugin
+from waveformanalysis_tpu.plugins.builtin.waveform_width import WaveformWidthPlugin
+from waveformanalysis_tpu.testing.fixtures import make_fake_st_waveforms
+
+
+def _st(n=512, L=128, seed=0):
+    st = make_fake_st_waveforms(
+        n_events=n, wave_length=L, pulse_height=300, polarity="positive",
+        seed=seed,
+    )
+    st["channel"] = (np.arange(n) % 2).astype(np.int16)
+    return st
+
+
+def _make_ctx(tmp_path, sub, fused):
+    ctx = Context(storage_dir=str(tmp_path / sub),
+                  config={"show_progress": False, "fused_execution": fused})
+    ctx.register(BasicFeaturesPlugin(), HitFinderPlugin(), ThresholdHitPlugin(),
+                 WaveformWidthPlugin(), S1S2ClassifierPlugin())
+    # square-pulse fixture: detect on the inverted signal (the derivative is
+    # a single-sample spike that the width criterion rejects)
+    ctx.set_config({"hit": {"use_filtered": False, "use_derivative": False,
+                            "height": 100.0, "prominence": 50.0, "width": 2},
+                    "s1_s2": {"s1_width_range": (0.0, 30.0),
+                              "s2_width_range": (40.0, 10000.0)}})
+    return ctx
+
+
+def _tables_equal(a, b):
+    if not isinstance(a, Table):
+        a = Table.from_numpy(a)
+    if not isinstance(b, Table):
+        b = Table.from_numpy(b)
+    assert a.field_names == b.field_names
+    for k in a.field_names:
+        np.testing.assert_array_equal(
+            np.asarray(a[k]), np.asarray(b[k]), err_msg=f"field {k}"
+        )
+
+
+@pytest.mark.parametrize("target", ["s1_s2"])
+def test_fused_equals_unfused_full_chain(tmp_path, target):
+    st = _st()
+    ctx_f = _make_ctx(tmp_path, "fused", True)
+    ctx_u = _make_ctx(tmp_path, "unfused", False)
+    for ctx in (ctx_f, ctx_u):
+        ctx.inject_data("r", "st_waveforms", st)
+
+    out_f = ctx_f.get_data("r", target)
+    out_u = ctx_u.get_data("r", target)
+    assert len(out_u) > 0  # the chain actually detected peaks
+    _tables_equal(out_f, out_u)
+    # every bundle member's output identical too
+    for name in ("basic_features", "hit", "hit_threshold", "waveform_width"):
+        f = ctx_f.get_data("r", name)
+        u = ctx_u.get_data("r", name)
+        assert len(u) > 0, name
+        _tables_equal(f, u)
+
+
+def test_fusion_actually_fuses(tmp_path):
+    st = _st(n=256)
+    ctx = _make_ctx(tmp_path, "fused", True)
+    ctx.inject_data("r", "st_waveforms", st)
+    ctx.get_data("r", "s1_s2")
+    prof = ctx.profiler.timers if hasattr(ctx.profiler, "timers") else None
+    summary = ctx.profiler.summary() if hasattr(ctx.profiler, "summary") else ""
+    assert "fusion.wave_chain.compute" in str(summary)
+    # the fused members did not run their standalone compute
+    assert "plugin.hit.compute" not in str(summary)
+    assert "plugin.basic_features.compute" not in str(summary)
+
+
+def test_fusion_respects_save_when_and_cache(tmp_path):
+    st = _st(n=256)
+    ctx = _make_ctx(tmp_path, "fused", True)
+    ctx.inject_data("r", "st_waveforms", st)
+    ctx.get_data("r", "s1_s2")
+    # hit_threshold is outside the s1_s2 dep tree; request it explicitly
+    ctx.get_data("r", "hit_threshold")
+    # all bundle members were saved (save_when=always) under their own keys
+    for name in ("basic_features", "hit", "hit_threshold"):
+        key = ctx.key_for("r", name)
+        assert ctx.storage.exists(key, run_id="r"), name
+    # a cloned context re-reads everything from cache (no recompute)
+    ctx2 = ctx.clone()
+    ctx2.inject_data("r", "st_waveforms", st)
+    out2 = ctx2.get_data("r", "s1_s2")
+    summary2 = ctx2.profiler.summary() if hasattr(ctx2.profiler, "summary") else ""
+    assert "fusion.wave_chain.compute" not in str(summary2)
+    _tables_equal(out2, ctx.get_data("r", "s1_s2"))
+
+
+def test_fusion_skips_overridden_compute(tmp_path):
+    class CustomHit(HitFinderPlugin):
+        def compute(self, context, run_id, **kwargs):
+            out = super().compute(context, run_id, **kwargs)
+            return out
+
+    st = _st(n=256)
+    ctx = Context(storage_dir=str(tmp_path / "c"),
+                  config={"show_progress": False})
+    ctx.register(BasicFeaturesPlugin(), CustomHit(), ThresholdHitPlugin())
+    ctx.inject_data("r", "st_waveforms", st)
+    rule = WaveChainFusion()
+    members = rule.plan(ctx, "r", {"basic_features", "hit", "hit_threshold"})
+    assert members is not None
+    assert "hit" not in members  # overridden compute is not fusable
+    assert set(members) == {"basic_features", "hit_threshold"}
+
+
+def test_fusion_single_member_not_fused(tmp_path):
+    st = _st(n=128)
+    ctx = Context(storage_dir=str(tmp_path / "s"),
+                  config={"show_progress": False})
+    ctx.register(BasicFeaturesPlugin())
+    ctx.inject_data("r", "st_waveforms", st)
+    rule = WaveChainFusion()
+    assert rule.plan(ctx, "r", {"basic_features"}) is None
+    out = ctx.get_data("r", "basic_features")
+    assert len(out) == 128
+
+
+def test_fusion_disabled_by_config(tmp_path):
+    st = _st(n=128)
+    ctx = _make_ctx(tmp_path, "off", False)
+    ctx.inject_data("r", "st_waveforms", st)
+    ctx.get_data("r", "hit_threshold")
+    summary = ctx.profiler.summary() if hasattr(ctx.profiler, "summary") else ""
+    assert "fusion" not in str(summary)
+    assert "plugin.hit_threshold.compute" in str(summary)
+
+
+@pytest.mark.multidevice
+def test_mesh_attached_context_matches_single_device(tmp_path):
+    import jax
+
+    from waveformanalysis_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    # n NOT a multiple of 8: exercises the pad/unpad path
+    st = _st(n=300)
+    ctx_single = _make_ctx(tmp_path, "single", True)
+    ctx_mesh = _make_ctx(tmp_path, "mesh", True).attach_mesh(make_mesh(8))
+    for ctx in (ctx_single, ctx_mesh):
+        ctx.inject_data("r", "st_waveforms", st)
+    out_s = ctx_single.get_data("r", "s1_s2")
+    out_m = ctx_mesh.get_data("r", "s1_s2")
+    assert len(out_s) > 0
+    _tables_equal(out_s, out_m)
+    for name in ("basic_features", "hit"):
+        _tables_equal(
+            ctx_single.get_data("r", name), ctx_mesh.get_data("r", name)
+        )
+    # lineage keys identical: the mesh is an execution strategy, not config
+    assert ctx_single.key_for("r", "s1_s2") == ctx_mesh.key_for("r", "s1_s2")
+    # clone keeps the mesh attachment
+    assert ctx_mesh.clone().mesh is not None
+
+
+def test_fusion_program_cache_reuse(tmp_path):
+    rule = WaveChainFusion()
+    st = _st(n=128)
+    ctx = Context(storage_dir=str(tmp_path / "p"),
+                  config={"show_progress": False})
+    ctx.register(BasicFeaturesPlugin(), ThresholdHitPlugin())
+    ctx.inject_data("r", "st_waveforms", st)
+    members = rule.plan(ctx, "r", {"basic_features", "hit_threshold"})
+    r1 = rule.compute(ctx, "r", members)
+    assert len(rule._programs) == 1
+    r2 = rule.compute(ctx, "r", members)
+    assert len(rule._programs) == 1  # same device program reused
+    _tables_equal(r1["hit_threshold"], r2["hit_threshold"])

@@ -167,6 +167,22 @@ class TestStreamingContext:
         assert times.min() >= 5000 - 20  # intersect semantics keep overlaps
         assert times.max() < 12_000
 
+    @pytest.mark.multidevice
+    def test_merge_stream_device_backend(self, stream_ctx):
+        from waveformanalysis_tpu.parallel.mesh import make_mesh
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        sc = get_streaming_context(stream_ctx)
+        chunks = list(sc.get_stream("test_run", "source_data", chunk_size=7))
+        host = sc.merge_stream(list(chunks), backend="host")
+        chunks2 = list(sc.get_stream("test_run", "source_data", chunk_size=7))
+        dev = sc.merge_stream(chunks2, backend="device", mesh=make_mesh(8))
+        assert len(host) == len(dev)
+        np.testing.assert_array_equal(
+            np.asarray(host["time"]), np.asarray(dev["time"])
+        )
+
 
 class TestSignalPeaksStream:
     def test_stream_hits(self, tmp_path):

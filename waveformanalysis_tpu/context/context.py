@@ -50,31 +50,36 @@ logger = logging.getLogger(__name__)
 _jax_cache_enabled_for: Optional[str] = None
 
 
-def _enable_jax_compilation_cache(storage_dir: Optional[str]) -> None:
-    """Point jax's persistent compilation cache at ``storage_dir``.
+def _enable_jax_compilation_cache(setting: Any) -> None:
+    """Enable the persistent XLA compilation cache (stable per-user dir).
 
-    Best-effort and idempotent: first Context wins (jax reads the setting at
-    first compile), failures only log. Respects an explicit user setting via
-    the JAX_COMPILATION_CACHE_DIR environment variable.
+    ``setting`` is the context config value: True (platform default policy),
+    or a string path (forces the cache on at that location). Best-effort and
+    idempotent; first caller wins (jax reads the setting at first compile).
+    An explicit JAX_COMPILATION_CACHE_DIR env var is respected. The cache
+    deliberately does NOT live under ``storage_dir``: benchmark/CI contexts
+    use throwaway storage dirs, and the whole point is that a fresh process
+    skips recompiling kernels it has built before.
+    (See foundation/compile_cache.py.)
     """
     global _jax_cache_enabled_for
-    if storage_dir is None or _jax_cache_enabled_for is not None:
+    if _jax_cache_enabled_for is not None:
         return
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         _jax_cache_enabled_for = os.environ["JAX_COMPILATION_CACHE_DIR"]
         return
-    try:
-        import jax
+    from waveformanalysis_tpu.foundation.compile_cache import (
+        ensure_compilation_cache,
+    )
 
-        cache_dir = os.path.join(storage_dir, "_jax_cache")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache every >1s compile regardless of size heuristics
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        _jax_cache_enabled_for = cache_dir
-        logger.debug("jax compilation cache -> %s", cache_dir)
-    except Exception as err:  # pragma: no cover - jax version dependent
-        logger.debug("could not enable jax compilation cache: %s", err)
+    if isinstance(setting, str):
+        path = ensure_compilation_cache(cache_dir=setting, force=True)
+    else:
+        path = ensure_compilation_cache()
+    if path:
+        _jax_cache_enabled_for = path
+        logger.debug("jax compilation cache -> %s", path)
+
 
 # Context-owned config keys (documented for show_config; reference:
 # context.py:215-231 _CONTEXT_CONFIG_NOTES).
@@ -146,6 +151,7 @@ class Context:
             self._plugin_backends[name] = backend
 
         self._plugins: Dict[str, Plugin] = {}
+        self._mesh: Optional[Tuple[Any, str]] = None
         self._results: Dict[Tuple[str, str], Any] = {}
         self._results_lineage: Dict[Tuple[str, str], str] = {}
         self._manual_names: Set[str] = set()
@@ -175,8 +181,9 @@ class Context:
         # process's first jitted-kernel run loads the compiled executable
         # instead of recompiling (~tens of seconds on TPU). Opt out with
         # config={"jax_compilation_cache": False}.
-        if self.config.get("jax_compilation_cache", True):
-            _enable_jax_compilation_cache(self.storage_dir)
+        _cache_setting = self.config.get("jax_compilation_cache", True)
+        if _cache_setting:
+            _enable_jax_compilation_cache(_cache_setting)
 
         if register:
             self.register(*register)
@@ -232,12 +239,25 @@ class Context:
 
     def set_config(self, config_or_key: Union[Dict[str, Any], str],
                    value: Any = None) -> "Context":
-        """Update config; invalidates lineage/plan caches for affected names."""
+        """Update config; invalidates lineage/plan caches for affected names.
+
+        Plugin-scoped (and other) dict values MERGE one level deep:
+        ``set_config({"hit": {"height": 5}})`` followed by
+        ``set_config({"hit": {"backend": "xla"}})`` keeps both keys. Pass a
+        non-dict (e.g. None then the dict) to replace a scope outright.
+        """
         if isinstance(config_or_key, dict):
             updates = config_or_key
         else:
             updates = {config_or_key: value}
-        self.config.update(updates)
+        for k, v in updates.items():
+            old = self.config.get(k)
+            if isinstance(old, dict) and isinstance(v, dict):
+                merged = dict(old)
+                merged.update(v)
+                self.config[k] = merged
+            else:
+                self.config[k] = v
         # Conservative invalidation: config keys may feed any plugin's options.
         self.cache_domain.clear_performance_caches()
         return self
@@ -694,7 +714,31 @@ class Context:
         )
         for plugin in self._plugins.values():
             new.register(type(plugin)())
+        if self._mesh is not None:
+            new.attach_mesh(self._mesh[0], axis=self._mesh[1])
         return new
+
+    # ------------------------------------------------------------------
+    # Device mesh (multi-chip execution)
+    # ------------------------------------------------------------------
+
+    def attach_mesh(self, mesh: Any, axis: str = "data") -> "Context":
+        """Attach a jax device Mesh: fused device programs then execute
+        sharded over ``axis`` (event-axis data parallelism via shard_map)
+        instead of on one device. Purely an execution-strategy switch —
+        results and lineage keys are unchanged. Returns self for chaining.
+        """
+        if mesh is not None and axis not in mesh.shape:
+            raise ConfigError(
+                f"Mesh has no axis {axis!r} (axes: {tuple(mesh.shape)})"
+            )
+        self._mesh = None if mesh is None else (mesh, axis)
+        return self
+
+    @property
+    def mesh(self) -> Optional[Any]:
+        """The attached (mesh, axis) tuple, or None (single-device)."""
+        return self._mesh
 
     def create_context_factory(self):
         """A picklable factory recreating an equivalent Context in another

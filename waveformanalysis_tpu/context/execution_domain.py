@@ -102,13 +102,23 @@ class ExecutionDomain:
         """Execute the plan for ``target``; returns the target's data."""
         plan = self.resolve_execution_plan(target, run_id)
         needed = self.compute_needed_set(plan, target, run_id)
+        fusion_bundles = self._plan_fusion(run_id, needed, kwargs)
+        fused_results: Dict[str, Any] = {}
         target_result = None
         target_ran = False
         for name in plan:
             if name not in needed:
                 continue
+            bundle = fusion_bundles.get(name)
+            if bundle is not None and name not in fused_results:
+                # first member reached: run the whole bundle in one fused
+                # device program (deps are earlier in the topo-sorted plan)
+                rule, members = bundle
+                with self.ctx.profiler.time(f"fusion.{rule.name}.compute"):
+                    fused_results.update(rule.compute(self.ctx, run_id, members))
             result = self.execute_single_plugin(
-                run_id, name, is_target=(name == target), **kwargs
+                run_id, name, is_target=(name == target),
+                precomputed=fused_results, **kwargs
             )
             if name == target:
                 target_result = result
@@ -118,8 +128,35 @@ class ExecutionDomain:
             return target_result
         return self.ctx._load_for_user(run_id, target)
 
+    def _plan_fusion(
+        self, run_id: str, needed: Set[str], kwargs: Dict[str, Any]
+    ) -> Dict[str, Any]:
+        """Map member data name -> (rule, members) for applicable fusions."""
+        if kwargs or not self.ctx.config.get("fused_execution", True):
+            return {}
+        from waveformanalysis_tpu.context.fusion import get_fusion_rules
+
+        bundles: Dict[str, Any] = {}
+        covered: Set[str] = set()
+        for rule in get_fusion_rules():
+            try:
+                members = rule.plan(self.ctx, run_id, needed - covered)
+            except Exception as exc:  # pragma: no cover - defensive
+                logger.debug("fusion rule %s rejected: %s", rule.name, exc)
+                members = None
+            if members:
+                for m in members:
+                    bundles[m] = (rule, list(members))
+                covered.update(members)
+        return bundles
+
     def execute_single_plugin(
-        self, run_id: str, name: str, is_target: bool = False, **kwargs: Any
+        self,
+        run_id: str,
+        name: str,
+        is_target: bool = False,
+        precomputed: Optional[Dict[str, Any]] = None,
+        **kwargs: Any,
     ) -> Any:
         ctx = self.ctx
         plugin = ctx._plugins[name]
@@ -146,8 +183,13 @@ class ExecutionDomain:
                 return result
 
             self._validate_plugin_config(plugin)
-            with ctx.profiler.time(f"plugin.{name}.compute"):
-                result = self._compute_with_timeout(plugin, run_id, **kwargs)
+            if precomputed is not None and name in precomputed:
+                # produced by a fused device program this run; still flows
+                # through the full contract/dtype/save pipeline below
+                result = precomputed[name]
+            else:
+                with ctx.profiler.time(f"plugin.{name}.compute"):
+                    result = self._compute_with_timeout(plugin, run_id, **kwargs)
 
             if plugin.output_kind == "stream" and _is_generator(result):
                 result = self.wrap_generator_to_save(

@@ -1,0 +1,289 @@
+"""Fused subgraph execution: lower several plugins into ONE device program.
+
+The reference executes its plugin DAG strictly one plugin at a time, each
+materializing its output before the next starts
+(reference: waveform_analysis/core/context_execution.py:293-475). On TPU
+that wastes the expensive resources: the padded wave matrix would be
+re-uploaded and re-swept once per plugin, and every plugin pays its own
+dispatch through the host->device link.
+
+Here the Context behaves like a graph compiler: when the needed set of an
+execution plan contains several wave-derived plugins that share the same
+wave source, their ``device_stage`` programs are composed into a single
+``jax.jit`` program. XLA then sees all of them at once — the f32 conversion
+and polarity-normalized signal are computed once, every kernel reads the
+wave matrix from the same HBM residency, and the host pays ONE upload + ONE
+dispatch + ONE device_get for the whole bundle.
+
+Correctness contract: fusion is a pure execution strategy. Each member
+plugin's ``kernel_config`` / ``host_prep`` / ``device_stage`` / ``finalize``
+phases are exactly the ones its standalone ``compute`` runs, so outputs are
+bit-identical, lineage/cache keys are untouched, and save_when semantics
+apply per plugin as usual (tests/test_fusion.py asserts equality).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+FUSED_CHAIN_MEMBERS = ("basic_features", "hit", "hit_threshold")
+
+# device_stage-relevant config keys per member: the jit program is cached on
+# these (host-only keys like channel_config affect inputs, not the program)
+_DEVICE_CFG_KEYS = {
+    "basic_features": ("height_range", "area_range"),
+    "hit": (
+        "use_derivative", "height", "distance", "prominence", "width",
+        "height_method", "height_window_extension", "max_peaks", "backend",
+    ),
+    "hit_threshold": (
+        "left_extension", "right_extension", "max_hits", "backend",
+    ),
+}
+
+
+class WaveChainFusion:
+    """Fuses basic_features / hit / hit_threshold over a shared wave source."""
+
+    name = "wave_chain"
+
+    def __init__(self) -> None:
+        self._programs: Dict[Tuple, Any] = {}
+
+    # -- applicability -------------------------------------------------------
+
+    def plan(self, ctx: Any, run_id: str, needed: set) -> Optional[List[str]]:
+        """Member names this rule can produce in one dispatch, or None."""
+        from waveformanalysis_tpu.plugins.builtin._wave_source import (
+            resolve_wave_input_spec,
+        )
+        from waveformanalysis_tpu.plugins.builtin.basic_features import (
+            BasicFeaturesPlugin,
+        )
+        from waveformanalysis_tpu.plugins.builtin.hit_finder import (
+            ThresholdHitPlugin,
+        )
+        from waveformanalysis_tpu.plugins.builtin.peak_finding import (
+            HitFinderPlugin,
+        )
+
+        expected = {
+            "basic_features": BasicFeaturesPlugin,
+            "hit": HitFinderPlugin,
+            "hit_threshold": ThresholdHitPlugin,
+        }
+        members = [m for m in FUSED_CHAIN_MEMBERS if m in needed]
+        if len(members) < 2:
+            return None
+        usable = []
+        sources = set()
+        for m in members:
+            plugin = ctx._plugins.get(m)
+            # only the builtin implementations are fusable: a subclass with
+            # its own compute must run through the normal path
+            if plugin is None or type(plugin).compute is not expected[m].compute:
+                continue
+            try:
+                spec = resolve_wave_input_spec(ctx, plugin)
+            except Exception:
+                continue
+            usable.append(m)
+            sources.add(spec.expected_name)
+        if len(usable) < 2 or len(sources) != 1:
+            return None
+        return usable
+
+    # -- execution -----------------------------------------------------------
+
+    def compute(self, ctx: Any, run_id: str, members: List[str]) -> Dict[str, Any]:
+        """Run the fused program; returns {data_name: finalized result}."""
+        import jax
+        import jax.numpy as jnp
+
+        from waveformanalysis_tpu.dtypes.table import Table
+        from waveformanalysis_tpu.plugins.builtin.basic_features import (
+            BASIC_FEATURES_SCHEMA,
+        )
+        from waveformanalysis_tpu.plugins.builtin.hit_finder import (
+            THRESHOLD_HIT_SCHEMA,
+        )
+        from waveformanalysis_tpu.plugins.builtin.peak_finding import (
+            HIT_SCHEMA,
+            _load_wave_matrix,
+        )
+
+        plugins = {m: ctx._plugins[m] for m in members}
+        cfgs = {m: plugins[m].kernel_config(ctx) for m in members}
+
+        # one wave-input load for the whole bundle (keeps the native integer
+        # dtype; every device stage casts on device)
+        waves, lengths, meta = _load_wave_matrix(
+            ctx, plugins[members[0]], run_id, keep_integer_waves=True
+        )
+        n = len(lengths)
+        if n == 0:
+            empty = {
+                "basic_features": lambda: Table.zeros(0, BASIC_FEATURES_SCHEMA),
+                "hit": lambda: Table.zeros(0, HIT_SCHEMA),
+                "hit_threshold": lambda: Table.zeros(0, THRESHOLD_HIT_SCHEMA),
+            }
+            return {m: empty[m]() for m in members}
+
+        # host preps (config machinery producing device inputs)
+        sign = np.where(meta["polarity"] > 0, 1.0, -1.0).astype(np.float32)
+        thresholds = None
+        if "hit_threshold" in members:
+            thresholds = plugins["hit_threshold"].host_prep(
+                cfgs["hit_threshold"], ctx, run_id, meta
+            ).astype(np.float32)
+        bf_baselines = None
+        if "basic_features" in members:
+            bf_baselines = plugins["basic_features"].host_prep(
+                cfgs["basic_features"], ctx, run_id,
+                np.asarray(meta["baseline"], dtype=np.float64),
+                meta["board"], meta["channel"],
+            )
+
+        mesh_info = getattr(ctx, "mesh", None)
+        program = self._get_program(tuple(members), cfgs, plugins, mesh_info)
+
+        thresholds_np = (
+            np.zeros((n,), np.float32) if thresholds is None else thresholds
+        )
+        inputs = (
+            np.ascontiguousarray(waves),
+            lengths.astype(np.int32),
+            sign,
+            meta["baseline"].astype(np.float32),
+            thresholds_np,
+        )
+        if mesh_info is not None:
+            host_out = self._run_sharded(program, inputs, n, mesh_info)
+        else:
+            dev_out = program(*(jnp.asarray(x) for x in inputs))
+            host_out = jax.device_get(dev_out)
+
+        results: Dict[str, Any] = {}
+        for m in members:
+            if m == "basic_features":
+                pol = np.where(
+                    meta["polarity"] == 0, np.int8(-1), meta["polarity"]
+                ).astype(np.int8)
+                results[m] = plugins[m].finalize(
+                    cfgs[m], host_out[m], bf_baselines, pol,
+                    meta["timestamp"], meta["board"], meta["channel"],
+                )
+            elif m == "hit":
+                results[m] = plugins[m].finalize(cfgs[m], host_out[m], meta, n)
+            elif m == "hit_threshold":
+                results[m] = plugins[m].finalize(
+                    cfgs[m], host_out[m], meta, lengths, n
+                )
+        logger.debug(
+            "fused %s over %d waveforms in one device program", members, n
+        )
+        return results
+
+    @staticmethod
+    def _run_sharded(program, inputs, n: int, mesh_info) -> Dict[str, Any]:
+        """Pad the event axis to the shard multiple, run, unpad outputs.
+
+        Pad rows carry event_length 0 (no samples -> no features, no peaks,
+        no hits) and are sliced off before finalize.
+        """
+        import jax
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh, axis = mesh_info
+        n_shards = mesh.shape[axis]
+        padded_n = ((n + n_shards - 1) // n_shards) * n_shards
+        pad = padded_n - n
+        if pad:
+            inputs = tuple(
+                np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+                for x in inputs
+            )
+        put = [
+            jax.device_put(
+                x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+            )
+            for x in inputs
+        ]
+        out = jax.device_get(program(*put))
+        if pad:
+            out = jax.tree_util.tree_map(lambda a: a[:n], out)
+        return out
+
+    def _get_program(
+        self, members: Tuple[str, ...], cfgs: Dict, plugins: Dict,
+        mesh_info=None,
+    ):
+        """jit program cached on (members, device-relevant config values)."""
+        import jax
+
+        key_parts: List[Any] = [members]
+        for m in members:
+            key_parts.append(
+                tuple((k, cfgs[m][k]) for k in _DEVICE_CFG_KEYS[m])
+            )
+        if mesh_info is not None:
+            mesh, axis = mesh_info
+            key_parts.append(("mesh", id(mesh), axis))
+        key = tuple(key_parts)
+        prog = self._programs.get(key)
+        if prog is not None:
+            return prog
+
+        stages = {m: type(plugins[m]).device_stage for m in members}
+        member_cfgs = {m: dict(cfgs[m]) for m in members}
+
+        def program(waves_d, lengths_d, sign_d, baselines_d, thresholds_d):
+            out = {}
+            for m in members:
+                if m == "basic_features":
+                    out[m] = stages[m](member_cfgs[m], waves_d, lengths_d)
+                elif m == "hit":
+                    out[m] = stages[m](
+                        member_cfgs[m], waves_d, lengths_d, sign_d, baselines_d
+                    )
+                elif m == "hit_threshold":
+                    out[m] = stages[m](
+                        member_cfgs[m], waves_d, lengths_d, sign_d,
+                        baselines_d, thresholds_d,
+                    )
+            return out
+
+        if mesh_info is not None:
+            # event-axis data parallelism: one shard_map over the whole
+            # bundle, every stage's outputs sharded on their leading dim
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            mesh, axis = mesh_info
+            program = shard_map(
+                program,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+
+        prog = jax.jit(program)
+        self._programs[key] = prog
+        return prog
+
+
+_DEFAULT_RULES: Optional[List[Any]] = None
+
+
+def get_fusion_rules() -> List[Any]:
+    global _DEFAULT_RULES
+    if _DEFAULT_RULES is None:
+        _DEFAULT_RULES = [WaveChainFusion()]
+    return _DEFAULT_RULES

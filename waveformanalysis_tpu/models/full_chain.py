@@ -164,6 +164,16 @@ def full_chain_step(
         "fall_samples": jnp.where(has_peak, widths["fall_samples"], 0.0),
         "width_samples": width_samples,
         "label": label,
+        # overflow contract: events whose candidate peaks / threshold runs
+        # exceeded the static max_peaks/max_hits capacity (beyond-K entries
+        # are dropped on device; the host wrapper's policy decides whether
+        # that warns or raises — see run_chain / test_chain_overflow.py)
+        "n_peak_overflow": jnp.sum(
+            peaks["n_candidates"] > cfg.max_peaks
+        ).astype(jnp.int32),
+        "n_hit_overflow": jnp.sum(
+            hits["n_runs"] > cfg.max_hits
+        ).astype(jnp.int32),
     }
 
 
@@ -173,6 +183,57 @@ CHAIN_OUT_KEYS = (
     "width_samples", "label",
 )
 CHAIN_STATS_KEYS = ("n_s1", "n_s2", "total_area")
+CHAIN_OVERFLOW_KEYS = ("n_peak_overflow", "n_hit_overflow")
+
+
+class ChainOverflowError(RuntimeError):
+    """Raised in strict mode when events exceed the static peak/hit
+    capacity (their beyond-K entries would be silently dropped)."""
+
+
+def run_chain(
+    waves,
+    event_length,
+    baselines,
+    polarity_codes,
+    cfg: Optional[ChainConfig] = None,
+    overflow_policy: str = "warn",
+) -> Dict[str, jax.Array]:
+    """Host wrapper around the jitted chain with an explicit overflow policy.
+
+    policy:
+      - ``warn`` (default): log a warning with the overflow counts;
+      - ``raise``: raise :class:`ChainOverflowError` (strict mode);
+      - ``ignore``: counters are still in the outputs, nothing else.
+
+    The counters (`n_peak_overflow`, `n_hit_overflow`) count events whose
+    candidate peaks / threshold runs exceeded ``cfg.max_peaks`` /
+    ``cfg.max_hits`` — those events keep their K strongest-ordered entries
+    and drop the rest (static device shapes; the reference's unbounded
+    Python lists have no such cap, peak_finding.py:446).
+    """
+    if overflow_policy not in ("warn", "raise", "ignore"):
+        raise ValueError(f"unknown overflow_policy {overflow_policy!r}")
+    step = make_jit_chain(cfg)
+    out = step(waves, event_length, baselines, polarity_codes)
+    if overflow_policy != "ignore":
+        n_po = int(out["n_peak_overflow"])
+        n_ho = int(out["n_hit_overflow"])
+        if n_po or n_ho:
+            cfg = cfg or ChainConfig()
+            msg = (
+                f"full chain capacity overflow: {n_po} events exceeded "
+                f"max_peaks={cfg.max_peaks}, {n_ho} exceeded "
+                f"max_hits={cfg.max_hits}; beyond-capacity entries dropped. "
+                f"Raise the limits in ChainConfig or use overflow_policy="
+                f"'ignore'."
+            )
+            if overflow_policy == "raise":
+                raise ChainOverflowError(msg)
+            import logging
+
+            logging.getLogger(__name__).warning(msg)
+    return out
 
 
 def make_jit_chain(cfg: Optional[ChainConfig] = None):
@@ -200,10 +261,12 @@ def make_sharded_chain(mesh: Mesh, cfg: Optional[ChainConfig] = None,
             jnp.sum(out["label"] == 2).astype(jnp.int32), axis
         )
         out["total_area"] = jax.lax.psum(jnp.sum(out["area"]), axis)
+        for k in CHAIN_OVERFLOW_KEYS:
+            out[k] = jax.lax.psum(out[k], axis)
         return out
 
     out_specs = {k: P(axis) for k in CHAIN_OUT_KEYS}
-    out_specs.update({k: P() for k in CHAIN_STATS_KEYS})
+    out_specs.update({k: P() for k in CHAIN_STATS_KEYS + CHAIN_OVERFLOW_KEYS})
     sharded = shard_map(
         local,
         mesh=mesh,

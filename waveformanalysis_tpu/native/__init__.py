@@ -42,8 +42,16 @@ def _build() -> bool:
         # file (interleaved g++ output would install a corrupt .so); the
         # final rename is atomic, so whichever finishes last wins cleanly
         tmp = _LIB.with_suffix(f".so.tmp.{os.getpid()}")
-        cmd = ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(tmp)]
+        # -march=native: the SWAR digit kernels and memchr scans benefit
+        # from BMI2/AVX codegen; fall back to plain -O3 if the compiler
+        # rejects the flag (exotic/virtualized hosts)
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+               str(_SRC), "-o", str(tmp)]
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if proc.returncode != 0:
+            cmd = ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(tmp)]
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=120)
         if proc.returncode != 0:
             logger.warning("native build failed: %s", proc.stderr[-500:])
             return False
@@ -78,6 +86,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int,
                 ctypes.c_char, ctypes.c_longlong, ctypes.c_longlong,
                 ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.wfa_csv_decode_typed.restype = ctypes.c_longlong
+            lib.wfa_csv_decode_typed.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int,
+                ctypes.c_char, ctypes.c_longlong, ctypes.c_longlong,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.POINTER(ctypes.c_longlong),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_uint16),
             ]
             lib.wfa_v1725_scan.restype = ctypes.c_longlong
             lib.wfa_v1725_scan.argtypes = [
@@ -128,6 +147,60 @@ def decode_csv_bytes(data: bytes, skip_rows: int = 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return out[:got]
+
+
+def decode_csv_vx2730_typed(
+    data: bytes,
+    skip_rows: int = 0,
+    delimiter: str = ";",
+    samples_start: int = 7,
+    baseline_start: int = 7,
+    baseline_end: int = 47,
+) -> Optional[dict]:
+    """Typed single-pass VX2730 decode (see wfa_csv_decode_typed).
+
+    Returns {board i16, channel i16, timestamp i64, baseline f8,
+    samples u16 (n, L)} or None when the native library is unavailable OR
+    the file contains anomalies the strict typed parser rejects — the
+    caller then falls back to :func:`decode_csv_bytes` + the generic part
+    builder, preserving bit-parity on weird inputs.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    if n == 0:
+        return {"board": np.zeros(0, np.int16), "channel": np.zeros(0, np.int16),
+                "timestamp": np.zeros(0, np.int64),
+                "baseline": np.zeros(0, np.float64),
+                "samples": np.zeros((0, 0), np.uint16)}
+    ncols = ctypes.c_longlong(0)
+    delim = delimiter.encode()[:1]
+    rows = lib.wfa_csv_shape(data, n, skip_rows, delim, ctypes.byref(ncols))
+    if rows <= 0 or ncols.value <= samples_start:
+        return None  # unusual shape: let the generic path handle it
+    n_samples = ncols.value - samples_start
+    board = np.empty(rows, dtype=np.int16)
+    channel = np.empty(rows, dtype=np.int16)
+    timestamp = np.empty(rows, dtype=np.int64)
+    baseline = np.empty(rows, dtype=np.float64)
+    samples = np.empty((rows, n_samples), dtype=np.uint16)
+    got = lib.wfa_csv_decode_typed(
+        data, n, skip_rows, delim, ncols.value, rows,
+        samples_start, baseline_start, baseline_end,
+        board.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        channel.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        timestamp.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        baseline.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if got < 0:
+        return None  # anomaly: strict parser rejected, use the generic path
+    return {
+        "board": board[:got], "channel": channel[:got],
+        "timestamp": timestamp[:got], "baseline": baseline[:got],
+        "samples": samples[:got],
+    }
 
 
 def decode_v1725_bytes(data: bytes) -> Optional[dict]:

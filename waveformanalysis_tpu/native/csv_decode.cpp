@@ -192,6 +192,209 @@ long long wfa_csv_decode(const char* buf, long long len, int skip_rows,
     return row;
 }
 
+// ---------------------------------------------------------------------------
+// Typed single-pass VX2730 decode: parse directly into the records-builder
+// columns (board/channel int16, timestamp int64, uint16 sample matrix,
+// float64 baseline means) instead of a row-major float64 matrix.
+//
+// Why: the generic path writes n_cols*8 bytes per row of f64 output that
+// numpy immediately re-reads and converts (board->i16, samples->u16,
+// baseline window mean) — on this host the f64 stores alone exceed the CSV
+// input bytes. The typed pass emits the final representation once and folds
+// the baseline-window sum into the sample writes.
+//
+// Digit parsing is SWAR (8 bytes at a time): classify the digit run with
+// bit tricks, left-align, and reduce with two multiplies — ~3x fewer
+// instructions than the per-char accumulate loop on the 3-5 digit sample
+// fields that dominate VX2730 rows.
+//
+// Strictness contract: the typed pass handles rows of exactly n_cols
+// fields where board/channel/timestamp/samples are plain non-negative
+// integers in range (i16 / i64 / u16). A row with the WRONG field count is
+// skipped, matching wfa_csv_decode. Any other anomaly (float where an int
+// must be, overflow, stray text) returns -1 and the caller falls back to
+// the generic decoder — keeping bit-parity with the reference pipeline on
+// weird files while real DAQ data takes the fast path.
+
+namespace {
+
+// Digit-run length at q (0..8) and the parsed value of that run.
+// Requires 8 readable bytes at q (caller guarantees via padding check).
+inline int swar_digit_run(const char* q, unsigned* val) {
+    uint64_t w;
+    memcpy(&w, q, 8);
+    uint64_t x = w ^ 0x3030303030303030ull;           // digits: byte <= 9
+    uint64_t hi = x & 0xF0F0F0F0F0F0F0F0ull;          // high nibble set -> non-digit
+    uint64_t lo = ((x & 0x0F0F0F0F0F0F0F0Full) + 0x0606060606060606ull)
+                  & 0x1010101010101010ull;            // low nibble > 9
+    uint64_t nond = hi | lo;                          // per-byte non-digit flags
+    int len = nond ? (__builtin_ctzll(nond) >> 3) : 8;
+    if (len == 0) { *val = 0; return 0; }
+    // left-align into an 8-digit string "000...d0d1..": shift digits to the
+    // high byte positions and fill the vacated low bytes with ASCII zeros
+    int pad = 8 - len;
+    uint64_t digits = (pad == 0)
+        ? w
+        : ((w << (pad * 8)) | (0x3030303030303030ull >> (len * 8)));
+    // Lemire parse-8-digits: pairs then quads then the full value
+    uint64_t v = digits - 0x3030303030303030ull;
+    v = (v * 10) + (v >> 8);
+    v = (((v & 0x000000FF000000FFull) * 0x000F424000000064ull)
+         + (((v >> 16) & 0x000000FF000000FFull) * 0x0000271000000001ull)) >> 32;
+    *val = (unsigned)v;
+    return len;
+}
+
+}  // namespace
+
+long long wfa_csv_decode_typed(
+    const char* buf, long long len, int skip_rows, char delim,
+    long long n_cols, long long max_rows,
+    int samples_start, int baseline_lo, int baseline_hi,
+    short* board_out, short* channel_out, long long* ts_out,
+    double* baseline_out, unsigned short* samples_out) {
+    const char* end = buf + len;
+    const char* p = skip_lines(buf, end, skip_rows);
+    if (n_cols <= samples_start || samples_start < 3) return -1;
+    const long long n_samples = n_cols - samples_start;
+    // sample-relative baseline window (absolute col indexes in, clamped)
+    long long bl_lo = baseline_lo - samples_start;
+    long long bl_hi = baseline_hi - samples_start;
+    if (bl_lo < 0) bl_lo = 0;
+    if (bl_hi > n_samples) bl_hi = n_samples;
+    const long long bl_count = (bl_hi > bl_lo) ? (bl_hi - bl_lo) : 0;
+
+    // SWAR loads read 8 bytes; ensure the tail is never overrun by falling
+    // back to -1 when a row approaches the last 8 bytes unterminated. The
+    // caller passes the full file buffer, so simply require 8 spare bytes
+    // after every field start (checked inline).
+    long long row = 0;
+    while (p < end && row < max_rows) {
+        const char* line_end = find_nl(p, end);
+        if (p == line_end || *p == '\r') {
+            p = (line_end < end) ? line_end + 1 : end;
+            continue;
+        }
+        const char* f = p;
+        bool bail = false;       // anomaly -> generic decoder
+        bool skip_row = false;   // wrong field count -> skip (parity)
+        long long c = 0;
+        short bd = 0, ch = 0;
+        long long ts = 0;
+        double bl_sum = 0.0;
+        unsigned short* srow = samples_out + row * n_samples;
+
+        // --- board / channel: small ints --------------------------------
+        for (int k = 0; k < 2 && !bail && !skip_row; ++k) {
+            if (end - f < 8) { bail = true; break; }
+            unsigned v;
+            int dlen = swar_digit_run(f, &v);
+            if (dlen == 0 || dlen > 5 || v > 32767) { bail = true; break; }
+            const char* q = f + dlen;
+            if (q >= line_end || *q != delim) { bail = true; break; }
+            if (k == 0) bd = (short)v; else ch = (short)v;
+            f = q + 1;
+            ++c;
+        }
+        // --- timestamp: up to 19 digits, scalar accumulate ---------------
+        if (!bail && !skip_row) {
+            const char* q = f;
+            unsigned long long acc = 0;
+            const char* ds = q;
+            while (q < line_end && (unsigned char)(*q - '0') < 10u
+                   && (q - ds) < 19) {
+                acc = acc * 10ull + (unsigned long long)(*q - '0');
+                ++q;
+            }
+            if (q == ds || q >= line_end || *q != delim
+                || acc > 0x7FFFFFFFFFFFFFFFull) {
+                bail = true;
+            } else {
+                ts = (long long)acc;
+                f = q + 1;
+                ++c;
+            }
+        }
+        // --- skipped header columns 3..samples_start-1 -------------------
+        for (long long k = 3; k < samples_start && !bail && !skip_row; ++k) {
+            const char* q = f;
+            while (q < line_end && *q != delim) ++q;
+            if (q >= line_end) { skip_row = true; break; }  // short row
+            f = q + 1;
+            ++c;
+        }
+        // --- samples: SWAR u16 parse + baseline accumulation -------------
+        if (!bail && !skip_row) {
+            for (long long s = 0; s < n_samples; ++s) {
+                if (end - f < 8) {
+                    // near the buffer tail: only the final fields of the
+                    // last line may land here; use the scalar path
+                    unsigned long long acc = 0;
+                    const char* q = f;
+                    const char* ds = q;
+                    while (q < line_end && (unsigned char)(*q - '0') < 10u
+                           && (q - ds) < 6) {
+                        acc = acc * 10ull + (unsigned long long)(*q - '0');
+                        ++q;
+                    }
+                    if (q == ds || acc > 65535u) { bail = true; break; }
+                    bool last = (s == n_samples - 1);
+                    if (last) {
+                        const char* r = q;
+                        while (r < line_end && *r == '\r') ++r;
+                        if (r < line_end) { bail = true; break; }
+                    } else if (q >= line_end || *q != delim) {
+                        skip_row = true; break;  // short row
+                    }
+                    srow[s] = (unsigned short)acc;
+                    if (s >= bl_lo && s < bl_hi) bl_sum += (double)acc;
+                    f = (q < line_end && *q == delim) ? q + 1 : q;
+                    ++c;
+                    continue;
+                }
+                unsigned v;
+                int dlen = swar_digit_run(f, &v);
+                if (dlen == 0 || dlen > 5 || v > 65535u) { bail = true; break; }
+                const char* q = f + dlen;
+                bool last = (s == n_samples - 1);
+                if (last) {
+                    const char* r = q;
+                    while (r < line_end && *r == '\r') ++r;
+                    if (r < line_end) {
+                        // extra field(s) beyond n_cols: trailing-delimiter
+                        // rows are valid per count_fields; others skip
+                        if (*q == delim) {
+                            const char* t = q + 1;
+                            while (t < line_end && *t == '\r') ++t;
+                            if (t >= line_end) { r = line_end; }
+                            else { skip_row = true; break; }
+                        } else { bail = true; break; }
+                    }
+                } else if (q >= line_end || *q != delim) {
+                    skip_row = true;  // short row (field count mismatch)
+                    break;
+                }
+                srow[s] = (unsigned short)v;
+                if (s >= bl_lo && s < bl_hi) bl_sum += (double)v;
+                f = (q < line_end && *q == delim) ? q + 1 : q;
+                ++c;
+            }
+        }
+
+        if (bail) return -1;
+        if (!skip_row) {
+            board_out[row] = bd;
+            channel_out[row] = ch;
+            ts_out[row] = ts;
+            baseline_out[row] = bl_count ? (bl_sum / (double)bl_count)
+                                         : std::nan("");
+            ++row;
+        }
+        p = (line_end < end) ? line_end + 1 : end;
+    }
+    return row;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

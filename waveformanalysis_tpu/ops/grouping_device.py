@@ -63,21 +63,31 @@ def _anchor_event_ids_impl(ts_sorted: jax.Array, window_ps_int: jax.Array) -> ja
     levels = max(1, int(n).bit_length())
     # Sentinel row n is a fixed point so lifted tables stay in range.
     jump = jnp.concatenate([nxt, jnp.array([n], jnp.int32)])
-    tables = [jump]
-    for _ in range(levels - 1):
-        prev = tables[-1]
-        tables.append(prev[prev])
+    # Stack J_k = nxt^(2^k) for k = 0..levels-1 via scan (O(1) trace size;
+    # each step is one vectorized gather).
+    _, tables = jax.lax.scan(
+        lambda j, _: (j[j], j), jump, None, length=levels
+    )
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    pos = jnp.zeros(n, jnp.int32)
-    cnt = jnp.zeros(n, jnp.int32)
+
     # Descend from the largest stride: count how many anchor jumps from hit 0
     # stay <= i. That count is exactly i's cluster ordinal.
-    for k in range(levels - 1, -1, -1):
+    def descend(step, state):
+        pos, cnt = state
+        k = levels - 1 - step
         stepped = tables[k][pos]
         take = stepped <= idx
         pos = jnp.where(take, stepped, pos)
-        cnt = jnp.where(take, cnt + (1 << k), cnt)
+        cnt = jnp.where(
+            take, cnt + jnp.left_shift(jnp.int32(1), k.astype(jnp.int32)), cnt
+        )
+        return pos, cnt
+
+    _, cnt = jax.lax.fori_loop(
+        0, levels, descend,
+        (jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32)),
+    )
     return cnt
 
 

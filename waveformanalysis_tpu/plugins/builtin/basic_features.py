@@ -11,7 +11,7 @@ fixed_baseline overrides resolved vectorized instead of per record.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import numpy as np
 
@@ -73,131 +73,167 @@ class BasicFeaturesPlugin(Plugin):
     def resolve_depends_on(self, context: Any, run_id: str | None = None):
         return list(resolve_wave_input_spec(context, self).depends_on)
 
-    def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
-        channel_config = context.get_config(self, "channel_config")
-        height_range = tuple(context.get_config(self, "height_range"))
-        area_range = tuple(context.get_config(self, "area_range"))
+    # -- three-phase structure (shared with the fused subgraph executor) ----
 
-        wave_input = load_wave_input(context, self, run_id, needs_wave_samples=True)
+    def kernel_config(self, context: Any) -> dict:
+        return {
+            "height_range": tuple(context.get_config(self, "height_range")),
+            "area_range": tuple(context.get_config(self, "area_range")),
+            "channel_config": context.get_config(self, "channel_config"),
+        }
 
-        if wave_input.spec.is_records:
-            return self._compute_from_records(
-                context, run_id, wave_input, height_range, area_range, channel_config
-            )
+    def host_prep(
+        self, cfg: dict, context: Any, run_id: str,
+        baselines: np.ndarray, boards: np.ndarray, channels: np.ndarray,
+    ) -> np.ndarray:
+        """Apply per-channel fixed_baseline overrides (host config machinery)."""
+        overrides = resolve_channel_value_arrays(
+            context, self, run_id, boards, channels,
+            option_names=("fixed_baseline",),
+            defaults={"fixed_baseline": None},
+            channel_config=cfg["channel_config"],
+        )
+        fixed = overrides["fixed_baseline"]
+        has_fixed = ~np.isnan(fixed)
+        baselines = baselines.copy()
+        baselines[has_fixed] = fixed[has_fixed]
+        return baselines
 
-        data = wave_input.waveform_data
-        if data is None:
+    @staticmethod
+    def normalized_windows(cfg: dict, L: int) -> tuple:
+        """(height_start, height_end, area_start, area_end) vs padded L."""
+        hs, he = cfg["height_range"]
+        as_, ae = cfg["area_range"]
+        hs, he = F._norm_window(int(hs), None if he is None else int(he), L)
+        as_, ae = F._norm_window(int(as_), None if ae is None else int(ae), L)
+        return hs, he, as_, ae
+
+    @staticmethod
+    def device_stage(cfg: dict, waves_d: Any, lengths_d: Any) -> dict:
+        """Pure jit-composable device program: exact integer reductions."""
+        L = waves_d.shape[1]
+        if L >= 65536:
             raise ValueError(
-                f"basic_features failed to load {wave_input.spec.expected_name}"
+                f"wave length {L} >= 65536 would overflow the exact int32 "
+                "area accumulator"
             )
-        n = len(data)
-        if n == 0:
-            return Table.zeros(0, BASIC_FEATURES_SCHEMA)
+        hs, he, as_, ae = BasicFeaturesPlugin.normalized_windows(cfg, L)
+        return dict(F.feature_reductions(
+            waves_d, lengths_d.astype("int32") if hasattr(lengths_d, "astype")
+            else lengths_d,
+            height_start=hs, height_end=he, area_start=as_, area_end=ae,
+        ))
 
-        waves = np.asarray(data["wave"])
-        baselines = np.asarray(data["baseline"], dtype=np.float64).copy()
-        boards = (
-            np.asarray(data["board"]) if "board" in data
-            else np.zeros(n, dtype=np.int16)
+    def finalize(
+        self, cfg: dict, red: dict, baselines: np.ndarray, pol: np.ndarray,
+        timestamps: np.ndarray, boards: np.ndarray, channels: np.ndarray,
+    ) -> Table:
+        """Exact float64 host combine + Table build."""
+        red_host = {k: np.asarray(v) for k, v in red.items()}
+        feats = F.combine_features(red_host, baselines, pol)
+        n = len(baselines)
+        return Table(
+            {
+                "height": feats["height"],
+                "amp": feats["amp"],
+                "area": feats["area"],
+                "max_abs_diff": feats["max_abs_diff"],
+                "timestamp": timestamps,
+                "board": boards.astype(np.int16),
+                "channel": channels.astype(np.int16),
+                "event_index": np.arange(n, dtype=np.int64),
+            },
+            schema=BASIC_FEATURES_SCHEMA,
         )
-        channels = (
-            np.asarray(data["channel"]) if "channel" in data
-            else np.zeros(n, dtype=np.int16)
-        )
-        if "polarity" in data:
-            pol = np.asarray(data["polarity"]).astype(np.int8)
+
+    def load_input(self, context: Any, run_id: str) -> Optional[dict]:
+        """Waves + metadata from the configured source (records or flat).
+
+        Returns None for the empty input; otherwise a dict with wave matrix,
+        event_length, raw baselines, polarity codes and identity columns.
+        """
+        wave_input = load_wave_input(context, self, run_id, needs_wave_samples=True)
+        if wave_input.spec.is_records:
+            records = wave_input.records
+            rv = wave_input.records_view
+            if records is None or rv is None:
+                raise ValueError(
+                    "basic_features failed to load records_view for records source"
+                )
+            n = len(records)
+            if n == 0:
+                return None
+            waves, event_length = rv.padded_wave_matrix()
+            boards = np.asarray(records["board"]) if "board" in records \
+                else np.zeros(n, np.int16)
+            channels = np.asarray(records["channel"]) if "channel" in records \
+                else np.zeros(n, np.int16)
+            pol = (
+                np.asarray(records["polarity"]).astype(np.int8)
+                if "polarity" in records else np.full(n, -1, np.int8)
+            )
+            baselines = np.asarray(records["baseline"], dtype=np.float64)
+            timestamps = np.asarray(records["timestamp"], dtype=np.int64)
         else:
-            pol = np.full(n, -1, dtype=np.int8)
+            data = wave_input.waveform_data
+            if data is None:
+                raise ValueError(
+                    f"basic_features failed to load {wave_input.spec.expected_name}"
+                )
+            n = len(data)
+            if n == 0:
+                return None
+            waves = np.asarray(data["wave"])
+            event_length = (
+                np.asarray(data["event_length"], dtype=np.int32)
+                if "event_length" in data
+                else np.full(n, waves.shape[1], dtype=np.int32)
+            )
+            boards = (
+                np.asarray(data["board"]) if "board" in data
+                else np.zeros(n, dtype=np.int16)
+            )
+            channels = (
+                np.asarray(data["channel"]) if "channel" in data
+                else np.zeros(n, dtype=np.int16)
+            )
+            pol = (
+                np.asarray(data["polarity"]).astype(np.int8)
+                if "polarity" in data else np.full(n, -1, dtype=np.int8)
+            )
+            baselines = np.asarray(data["baseline"], dtype=np.float64)
+            timestamps = (
+                np.asarray(data["timestamp"], dtype=np.int64)
+                if "timestamp" in data else np.zeros(n, dtype=np.int64)
+            )
         # unknown polarity falls back to negative (reference behavior)
         pol = np.where(pol == 0, np.int8(-1), pol)
+        return {
+            "waves": waves,
+            "event_length": np.asarray(event_length, dtype=np.int32),
+            "baselines": baselines,
+            "polarity": pol,
+            "timestamps": timestamps,
+            "boards": boards,
+            "channels": channels,
+        }
 
-        overrides = resolve_channel_value_arrays(
-            context, self, run_id, boards, channels,
-            option_names=("fixed_baseline",),
-            defaults={"fixed_baseline": None},
-            channel_config=channel_config,
-        )
-        fixed = overrides["fixed_baseline"]
-        has_fixed = ~np.isnan(fixed)
-        baselines[has_fixed] = fixed[has_fixed]
-
-        event_length = (
-            np.asarray(data["event_length"], dtype=np.int32)
-            if "event_length" in data
-            else np.full(n, waves.shape[1], dtype=np.int32)
-        )
-
-        feats = F.basic_features_from_waves(
-            waves, event_length, baselines, pol,
-            height_range=height_range, area_range=area_range,
-        )
-
-        timestamps = (
-            np.asarray(data["timestamp"], dtype=np.int64)
-            if "timestamp" in data else np.zeros(n, dtype=np.int64)
-        )
-        return Table(
-            {
-                "height": feats["height"],
-                "amp": feats["amp"],
-                "area": feats["area"],
-                "max_abs_diff": feats["max_abs_diff"],
-                "timestamp": timestamps,
-                "board": boards.astype(np.int16),
-                "channel": channels.astype(np.int16),
-                "event_index": np.arange(n, dtype=np.int64),
-            },
-            schema=BASIC_FEATURES_SCHEMA,
-        )
-
-    def _compute_from_records(
-        self, context, run_id, wave_input, height_range, area_range, channel_config
-    ) -> Table:
-        records = wave_input.records
-        rv = wave_input.records_view
-        if records is None or rv is None:
-            raise ValueError(
-                "basic_features failed to load records_view for records source"
-            )
-        n = len(records)
-        if n == 0:
+    def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
+        cfg = self.kernel_config(context)
+        inp = self.load_input(context, run_id)
+        if inp is None:
             return Table.zeros(0, BASIC_FEATURES_SCHEMA)
-
-        boards = np.asarray(records["board"]) if "board" in records else np.zeros(n, np.int16)
-        channels = np.asarray(records["channel"]) if "channel" in records else np.zeros(n, np.int16)
-        baselines = np.asarray(records["baseline"], dtype=np.float64).copy()
-        pol = (
-            np.asarray(records["polarity"]).astype(np.int8)
-            if "polarity" in records else np.full(n, -1, np.int8)
+        baselines = self.host_prep(
+            cfg, context, run_id, inp["baselines"], inp["boards"], inp["channels"]
         )
-        pol = np.where(pol == 0, np.int8(-1), pol)
+        import jax.numpy as jnp
 
-        overrides = resolve_channel_value_arrays(
-            context, self, run_id, boards, channels,
-            option_names=("fixed_baseline",),
-            defaults={"fixed_baseline": None},
-            channel_config=channel_config,
+        red = self.device_stage(
+            cfg,
+            jnp.asarray(np.ascontiguousarray(inp["waves"])),
+            jnp.asarray(inp["event_length"]),
         )
-        fixed = overrides["fixed_baseline"]
-        has_fixed = ~np.isnan(fixed)
-        baselines[has_fixed] = fixed[has_fixed]
-
-        waves, event_length = rv.padded_wave_matrix()
-        feats = F.basic_features_from_waves(
-            waves, event_length, baselines, pol,
-            height_range=height_range, area_range=area_range,
-        )
-        timestamps = np.asarray(records["timestamp"], dtype=np.int64)
-        return Table(
-            {
-                "height": feats["height"],
-                "amp": feats["amp"],
-                "area": feats["area"],
-                "max_abs_diff": feats["max_abs_diff"],
-                "timestamp": timestamps,
-                "board": boards.astype(np.int16),
-                "channel": channels.astype(np.int16),
-                "event_index": np.arange(n, dtype=np.int64),
-            },
-            schema=BASIC_FEATURES_SCHEMA,
+        return self.finalize(
+            cfg, red, baselines, inp["polarity"],
+            inp["timestamps"], inp["boards"], inp["channels"],
         )

@@ -14,6 +14,11 @@ from typing import Any, Optional
 
 import numpy as np
 
+# Eager import: pandas costs ~0.7 s to import; paying it at plugin-module
+# import (registration) instead of inside the first compute keeps the first
+# get_data() out of the interpreter-warmup business.
+import pandas as pd
+
 from waveformanalysis_tpu.dtypes.table import Table
 from waveformanalysis_tpu.hardware import parse_channel_ref
 from waveformanalysis_tpu.plugins.base import Option, Plugin
@@ -52,8 +57,6 @@ class DataFramePlugin(Plugin):
         return list(spec.depends_on) + ["basic_features"]
 
     def compute(self, context: Any, run_id: str, **kwargs: Any):
-        import pandas as pd
-
         features = context.get_data(run_id, "basic_features")
         if not isinstance(features, Table):
             features = Table.from_numpy(features)

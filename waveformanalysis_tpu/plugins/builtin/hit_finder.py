@@ -81,76 +81,97 @@ class ThresholdHitPlugin(Plugin):
             choices=["auto", "scan", "xla"],
             help="threshold-run kernel: streaming-scan Pallas (TPU) or XLA; "
                  "auto picks scan on TPU"),
+        "overflow_policy": Option(
+            default="warn", type=str, track=False,
+            choices=["warn", "raise", "ignore"],
+            help="Waveforms with more threshold runs than the device "
+                 "capacity: warn (drop beyond-K + log), raise (strict), "
+                 "ignore"),
     }
 
     def resolve_depends_on(self, context: Any, run_id: Optional[str] = None):
         return list(resolve_wave_input_spec(context, self).depends_on)
 
-    def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
-        threshold = float(context.get_config(self, "threshold"))
-        left_ext = int(context.get_config(self, "left_extension"))
-        right_ext = int(context.get_config(self, "right_extension"))
-        dt_cfg = context.get_config(self, "dt")
-        channel_config = context.get_config(self, "channel_config")
-        max_hits = int(context.get_config(self, "max_hits_per_waveform"))
+    # -- three-phase structure (shared with the fused subgraph executor) ----
 
-        waves, lengths, meta = _load_wave_matrix(context, self, run_id)
-        n = len(lengths)
-        if n == 0:
-            return Table.zeros(0, THRESHOLD_HIT_SCHEMA)
-
-        # per-channel thresholds
-        overrides = resolve_channel_value_arrays(
-            context, self, run_id, meta["board"], meta["channel"],
-            option_names=("threshold",), defaults={"threshold": threshold},
-            channel_config=channel_config,
-        )
-        thresholds = overrides["threshold"]
-        thresholds = np.where(np.isnan(thresholds), threshold, thresholds)
-
-        sign = np.where(meta["polarity"] > 0, 1.0, -1.0).astype(np.float32)
-        signal = sign[:, None] * (
-            waves.astype(np.float32) - meta["baseline"][:, None].astype(np.float32)
-        )
-
+    def kernel_config(self, context: Any) -> dict:
         backend = context.get_config(self, "hits_backend")
         if backend == "auto":
             backend = "scan" if jax.default_backend() == "tpu" else "xla"
-        if backend == "scan":
+        return {
+            "threshold": float(context.get_config(self, "threshold")),
+            "left_extension": int(context.get_config(self, "left_extension")),
+            "right_extension": int(context.get_config(self, "right_extension")),
+            "dt": context.get_config(self, "dt"),
+            "channel_config": context.get_config(self, "channel_config"),
+            "max_hits": int(context.get_config(self, "max_hits_per_waveform")),
+            "backend": backend,
+            "overflow_policy": context.get_config(self, "overflow_policy"),
+        }
+
+    def host_prep(self, cfg: dict, context: Any, run_id: str, meta: dict) -> np.ndarray:
+        """Per-channel threshold resolution (host config machinery)."""
+        overrides = resolve_channel_value_arrays(
+            context, self, run_id, meta["board"], meta["channel"],
+            option_names=("threshold",),
+            defaults={"threshold": cfg["threshold"]},
+            channel_config=cfg["channel_config"],
+        )
+        thresholds = overrides["threshold"]
+        return np.where(np.isnan(thresholds), cfg["threshold"], thresholds)
+
+    @staticmethod
+    def device_stage(
+        cfg: dict,
+        waves_d: jax.Array,
+        lengths_d: jax.Array,
+        sign_d: jax.Array,
+        baselines_d: jax.Array,
+        thresholds_d: jax.Array,
+    ) -> dict:
+        """Pure jit-composable device program: signal -> threshold runs."""
+        w32 = waves_d.astype(jnp.float32)
+        signal = sign_d[:, None] * (w32 - baselines_d[:, None].astype(jnp.float32))
+        if cfg["backend"] == "scan":
             from waveformanalysis_tpu.ops.chain_scan_pallas import (
                 threshold_hits_scan,
             )
 
-            results = threshold_hits_scan(
-                jnp.asarray(signal),
-                jnp.asarray(thresholds.astype(np.float32)),
-                jnp.asarray(lengths.astype(np.int32)),
-                left_extension=left_ext,
-                right_extension=right_ext,
-                max_hits=max_hits,
-            )
-        else:
-            results = HT.threshold_hits_batch(
-                jnp.asarray(signal),
-                jnp.asarray(thresholds.astype(np.float32)),
-                jnp.asarray(lengths.astype(np.int32)),
-                left_extension=left_ext,
-                right_extension=right_ext,
-                max_hits=max_hits,
-            )
+            return dict(threshold_hits_scan(
+                signal, thresholds_d.astype(jnp.float32),
+                lengths_d.astype(jnp.int32),
+                left_extension=cfg["left_extension"],
+                right_extension=cfg["right_extension"],
+                max_hits=cfg["max_hits"],
+            ))
+        return dict(HT.threshold_hits_batch(
+            signal, thresholds_d.astype(jnp.float32),
+            lengths_d.astype(jnp.int32),
+            left_extension=cfg["left_extension"],
+            right_extension=cfg["right_extension"],
+            max_hits=cfg["max_hits"],
+        ))
+
+    def finalize(
+        self, cfg: dict, results: dict, meta: dict, lengths: np.ndarray, n: int
+    ) -> Table:
         results = {k: np.asarray(v) for k, v in results.items()}
-        overflow = int(np.sum(results["n_runs"] > max_hits))
-        if overflow:
-            logger.warning(
-                "hit_threshold: %d waveforms exceeded the %d-hit capacity",
-                overflow, max_hits,
+        overflow = int(np.sum(results["n_runs"] > cfg["max_hits"]))
+        if overflow and cfg.get("overflow_policy", "warn") != "ignore":
+            msg = (
+                f"hit_threshold: {overflow} waveforms exceeded the "
+                f"{cfg['max_hits']}-hit capacity; excess runs dropped "
+                f"(raise max_hits_per_waveform or set overflow_policy)"
             )
+            if cfg.get("overflow_policy") == "raise":
+                raise ValueError(msg)
+            logger.warning(msg)
 
         dt = meta["dt"]
         if dt is None:
-            if dt_cfg is None:
+            if cfg["dt"] is None:
                 raise ValueError("[hit_threshold] dt must be provided (config or data)")
-            dt = np.full(n, int(dt_cfg), dtype=np.int64)
+            dt = np.full(n, int(cfg["dt"]), dtype=np.int64)
 
         cols = HT.compact_threshold_hits(
             results,
@@ -159,3 +180,22 @@ class ThresholdHitPlugin(Plugin):
             dt_ns=dt, record_lengths=lengths,
         )
         return Table(cols, schema=THRESHOLD_HIT_SCHEMA)
+
+    def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
+        cfg = self.kernel_config(context)
+        waves, lengths, meta = _load_wave_matrix(context, self, run_id)
+        n = len(lengths)
+        if n == 0:
+            return Table.zeros(0, THRESHOLD_HIT_SCHEMA)
+
+        thresholds = self.host_prep(cfg, context, run_id, meta)
+        sign = np.where(meta["polarity"] > 0, 1.0, -1.0).astype(np.float32)
+        results = self.device_stage(
+            cfg,
+            jnp.asarray(waves),
+            jnp.asarray(lengths.astype(np.int32)),
+            jnp.asarray(sign),
+            jnp.asarray(meta["baseline"].astype(np.float32)),
+            jnp.asarray(thresholds.astype(np.float32)),
+        )
+        return self.finalize(cfg, results, meta, lengths, n)

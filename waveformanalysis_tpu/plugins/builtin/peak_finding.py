@@ -90,83 +90,113 @@ class HitFinderPlugin(Plugin):
             choices=["auto", "scan", "xla"],
             help="find_peaks kernel: streaming-scan Pallas (TPU, ~3.5x) or "
                  "XLA reductions; auto picks scan on TPU"),
+        "overflow_policy": Option(
+            default="warn", type=str, track=False,
+            choices=["warn", "raise", "ignore"],
+            help="Events with more candidate peaks than the device capacity: "
+                 "warn (drop beyond-K + log), raise (strict), ignore"),
     }
 
     def resolve_depends_on(self, context: Any, run_id: Optional[str] = None):
         return list(resolve_wave_input_spec(context, self).depends_on)
 
-    def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
-        use_derivative = context.get_config(self, "use_derivative")
-        height = float(context.get_config(self, "height"))
-        distance = int(context.get_config(self, "distance"))
-        prominence = float(context.get_config(self, "prominence"))
-        width = float(context.get_config(self, "width"))
+    # -- three-phase structure (shared with the fused subgraph executor) ----
+
+    def kernel_config(self, context: Any) -> dict:
+        """Resolve + validate every option the kernels depend on."""
         threshold = context.get_config(self, "threshold")
         if threshold is not None:
             raise ValueError(
                 "hit: the 'threshold' neighbor condition is not supported by "
                 "the device kernel; leave it None"
             )
-        height_method = context.get_config(self, "height_method")
-        hwe = int(context.get_config(self, "height_window_extension"))
-        dt_cfg = context.get_config(self, "dt")
-        max_peaks = int(context.get_config(self, "max_peaks_per_waveform"))
-
-        waves, lengths, meta = _load_wave_matrix(context, self, run_id)
-        n = len(lengths)
-        if n == 0:
-            return Table.zeros(0, HIT_SCHEMA)
-
-        baselines = meta["baseline"]
-        pol = meta["polarity"]
-        sign = np.where(pol > 0, 1.0, -1.0).astype(np.float32)
-
-        if use_derivative:
-            det = sign[:, None] * np.diff(waves.astype(np.float32), axis=1)
-            det_len = np.maximum(lengths - 1, 0)
-        else:
-            det = sign[:, None] * (
-                waves.astype(np.float32) - baselines[:, None].astype(np.float32)
-            )
-            det_len = lengths
-
         backend = context.get_config(self, "peaks_backend")
         if backend == "auto":
             backend = "scan" if jax.default_backend() == "tpu" else "xla"
-        if backend == "scan":
+        return {
+            "use_derivative": bool(context.get_config(self, "use_derivative")),
+            "height": float(context.get_config(self, "height")),
+            "distance": int(context.get_config(self, "distance")),
+            "prominence": float(context.get_config(self, "prominence")),
+            "width": float(context.get_config(self, "width")),
+            "height_method": context.get_config(self, "height_method"),
+            "height_window_extension": int(
+                context.get_config(self, "height_window_extension")
+            ),
+            "dt": context.get_config(self, "dt"),
+            "max_peaks": int(context.get_config(self, "max_peaks_per_waveform")),
+            "backend": backend,
+            "overflow_policy": context.get_config(self, "overflow_policy"),
+        }
+
+    @staticmethod
+    def device_stage(
+        cfg: dict,
+        waves_d: jax.Array,
+        lengths_d: jax.Array,
+        sign_d: jax.Array,
+        baselines_d: jax.Array,
+    ) -> dict:
+        """Pure jit-composable device program: detection signal -> peaks.
+
+        ``waves_d`` may be int16 or float32; converted on device so the
+        fused executor uploads the raw wave matrix exactly once.
+        """
+        w32 = waves_d.astype(jnp.float32)
+        if cfg["use_derivative"]:
+            det = sign_d[:, None] * (w32[:, 1:] - w32[:, :-1])
+            det_len = jnp.maximum(lengths_d - 1, 0)
+        else:
+            det = sign_d[:, None] * (w32 - baselines_d[:, None].astype(jnp.float32))
+            det_len = lengths_d
+        if cfg["backend"] == "scan":
             from waveformanalysis_tpu.ops.chain_scan_pallas import (
                 find_peaks_scan,
             )
 
             results = find_peaks_scan(
-                jnp.asarray(det), height=height, prominence=prominence,
-                width=width, distance=distance, max_peaks=max_peaks,
-                valid_length=jnp.asarray(det_len.astype(np.int32)),
+                det, height=cfg["height"], prominence=cfg["prominence"],
+                width=cfg["width"], distance=cfg["distance"],
+                max_peaks=cfg["max_peaks"],
+                valid_length=det_len.astype(jnp.int32),
             )
         else:
             results = PK.find_peaks_batch(
-                jnp.asarray(det), height=height, prominence=prominence,
-                width=width, distance=distance, max_peaks=max_peaks,
-                valid_length=jnp.asarray(det_len.astype(np.int32)),
+                det, height=cfg["height"], prominence=cfg["prominence"],
+                width=cfg["width"], distance=cfg["distance"],
+                max_peaks=cfg["max_peaks"],
+                valid_length=det_len.astype(jnp.int32),
             )
-        heights = PK.peak_heights_batch(
-            jnp.asarray(waves.astype(np.float32)),
+        results = dict(results)
+        results["peak_heights"] = PK.peak_heights_batch(
+            w32,
             results["left_ips"], results["right_ips"], results["valid"],
-            method=height_method, window_extension=hwe,
+            method=cfg["height_method"],
+            window_extension=cfg["height_window_extension"],
         )
+        return results
+
+    def finalize(self, cfg: dict, results: dict, meta: dict, n: int) -> Table:
+        """Host compaction of the device outputs into the hit Table."""
+        heights = results.pop("peak_heights")
         results = {k: np.asarray(v) for k, v in results.items()}
-        overflow = int(np.sum(results["n_candidates"] > max_peaks))
-        if overflow:
-            logger.warning(
-                "hit: %d waveforms exceeded the %d-peak device capacity; "
-                "excess peaks dropped", overflow, max_peaks,
+        overflow = int(np.sum(results["n_candidates"] > cfg["max_peaks"]))
+        if overflow and cfg.get("overflow_policy", "warn") != "ignore":
+            msg = (
+                f"hit: {overflow} waveforms exceeded the "
+                f"{cfg['max_peaks']}-peak device capacity; excess peaks "
+                f"dropped (raise max_peaks_per_waveform or set "
+                f"overflow_policy)"
             )
+            if cfg.get("overflow_policy") == "raise":
+                raise ValueError(msg)
+            logger.warning(msg)
 
         dt = meta["dt"] if meta["dt"] is not None else None
         if dt is None:
-            if dt_cfg is None:
+            if cfg["dt"] is None:
                 raise ValueError("[hit] dt must be provided (config or data)")
-            dt = np.full(n, int(dt_cfg), dtype=np.int64)
+            dt = np.full(n, int(cfg["dt"]), dtype=np.int64)
         if np.any(dt <= 0):
             raise ValueError("[hit] dt must be > 0")
 
@@ -177,14 +207,40 @@ class HitFinderPlugin(Plugin):
         )
         return Table(cols, schema=HIT_SCHEMA)
 
+    def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
+        cfg = self.kernel_config(context)
+        waves, lengths, meta = _load_wave_matrix(context, self, run_id)
+        n = len(lengths)
+        if n == 0:
+            return Table.zeros(0, HIT_SCHEMA)
 
-def _load_wave_matrix(context: Any, plugin: Plugin, run_id: str):
-    """(waves, lengths, meta columns) from the configured wave source."""
+        sign = np.where(meta["polarity"] > 0, 1.0, -1.0).astype(np.float32)
+        results = self.device_stage(
+            cfg,
+            jnp.asarray(waves),
+            jnp.asarray(lengths.astype(np.int32)),
+            jnp.asarray(sign),
+            jnp.asarray(meta["baseline"].astype(np.float32)),
+        )
+        return self.finalize(cfg, results, meta, n)
+
+
+def _load_wave_matrix(
+    context: Any, plugin: Plugin, run_id: str, keep_integer_waves: bool = False
+):
+    """(waves, lengths, meta columns) from the configured wave source.
+
+    ``keep_integer_waves`` keeps the records wave matrix in its native
+    integer dtype (the fused executor uploads it once and casts on device);
+    the default preserves the standalone plugins' float32 load.
+    """
     wave_input = load_wave_input(context, plugin, run_id, needs_wave_samples=True)
     if wave_input.spec.is_records:
         records = wave_input.records
         rv = wave_input.records_view
-        waves, lengths = rv.padded_wave_matrix(dtype=np.float32)
+        waves, lengths = rv.padded_wave_matrix(
+            dtype=np.int16 if keep_integer_waves else np.float32
+        )
         n = len(records)
         meta = {
             "baseline": np.asarray(records["baseline"], dtype=np.float64),

@@ -388,16 +388,67 @@ class StreamingContext:
             yield chunk
 
     def merge_stream(
-        self, stream: Iterable[Chunk], sort: bool = True
+        self,
+        stream: Iterable[Chunk],
+        sort: bool = True,
+        backend: str = "auto",
+        mesh: Any = None,
     ) -> Any:
-        """Materialize a chunk stream into one time-sorted table."""
+        """Materialize a chunk stream into one time-sorted table.
+
+        backend:
+          - ``host``: concat + stable host argsort (reference semantics,
+            streaming.py:740-880 analog).
+          - ``device``: shard the concatenated table over a mesh and run the
+            distributed block odd-even merge (parallel/sorted_merge.py) so
+            the sort scales across chips.
+          - ``auto``: device when a mesh with >1 device is supplied,
+            host otherwise.
+        """
         parts = [c.data for c in stream if len(c) > 0]
         if not parts:
             return np.array([])
         merged = C._concat(parts)
-        if sort:
-            merged = C.sort_by_time(merged)
-        return merged
+        if not sort:
+            return merged
+        use_device = backend == "device" or (
+            backend == "auto" and mesh is not None
+            and int(np.prod(list(mesh.shape.values()))) > 1
+        )
+        if use_device:
+            if mesh is None:
+                from waveformanalysis_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh()
+            return self._merge_sorted_on_mesh(merged, mesh)
+        return C.sort_by_time(merged)
+
+    @staticmethod
+    def _merge_sorted_on_mesh(merged: Any, mesh: Any) -> Any:
+        """Distributed sort of a table by (time, record_id) on the mesh."""
+        from waveformanalysis_tpu.dtypes.table import Table
+        from waveformanalysis_tpu.parallel.sorted_merge import sharded_time_sort
+
+        tf = C.resolve_time_field(merged, C.TIME_FIELD)
+        if isinstance(merged, Table):
+            cols = {k: np.asarray(v) for k, v in merged.columns.items()}
+            names = merged.field_names
+            schema = merged.schema
+        elif isinstance(merged, np.ndarray) and merged.dtype.names:
+            cols = {k: np.ascontiguousarray(merged[k]) for k in merged.dtype.names}
+            names = merged.dtype.names
+            schema = None
+        else:
+            return C.sort_by_time(merged)
+        keys = [tf] + (["record_id"] if "record_id" in cols else [])
+        out_cols = sharded_time_sort(cols, keys, mesh, pad_key=tf)
+        if isinstance(merged, Table):
+            return Table({k: out_cols[k] for k in names}, schema=schema,
+                         validate=False)
+        out = np.zeros(len(out_cols[tf]), dtype=merged.dtype)
+        for k in names:
+            out[k] = out_cols[k]
+        return out
 
 
 def get_streaming_context(context: Any) -> StreamingContext:

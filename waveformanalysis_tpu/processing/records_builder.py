@@ -21,6 +21,7 @@ from __future__ import annotations
 import logging
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
+from pathlib import Path
 from typing import Any, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -182,6 +183,101 @@ def resolve_baseline_window(
             samples_start + int(baseline_samples[1]),
         )
     return samples_start, samples_start + int(baseline_samples)
+
+
+def build_part_from_typed(
+    dec: dict,
+    default_dt_ns: int,
+    normalize_timestamp_to_ps,
+    pid: int = 0,
+) -> RecordsBundle:
+    """One sorted part from the typed native decode output.
+
+    ``dec`` is the dict from native.decode_csv_vx2730_typed (board/channel
+    i16, timestamp i64, baseline f8, samples u16). Produces exactly what
+    :func:`build_part_from_raw_array` would from the same file — the typed
+    decoder already emitted the final dtypes and folded the baseline-window
+    mean into the parse pass, so this is just column assembly.
+    """
+    n = len(dec["timestamp"])
+    if n == 0:
+        return empty_bundle()
+    timestamps = normalize_timestamp_to_ps(
+        np.asarray(dec["timestamp"], dtype=np.int64), dt_ns=int(default_dt_ns)
+    ).astype(np.int64)
+    samples = np.asarray(dec["samples"])
+    wave_length = int(samples.shape[1])
+    records = Table(
+        {
+            "timestamp": timestamps,
+            "pid": np.full(n, pid, dtype=np.int32),
+            "board": np.asarray(dec["board"], dtype=np.int16),
+            "channel": np.asarray(dec["channel"], dtype=np.int16),
+            "baseline": np.asarray(dec["baseline"], dtype=np.float64),
+            "baseline_upstream": np.full(n, np.nan),
+            "polarity": np.zeros(n, dtype=np.int8),  # unknown
+            "record_id": np.arange(n, dtype=np.int64),
+            "dt": np.full(n, default_dt_ns, dtype=np.int32),
+            "trigger_type": np.zeros(n, dtype=np.int16),
+            "flags": np.zeros(n, dtype=np.uint32),
+            "wave_offset": np.arange(n, dtype=np.int64) * wave_length,
+            "event_length": np.full(n, wave_length, dtype=np.int32),
+            "time": timestamps // 1000,
+        },
+        schema=RECORDS_SCHEMA,
+    )
+    pool = np.ascontiguousarray(samples, dtype=np.uint16).reshape(-1)
+    return sort_bundle(RecordsBundle(records=records, wave_pool=pool))
+
+
+def raw_array_to_typed(
+    raw_arr: np.ndarray, cols: Any, b_start: int, b_end: int,
+    channel_idx: int = 0,
+) -> dict:
+    """Convert a generic f64 decode matrix to the typed-decode layout.
+
+    Used when one file in a channel falls back to the generic decoder so it
+    can join the typed part buffers. Conversions mirror
+    build_part_from_raw_array exactly (incl. the board/channel zero
+    fallback on non-finite values).
+    """
+    n = len(raw_arr)
+    try:
+        boards = raw_arr[:, cols.board].astype(np.int16)
+    except (ValueError, TypeError):
+        boards = np.zeros(n, dtype=np.int16)
+    try:
+        channels = raw_arr[:, cols.channel].astype(np.int16)
+    except (ValueError, TypeError):
+        channels = np.full(n, int(channel_idx), dtype=np.int16)
+    b_end_c = min(b_end, raw_arr.shape[1])
+    if b_end_c <= b_start:
+        baselines = np.full(n, np.nan, dtype=np.float64)
+    else:
+        baselines = np.mean(raw_arr[:, b_start:b_end_c].astype(np.float64), axis=1)
+    samples_end = cols.samples_end if cols.samples_end is not None else raw_arr.shape[1]
+    samples_end = min(samples_end, raw_arr.shape[1])
+    if samples_end <= cols.samples_start:
+        samples = np.zeros((n, 0), dtype=np.uint16)
+    else:
+        samples = raw_arr[:, cols.samples_start:samples_end].astype(np.uint16)
+    return {
+        "board": boards,
+        "channel": channels,
+        "timestamp": raw_arr[:, cols.timestamp].astype(np.int64),
+        "baseline": baselines,
+        "samples": samples,
+    }
+
+
+def concat_typed(parts: List[dict]) -> dict:
+    if len(parts) == 1:
+        return parts[0]
+    return {
+        k: (np.vstack([p[k] for p in parts]) if parts[0][k].ndim == 2
+            else np.concatenate([p[k] for p in parts]))
+        for k in parts[0]
+    }
 
 
 def build_part_from_raw_array(
@@ -474,6 +570,26 @@ def build_records_from_raw_files(
         )
     else:
         cols = adapter.format_spec.columns
+        spec = adapter.format_spec
+        b_start, b_end = resolve_baseline_window(
+            baseline_samples, cols.samples_start,
+            cols.baseline_start, cols.baseline_end,
+        )
+        # typed native fast path: parse straight into the final record
+        # column dtypes (board/channel i16, ts i64, u16 samples, baseline
+        # mean folded into the parse). Eligible when samples run to the row
+        # end and the engine allows native decode; per-FILE fallback to the
+        # generic decoder preserves behavior on anomalous files.
+        typed_ok = (
+            cols.samples_end is None
+            and cols.samples_start >= 3
+            and getattr(adapter.format_reader, "parse_engine", "auto")
+            in ("auto", "native")
+        )
+        if typed_ok:
+            from waveformanalysis_tpu.native import decode_csv_vx2730_typed
+
+            typed_ok = decode_csv_vx2730_typed(b"", 0) is not None
 
         def build_channel(args) -> List[RecordsBundle]:
             ch_idx, files = args
@@ -481,34 +597,75 @@ def build_records_from_raw_files(
             if not files:
                 return parts
             pid = 0
-            buffer: List[np.ndarray] = []
+            buffer: List[Any] = []
             buffered = 0
 
             def flush():
                 nonlocal pid, buffer, buffered
                 if not buffer:
                     return
-                arr = np.vstack(buffer) if len(buffer) > 1 else buffer[0]
-                parts.append(
-                    build_part_from_raw_array(
-                        arr,
-                        channel_idx=ch_idx,
-                        default_dt_ns=default_dt_ns,
-                        cols=cols,
-                        normalize_timestamp_to_ps=adapter.format_spec.normalize_timestamp_to_ps,
-                        baseline_samples=baseline_samples,
+                if typed_ok:
+                    dec = concat_typed(buffer)
+                    parts.append(build_part_from_typed(
+                        dec, default_dt_ns=default_dt_ns,
+                        normalize_timestamp_to_ps=spec.normalize_timestamp_to_ps,
                         pid=pid,
+                    ))
+                else:
+                    arr = np.vstack(buffer) if len(buffer) > 1 else buffer[0]
+                    parts.append(
+                        build_part_from_raw_array(
+                            arr,
+                            channel_idx=ch_idx,
+                            default_dt_ns=default_dt_ns,
+                            cols=cols,
+                            normalize_timestamp_to_ps=spec.normalize_timestamp_to_ps,
+                            baseline_samples=baseline_samples,
+                            pid=pid,
+                        )
                     )
-                )
                 pid += 1
                 buffer, buffered = [], 0
 
             for i, f in enumerate(files):
-                arr = adapter.format_reader.read_file(f, is_first_file=(i == 0))
-                if arr.size == 0:
-                    continue
-                buffer.append(arr)
-                buffered += len(arr)
+                n_new = 0
+                if typed_ok:
+                    skiprows = (
+                        spec.header_rows_first_file if i == 0
+                        else spec.header_rows_other_files
+                    )
+                    try:
+                        raw = Path(f).read_bytes()
+                    except OSError:
+                        raw = b""
+                    dec = decode_csv_vx2730_typed(
+                        raw, skip_rows=skiprows, delimiter=spec.delimiter,
+                        samples_start=cols.samples_start,
+                        baseline_start=b_start, baseline_end=b_end,
+                    ) if raw else None
+                    if dec is None:
+                        # anomalous file: generic decode, convert to typed
+                        arr = adapter.format_reader.read_file(
+                            f, is_first_file=(i == 0)
+                        )
+                        if arr.size == 0:
+                            continue
+                        dec = raw_array_to_typed(
+                            arr, cols, b_start, b_end, channel_idx=ch_idx
+                        )
+                    if len(dec["timestamp"]) == 0:
+                        continue
+                    buffer.append(dec)
+                    n_new = len(dec["timestamp"])
+                else:
+                    arr = adapter.format_reader.read_file(
+                        f, is_first_file=(i == 0)
+                    )
+                    if arr.size == 0:
+                        continue
+                    buffer.append(arr)
+                    n_new = len(arr)
+                buffered += n_new
                 if part_size and buffered >= part_size:
                     flush()
             flush()

@@ -341,11 +341,15 @@ class MemmapStorage:
             return _memmap_table(bin_path, meta, self.memmap_mode)
         if fmt == "structured":
             dtype = _dtype_from_descr(meta["dtype_descr"])
+            if actual == 0:
+                return np.zeros(0, dtype=dtype)  # mmap cannot map 0 bytes
             return np.memmap(bin_path, dtype=dtype, mode=self.memmap_mode)
         if fmt == "array":
             dtype = np.dtype(meta["dtype_descr"])
-            mm = np.memmap(bin_path, dtype=dtype, mode=self.memmap_mode)
             shape = meta.get("shape")
+            if actual == 0:
+                return np.zeros(tuple(shape) if shape else 0, dtype=dtype)
+            mm = np.memmap(bin_path, dtype=dtype, mode=self.memmap_mode)
             return mm.reshape(shape) if shape else mm
         raise StorageError(f"Unknown storage format {fmt!r} for key {key}")
 
@@ -511,6 +515,11 @@ def _memmap_table(bin_path: Path, meta: Dict[str, Any], mode: str) -> Table:
     for f in meta["fields"]:
         dtype = np.dtype(f["dtype"])
         shape = tuple(f["shape"])
+        if int(np.prod(shape)) == 0:
+            # zero-row fields pack to zero bytes; mmap cannot map an empty
+            # range, so materialize the empty array directly
+            cols[f["name"]] = np.zeros(shape, dtype=dtype)
+            continue
         mm = np.memmap(bin_path, dtype=dtype, mode=mode, offset=f["offset"],
                        shape=shape)
         cols[f["name"]] = mm
