@@ -176,6 +176,25 @@ def test_mesh_attached_context_matches_single_device(tmp_path):
     assert ctx_mesh.clone().mesh is not None
 
 
+def test_multi_target_get_data_fuses(tmp_path):
+    st = _st(n=256)
+    ctx = _make_ctx(tmp_path, "multi", True)
+    ctx.inject_data("r", "st_waveforms", st)
+    out = ctx.get_data("r", ["hit", "basic_features", "hit_threshold"])
+    assert set(out) == {"hit", "basic_features", "hit_threshold"}
+    summary = str(ctx.profiler.summary())
+    assert "fusion.wave_chain.compute" in summary
+    assert "plugin.hit.compute" not in summary
+    # results identical to single-target reads on a fresh context
+    ctx2 = _make_ctx(tmp_path, "single2", False)
+    ctx2.inject_data("r", "st_waveforms", st)
+    for name in out:
+        _tables_equal(out[name], ctx2.get_data("r", name))
+    # second multi read: everything from memory, dict in request order
+    again = ctx.get_data("r", ["basic_features", "hit"])
+    assert list(again.keys()) == ["basic_features", "hit"]
+
+
 def test_fusion_program_cache_reuse(tmp_path):
     rule = WaveChainFusion()
     st = _st(n=128)

@@ -396,8 +396,18 @@ class Context:
     # Data access
     # ------------------------------------------------------------------
 
-    def get_data(self, run_id: str, data_name: str, **kwargs: Any) -> Any:
-        """The canonical read path: memory -> disk (lineage-checked) -> compute."""
+    def get_data(self, run_id: str, data_name: Any, **kwargs: Any) -> Any:
+        """The canonical read path: memory -> disk (lineage-checked) -> compute.
+
+        ``data_name`` may be a list/tuple of names: the targets are planned
+        TOGETHER, so the fused subgraph executor sees the union of their
+        needed sets (e.g. ``get_data(run, ["hit", "basic_features",
+        "hit_threshold"])`` computes all three in one device program where
+        three separate calls would each run alone). Returns a dict
+        {name: result} for list targets.
+        """
+        if isinstance(data_name, (list, tuple)):
+            return self._get_data_multi(run_id, list(data_name), **kwargs)
         self.config_domain.prepare_request(run_id)
 
         data = self._get_data_from_memory(run_id, data_name)
@@ -417,6 +427,35 @@ class Context:
             return data
 
         return self.execution_domain.run_plugin(run_id, data_name, **kwargs)
+
+    def _get_data_multi(
+        self, run_id: str, names: List[str], **kwargs: Any
+    ) -> Dict[str, Any]:
+        """Jointly-planned multi-target read (fusion-friendly)."""
+        self.config_domain.prepare_request(run_id)
+        out: Dict[str, Any] = {}
+        pending: List[str] = []
+        for name in names:
+            data = self._get_data_from_memory(run_id, name)
+            if data is None and name in self._plugins:
+                key = self.key_for(run_id, name)
+                data = self.cache_domain.load_from_disk_with_check(
+                    run_id, name, key
+                )
+            if data is not None:
+                out[name] = data
+            else:
+                if name not in self._plugins:
+                    raise KeyError(
+                        f"No plugin registered for '{name}'. "
+                        f"Registered: {sorted(self._plugins)}"
+                    )
+                pending.append(name)
+        if pending:
+            out.update(
+                self.execution_domain.run_plugins(run_id, pending, **kwargs)
+            )
+        return {name: out[name] for name in names}
 
     def _load_for_user(self, run_id: str, name: str) -> Any:
         data = self._get_data_from_memory(run_id, name)

@@ -128,6 +128,47 @@ class ExecutionDomain:
             return target_result
         return self.ctx._load_for_user(run_id, target)
 
+    def run_plugins(
+        self, run_id: str, targets: List[str], **kwargs: Any
+    ) -> Dict[str, Any]:
+        """Execute the union plan for several targets at once.
+
+        Joint planning lets the fused subgraph executor cover members that
+        span multiple targets' dependency trees — the reason
+        ``Context.get_data(run, [names])`` exists.
+        """
+        seen: Set[str] = set()
+        plan: List[str] = []
+        needed: Set[str] = set()
+        for target in targets:
+            for name in self.resolve_execution_plan(target, run_id):
+                if name not in seen:
+                    seen.add(name)
+                    plan.append(name)
+            needed |= self.compute_needed_set(plan, target, run_id)
+        fusion_bundles = self._plan_fusion(run_id, needed, kwargs)
+        fused_results: Dict[str, Any] = {}
+        results: Dict[str, Any] = {}
+        target_set = set(targets)
+        for name in plan:
+            if name not in needed:
+                continue
+            bundle = fusion_bundles.get(name)
+            if bundle is not None and name not in fused_results:
+                rule, members = bundle
+                with self.ctx.profiler.time(f"fusion.{rule.name}.compute"):
+                    fused_results.update(rule.compute(self.ctx, run_id, members))
+            result = self.execute_single_plugin(
+                run_id, name, is_target=(name in target_set),
+                precomputed=fused_results, **kwargs
+            )
+            if name in target_set:
+                results[name] = result
+        for target in targets:
+            if target not in results:
+                results[target] = self.ctx._load_for_user(run_id, target)
+        return results
+
     def _plan_fusion(
         self, run_id: str, needed: Set[str], kwargs: Dict[str, Any]
     ) -> Dict[str, Any]:

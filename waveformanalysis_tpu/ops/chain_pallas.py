@@ -82,6 +82,7 @@ def _chain_kernel(
     # outputs
     height_ref, amp_ref, area_ref, mad_ref, peak_pos_ref, n_peaks_ref,
     n_hits_ref, hit_integral_ref, rise_ref, fall_ref, width_ref, label_ref,
+    ncand_ref, nruns_ref,
     *,
     L: int,
     height_window: Tuple[int, int],
@@ -162,6 +163,7 @@ def _chain_kernel(
     is_peak &= x >= peak_height  # plateau value == right-edge sample
 
     rank = _cumsum(is_peak.astype(jnp.int32), col, L)
+    n_cand_raw = jnp.sum(is_peak.astype(jnp.int32), axis=1, keepdims=True)
 
     # compact first K candidates (positional order)
     pos_k, val_k, ok_k = [], [], []
@@ -300,6 +302,7 @@ def _chain_kernel(
     is_start = hmask2 & (_shift_right(hmask2_i, 1, jnp.int32(0), col) == 0)
     is_end = hmask2 & (_shift_left(hmask2_i, 1, jnp.int32(0), col, L) == 0)
     rank_s = _cumsum(is_start.astype(jnp.int32), col, L)
+    n_runs_raw = jnp.sum(is_start.astype(jnp.int32), axis=1, keepdims=True)
     rank_e = _cumsum(is_end.astype(jnp.int32), col, L)
     n_hits = jnp.zeros((R, 1), jnp.int32)
     hit_integral = jnp.zeros((R, 1), jnp.float32)
@@ -389,6 +392,9 @@ def _chain_kernel(
     fall_ref[:] = fall_out
     width_ref[:] = width_samples
     label_ref[:] = label
+    # raw (uncapped) candidate/run counts for the overflow contract
+    ncand_ref[:] = n_cand_raw
+    nruns_ref[:] = n_runs_raw
 
 
 def chain_pallas(
@@ -450,7 +456,8 @@ def chain_pallas(
     row_spec = pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     f32 = jnp.float32
     i32 = jnp.int32
-    out_dtypes = [f32, f32, f32, f32, i32, i32, i32, f32, f32, f32, f32, i32]
+    out_dtypes = [f32, f32, f32, f32, i32, i32, i32, f32, f32, f32, f32,
+                  i32, i32, i32]
     outs = pl.pallas_call(
         kernel,
         grid=(n_pad // R,),
@@ -458,7 +465,7 @@ def chain_pallas(
             pl.BlockSpec((R, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec,
         ],
-        out_specs=[row_spec] * 12,
+        out_specs=[row_spec] * 14,
         out_shape=[jax.ShapeDtypeStruct((n_pad, 1), dt) for dt in out_dtypes],
         interpret=interpret,
     )(waves, el2, bl2, sign2)
@@ -466,10 +473,16 @@ def chain_pallas(
     keys = (
         "height", "amp", "area", "max_abs_diff", "peak_position", "n_peaks",
         "n_hits", "hit_integral", "rise_samples", "fall_samples",
-        "width_samples", "label",
+        "width_samples", "label", "_n_candidates", "_n_runs",
     )
     result = {k: v[:n, 0] for k, v in zip(keys, outs)}
     result["label"] = result["label"].astype(jnp.int8)
+    result["n_peak_overflow"] = jnp.sum(
+        result.pop("_n_candidates") > int(cfg.max_peaks)
+    ).astype(jnp.int32)
+    result["n_hit_overflow"] = jnp.sum(
+        result.pop("_n_runs") > int(cfg.max_hits)
+    ).astype(jnp.int32)
     return result
 
 
@@ -518,10 +531,13 @@ def make_sharded_chain_pallas(mesh, cfg: Any = None, axis: str = "data",
             jnp.sum(out["label"] == 2).astype(jnp.int32), axis
         )
         out["total_area"] = jax.lax.psum(jnp.sum(out["area"]), axis)
+        for k in ("n_peak_overflow", "n_hit_overflow"):
+            out[k] = jax.lax.psum(out[k], axis)
         return out
 
     out_specs = {k: P(axis) for k in CHAIN_OUT_KEYS}
     out_specs.update({k: P() for k in CHAIN_STATS_KEYS})
+    out_specs.update({k: P() for k in ("n_peak_overflow", "n_hit_overflow")})
     sharded = shard_map(
         local,
         mesh=mesh,

@@ -44,6 +44,7 @@ import functools
 from typing import Any, Dict, Tuple
 
 import jax
+from functools import partial
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -90,6 +91,7 @@ def _chain_scan_kernel(
     w_ref, el_ref, bl_ref, sign_ref,
     height_ref, amp_ref, area_ref, mad_ref, peak_pos_ref, n_peaks_ref,
     n_hits_ref, hit_integral_ref, rise_ref, fall_ref, width_ref, label_ref,
+    ncand_ref, nruns_ref,
     # scratch (VMEM)
     pos_sc, val_sc, hseg_sc, hacc_sc, prm_sc, crs_sc, ph_sc, wid_sc,
     *,
@@ -328,6 +330,8 @@ def _chain_scan_kernel(
         fall_ref[:] = zf
         width_ref[:] = zf
         label_ref[:] = zi
+        ncand_ref[:] = cand_count
+        nruns_ref[:] = n_runs
 
     if _DEBUG_PASSES <= 1:
         _write_minimal()
@@ -651,6 +655,10 @@ def _chain_scan_kernel(
     fall_ref[:] = fall_out
     width_ref[:] = width_samples
     label_ref[:] = label
+    # raw (uncapped) candidate/run counts: the host wrapper derives the
+    # overflow counters from these (overflow contract, full_chain.py)
+    ncand_ref[:] = cand_count
+    nruns_ref[:] = n_runs
 
 
 def chain_scan_pallas(
@@ -711,7 +719,8 @@ def chain_scan_pallas(
     evt_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     f32, i32 = jnp.float32, jnp.int32
-    out_dtypes = [f32, f32, f32, f32, i32, i32, i32, f32, f32, f32, f32, i32]
+    out_dtypes = [f32, f32, f32, f32, i32, i32, i32, f32, f32, f32, f32,
+                  i32, i32, i32]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -720,7 +729,7 @@ def chain_scan_pallas(
                          memory_space=pltpu.VMEM),
             evt_spec, evt_spec, evt_spec,
         ],
-        out_specs=[evt_spec] * 12,
+        out_specs=[evt_spec] * 14,
         out_shape=[jax.ShapeDtypeStruct((n_pad // _LANE, _LANE), dt)
                    for dt in out_dtypes],
         scratch_shapes=[
@@ -739,10 +748,17 @@ def chain_scan_pallas(
     keys = (
         "height", "amp", "area", "max_abs_diff", "peak_position", "n_peaks",
         "n_hits", "hit_integral", "rise_samples", "fall_samples",
-        "width_samples", "label",
+        "width_samples", "label", "_n_candidates", "_n_runs",
     )
     result = {k: v.reshape(n_pad)[:n] for k, v in zip(keys, outs)}
     result["label"] = result["label"].astype(jnp.int8)
+    # overflow contract (same keys as models.full_chain.full_chain_step)
+    result["n_peak_overflow"] = jnp.sum(
+        result.pop("_n_candidates") > K
+    ).astype(jnp.int32)
+    result["n_hit_overflow"] = jnp.sum(
+        result.pop("_n_runs") > K_hits
+    ).astype(jnp.int32)
     return result
 
 
@@ -787,10 +803,13 @@ def make_sharded_chain_scan(mesh, cfg: Any = None, axis: str = "data",
             jnp.sum(out["label"] == 2).astype(jnp.int32), axis
         )
         out["total_area"] = jax.lax.psum(jnp.sum(out["area"]), axis)
+        for k in ("n_peak_overflow", "n_hit_overflow"):
+            out[k] = jax.lax.psum(out[k], axis)
         return out
 
     out_specs = {k: P(axis) for k in CHAIN_OUT_KEYS}
     out_specs.update({k: P() for k in CHAIN_STATS_KEYS})
+    out_specs.update({k: P() for k in ("n_peak_overflow", "n_hit_overflow")})
     sharded = shard_map(
         local,
         mesh=mesh,
@@ -1023,6 +1042,11 @@ def _peaks_scan_kernel(
     ncand_ref[:] = cand_count
 
 
+@partial(
+    jax.jit,
+    static_argnames=("height", "prominence", "width", "distance",
+                     "max_peaks", "rel_height", "interpret"),
+)
 def find_peaks_scan(
     signal: jax.Array,
     height: float,
@@ -1248,6 +1272,11 @@ def _hits_scan_kernel(
     nruns_ref[:] = n_runs
 
 
+@partial(
+    jax.jit,
+    static_argnames=("left_extension", "right_extension", "max_hits",
+                     "interpret"),
+)
 def threshold_hits_scan(
     signal: jax.Array,
     thresholds: jax.Array,

@@ -23,9 +23,12 @@ import numpy as np
 
 KERNEL_VERSION = "grouping-v2"
 
-# Below this row count the per-call device dispatch overhead (~3.5 ms over
-# the TPU tunnel) exceeds the host kernel's entire runtime.
-DEVICE_BACKEND_MIN_ROWS = 8192
+# Measured on the axon v5e (BENCHMARKS.md): the host anchor walk does 32k
+# rows in ~3 ms while the device kernel's dispatch + int64-emulated
+# searchsorted costs ~20 ms regardless of size — host wins until the
+# O(n)-vs-O(log n) walk crosses over around a million rows. Explicit
+# backend="device" remains for device-resident pipelines at any size.
+DEVICE_BACKEND_MIN_ROWS = 1_000_000
 
 
 def _resolve_backend(backend: str, n_rows: int) -> str:
