@@ -216,7 +216,47 @@ long long wfa_csv_decode(const char* buf, long long len, int skip_rows,
 // the generic decoder — keeping bit-parity with the reference pipeline on
 // weird files while real DAQ data takes the fast path.
 
+#if defined(__AVX512BW__) && defined(__AVX512F__)
+#include <immintrin.h>
+#define WFA_HAVE_AVX512 1
+#endif
+
 namespace {
+
+#ifdef WFA_HAVE_AVX512
+// 64-byte classification window: one load + three compares yield per-byte
+// delimiter / digit / line-end masks covering ~13 sample fields at once.
+// The per-field work drops to tzcnt + an 8-byte value load + the two-mul
+// SWAR reduction — the per-byte classify of the scalar path disappears.
+struct MaskWin {
+    const char* base;
+    uint64_t delim;
+    uint64_t digit;
+    uint64_t stop;   // delim | \n | \r | NUL-pad
+};
+
+inline void load_win(const char* p, const char* end, char delim_c,
+                     MaskWin* w) {
+    __m512i v;
+    if (end - p >= 64) {
+        v = _mm512_loadu_si512((const void*)p);
+    } else {
+        alignas(64) char buf[64] = {0};  // NUL pad: non-digit, stop via NUL
+        memcpy(buf, p, (size_t)(end - p));
+        v = _mm512_load_si512((const void*)buf);
+    }
+    w->base = p;
+    uint64_t d = _mm512_cmpeq_epi8_mask(v, _mm512_set1_epi8(delim_c));
+    uint64_t ge = _mm512_cmp_epu8_mask(v, _mm512_set1_epi8('0'), _MM_CMPINT_NLT);
+    uint64_t le = _mm512_cmp_epu8_mask(v, _mm512_set1_epi8('9'), _MM_CMPINT_LE);
+    uint64_t nl = _mm512_cmpeq_epi8_mask(v, _mm512_set1_epi8('\n'))
+                | _mm512_cmpeq_epi8_mask(v, _mm512_set1_epi8('\r'))
+                | _mm512_cmpeq_epi8_mask(v, _mm512_setzero_si512());
+    w->delim = d;
+    w->digit = ge & le;
+    w->stop = d | nl;
+}
+#endif
 
 // Digit-run length at q (0..8) and the parsed value of that run.
 // Requires 8 readable bytes at q (caller guarantees via padding check).
@@ -281,7 +321,7 @@ long long wfa_csv_decode_typed(
         long long c = 0;
         short bd = 0, ch = 0;
         long long ts = 0;
-        double bl_sum = 0.0;
+        unsigned long long bl_isum = 0;
         unsigned short* srow = samples_out + row * n_samples;
 
         // --- board / channel: small ints --------------------------------
@@ -324,6 +364,91 @@ long long wfa_csv_decode_typed(
             ++c;
         }
         // --- samples: SWAR u16 parse + baseline accumulation -------------
+#ifdef WFA_HAVE_AVX512
+        // AVX-512 path: one 64-byte classification covers ~13 fields.
+        // The mask walk extracts consecutive field boundaries with
+        // tzcnt/blsr (2-3 cycle serial chain per field); the value parses
+        // and digit validations hang off (start, len) pairs and overlap
+        // across fields in the OOO window — the scalar path's long
+        // per-field dependency chain (classify -> advance -> classify)
+        // disappears. Same accept/skip/bail contract as the scalar loop
+        // below (compiled when AVX-512BW is absent).
+        if (!bail && !skip_row) {
+            long long s = 0;
+            while (s < n_samples && !bail && !skip_row) {
+                MaskWin w;
+                load_win(f, end, delim, &w);
+                const char* base = w.base;
+                const long long win_bytes =
+                    (end - base >= 64) ? 64 : (end - base);
+                uint64_t m = w.stop;
+                long long start_off = 0;
+                bool progressed = false;
+                while (s < n_samples) {
+                    if (m == 0) break;  // field crosses the window edge
+                    int stop_pos = __builtin_ctzll(m);
+                    int dlen = stop_pos - (int)start_off;
+                    if (dlen <= 0 || dlen > 5) { bail = true; break; }
+                    uint64_t need = ((1ull << stop_pos) - (1ull << start_off));
+                    if ((w.digit & need) != need) { bail = true; break; }
+                    const char* fs = base + start_off;
+                    unsigned v;
+                    if (end - fs >= 8) {
+                        uint64_t wv; memcpy(&wv, fs, 8);
+                        int pad = 8 - dlen;
+                        uint64_t digits = (pad == 0) ? wv
+                            : ((wv << (pad * 8))
+                               | (0x3030303030303030ull >> (dlen * 8)));
+                        uint64_t x = digits - 0x3030303030303030ull;
+                        x = (x * 10) + (x >> 8);
+                        x = (((x & 0x000000FF000000FFull)
+                              * 0x000F424000000064ull)
+                             + (((x >> 16) & 0x000000FF000000FFull)
+                                * 0x0000271000000001ull)) >> 32;
+                        v = (unsigned)x;
+                    } else {
+                        v = 0;
+                        for (int i2 = 0; i2 < dlen; ++i2)
+                            v = v * 10u + (unsigned)(fs[i2] - '0');
+                    }
+                    if (v > 65535u) { bail = true; break; }
+                    const char* q = base + stop_pos;
+                    if (q > line_end) q = line_end;  // NUL pad past buffer
+                    bool lastf = (s == n_samples - 1);
+                    if (lastf) {
+                        const char* r = q;
+                        while (r < line_end && *r == '\r') ++r;
+                        if (r < line_end) {
+                            if (*q == delim) {
+                                const char* t = q + 1;
+                                while (t < line_end && *t == '\r') ++t;
+                                if (t < line_end) { skip_row = true; break; }
+                            } else { bail = true; break; }
+                        }
+                    } else if (q >= line_end) {
+                        skip_row = true;  // short row
+                        break;
+                    } else if (*q != delim) {
+                        bail = true;  // junk after digits: generic decoder
+                        break;
+                    }
+                    srow[s] = (unsigned short)v;
+                    if (s >= bl_lo && s < bl_hi) bl_isum += v;
+                    ++s;
+                    ++c;
+                    progressed = true;
+                    start_off = stop_pos + 1;
+                    m &= m - 1;
+                    if (start_off >= win_bytes) break;
+                }
+                if (bail || skip_row || s >= n_samples) break;
+                // reload at the start of the unfinished field
+                const char* nf = base + start_off;
+                if (!progressed && nf == f) { bail = true; break; }  // stuck
+                f = nf;
+            }
+        }
+#else
         if (!bail && !skip_row) {
             for (long long s = 0; s < n_samples; ++s) {
                 if (end - f < 8) {
@@ -343,11 +468,13 @@ long long wfa_csv_decode_typed(
                         const char* r = q;
                         while (r < line_end && *r == '\r') ++r;
                         if (r < line_end) { bail = true; break; }
-                    } else if (q >= line_end || *q != delim) {
+                    } else if (q >= line_end) {
                         skip_row = true; break;  // short row
+                    } else if (*q != delim) {
+                        bail = true; break;  // junk after digits: generic
                     }
                     srow[s] = (unsigned short)acc;
-                    if (s >= bl_lo && s < bl_hi) bl_sum += (double)acc;
+                    if (s >= bl_lo && s < bl_hi) bl_isum += acc;
                     f = (q < line_end && *q == delim) ? q + 1 : q;
                     ++c;
                     continue;
@@ -370,23 +497,27 @@ long long wfa_csv_decode_typed(
                             else { skip_row = true; break; }
                         } else { bail = true; break; }
                     }
-                } else if (q >= line_end || *q != delim) {
+                } else if (q >= line_end) {
                     skip_row = true;  // short row (field count mismatch)
                     break;
+                } else if (*q != delim) {
+                    bail = true;  // junk after digits ("12x"): the generic
+                    break;        // decoder keeps that row with NaN
                 }
                 srow[s] = (unsigned short)v;
-                if (s >= bl_lo && s < bl_hi) bl_sum += (double)v;
+                if (s >= bl_lo && s < bl_hi) bl_isum += v;
                 f = (q < line_end && *q == delim) ? q + 1 : q;
                 ++c;
             }
         }
+#endif
 
         if (bail) return -1;
         if (!skip_row) {
             board_out[row] = bd;
             channel_out[row] = ch;
             ts_out[row] = ts;
-            baseline_out[row] = bl_count ? (bl_sum / (double)bl_count)
+            baseline_out[row] = bl_count ? ((double)bl_isum / (double)bl_count)
                                          : std::nan("");
             ++row;
         }

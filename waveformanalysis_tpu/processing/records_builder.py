@@ -190,6 +190,7 @@ def build_part_from_typed(
     default_dt_ns: int,
     normalize_timestamp_to_ps,
     pid: int = 0,
+    sort: bool = True,
 ) -> RecordsBundle:
     """One sorted part from the typed native decode output.
 
@@ -227,7 +228,10 @@ def build_part_from_typed(
         schema=RECORDS_SCHEMA,
     )
     pool = np.ascontiguousarray(samples, dtype=np.uint16).reshape(-1)
-    return sort_bundle(RecordsBundle(records=records, wave_pool=pool))
+    bundle = RecordsBundle(records=records, wave_pool=pool)
+    # parts feeding merge_records_parts skip the per-part sort: the merge
+    # lexsorts the concatenation anyway (pre-sorted parts are wasted work)
+    return sort_bundle(bundle) if sort else bundle
 
 
 def raw_array_to_typed(
@@ -609,7 +613,7 @@ def build_records_from_raw_files(
                     parts.append(build_part_from_typed(
                         dec, default_dt_ns=default_dt_ns,
                         normalize_timestamp_to_ps=spec.normalize_timestamp_to_ps,
-                        pid=pid,
+                        pid=pid, sort=False,
                     ))
                 else:
                     arr = np.vstack(buffer) if len(buffer) > 1 else buffer[0]
