@@ -205,3 +205,69 @@ class TestValidationManager:
         ctx.inject_data("r2", "upstream", Table({"other": np.zeros(2)}))
         with pytest.raises(ValidationError, match="missing fields"):
             vm.validate_input_dtypes(plugin, "r2")
+
+
+class TestAsyncSave:
+    """Async cache writes: hidden from the critical path, visible to reads."""
+
+    def _ctx(self, tmp_path, async_save=True):
+        from waveformanalysis_tpu.testing.fixtures import (
+            make_fake_st_waveforms,
+            make_tiny_context,
+        )
+        from waveformanalysis_tpu.plugins.builtin.basic_features import (
+            BasicFeaturesPlugin,
+        )
+
+        ctx = make_tiny_context(
+            tmp_path, st_waveforms=make_fake_st_waveforms(64, 64)
+        )
+        ctx.config["async_save"] = async_save
+        ctx.register(BasicFeaturesPlugin())
+        return ctx
+
+    def test_async_save_persists_and_clone_reads(self, tmp_path):
+        import numpy as np
+
+        ctx = self._ctx(tmp_path)
+        out = ctx.get_data("test_run", "basic_features")
+        # clone() barriers on in-flight writes, then reads from disk
+        clone = ctx.clone()
+        from waveformanalysis_tpu.testing.fixtures import make_fake_st_waveforms
+
+        clone.inject_data("test_run", "st_waveforms",
+                          make_fake_st_waveforms(64, 64))
+        again = clone.get_data("test_run", "basic_features")
+        np.testing.assert_array_equal(
+            np.asarray(out["area"]), np.asarray(again["area"])
+        )
+        assert "plugin.basic_features.compute" not in str(
+            clone.profiler.summary()
+        )
+
+    def test_flush_saves_explicit(self, tmp_path):
+        ctx = self._ctx(tmp_path)
+        ctx.get_data("test_run", "basic_features")
+        ctx.flush_saves()
+        key = ctx.key_for("test_run", "basic_features")
+        assert ctx.storage.exists(key, run_id="test_run")
+
+    def test_sync_mode_unchanged(self, tmp_path):
+        ctx = self._ctx(tmp_path, async_save=False)
+        ctx.get_data("test_run", "basic_features")
+        key = ctx.key_for("test_run", "basic_features")
+        # no flush needed: the save completed inline
+        assert ctx.storage.exists(key, run_id="test_run")
+
+    def test_writer_failure_surfaces_at_barrier(self, tmp_path):
+        import pytest
+
+        ctx = self._ctx(tmp_path)
+
+        def boom(*a, **k):
+            raise OSError("disk gone")
+
+        ctx.storage.save_memmap = boom
+        ctx.get_data("test_run", "basic_features")  # submit succeeds
+        with pytest.raises(OSError, match="disk gone"):
+            ctx.flush_saves()

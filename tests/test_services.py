@@ -126,6 +126,7 @@ class TestCacheOps:
         ctx.register(SimpleSource(), SimpleSink())
         ctx.get_data("runX", "sink")
         ctx.get_data("runY", "src")
+        ctx.flush_saves()  # cache-ops tools inspect the files directly
         return ctx
 
     def test_analyzer(self, populated):
@@ -320,6 +321,7 @@ class TestCacheAnalysisPlugin:
         ctx = Context(storage_dir=str(tmp_path), config={"show_progress": False})
         ctx.register(SimpleSource(), CacheAnalysisPlugin())
         ctx.get_data("r", "src")
+        ctx.flush_saves()  # the analysis plugin scans the cache files
         report = ctx.get_data("r", "cache_analysis")
         assert report["summary"]["n_entries"] == 1
         assert report["diagnostics"]["is_healthy"]

@@ -54,6 +54,7 @@ class CacheDomain:
 
     def load_from_disk_with_check(self, run_id: str, name: str, key: str) -> Any:
         """Load cached data, but only if stored lineage matches current."""
+        self.ctx.execution_domain.wait_for_pending_save(run_id, name)
         storage = self.ctx._get_storage_for_data_name(name)
         if not storage.exists(key, run_id):
             return None
@@ -96,6 +97,7 @@ class CacheDomain:
             return True
         if name not in self.ctx._plugins:
             return False
+        self.ctx.execution_domain.wait_for_pending_save(run_id, name)
         key = self.key_for(run_id, name)
         if load:
             _data, hit = self.ctx._cache_manager.check_cache(run_id, name, key)

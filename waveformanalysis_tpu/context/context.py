@@ -742,8 +742,14 @@ class Context:
     # Cloning / factories
     # ------------------------------------------------------------------
 
+    def flush_saves(self) -> "Context":
+        """Complete every in-flight async cache write (async_save mode)."""
+        self.execution_domain.flush_saves()
+        return self
+
     def clone(self, **config_updates: Any) -> "Context":
         """A new Context sharing storage + plugin classes, fresh caches."""
+        self.flush_saves()  # the clone reads through the shared storage
         cfg = dict(self.config)
         cfg.update(config_updates)
         new = Context(
@@ -782,6 +788,7 @@ class Context:
     def create_context_factory(self):
         """A picklable factory recreating an equivalent Context in another
         process (reference: context.py:518)."""
+        self.flush_saves()  # worker processes read through the same storage
         spec = {
             "config": dict(self.config),
             "storage_dir": self.storage_dir,

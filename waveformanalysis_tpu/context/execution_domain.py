@@ -49,6 +49,11 @@ FLAT_CHANNEL_OUTPUTS = {
 }
 
 
+# in-flight async cache writes: (storage root, run_id, data_name) -> Future
+_PENDING_SAVES: Dict[Tuple[str, str, str], Any] = {}
+_PENDING_SAVES_LOCK = threading.Lock()
+
+
 class ExecutionDomain:
     """Plan resolution and plugin execution for a Context."""
 
@@ -56,6 +61,11 @@ class ExecutionDomain:
         self.ctx = context
         self._in_progress: Dict[Any, bool] = {}
         self._in_progress_lock = threading.Lock()
+        # async save machinery (one writer thread per Context). The pending
+        # registry is MODULE-GLOBAL keyed by (storage root, run, name):
+        # a fresh Context constructed over the same storage dir (restart
+        # pattern) must barrier on another context's in-flight writes too.
+        self._save_pool: Optional[Any] = None
 
     # -- planning ------------------------------------------------------------
 
@@ -359,10 +369,62 @@ class ExecutionDomain:
         return result
 
     def save_plugin_result(self, run_id: str, name: str, plugin: Any, result: Any) -> None:
+        """Persist a plugin output (async by default).
+
+        The write runs on the Context's single writer thread so downstream
+        plugins start immediately — the reference's synchronous
+        save-then-continue (context_execution.py:185) serialized the whole
+        DAG behind storage. Plugin outputs are immutable by framework
+        contract (the memory cache already shares them), so serializing
+        from the same arrays off-thread is safe. Reads of a pending key
+        barrier on the write (wait_for_pending_save); disable with
+        config={"async_save": False}.
+        """
         ctx = self.ctx
+        # key/lineage/backend resolve on the CALLER thread: they touch
+        # context caches that set_config may clear concurrently
         key = ctx.cache_domain.key_for(run_id, name)
         storage = ctx._get_storage_for_data_name(name)
         lineage = ctx.get_lineage(name)
+        if ctx.config.get("async_save", True):
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._save_pool is None:
+                self._save_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="wfa-save"
+                )
+            reg_key = (self._storage_root(), run_id, name)
+            with _PENDING_SAVES_LOCK:
+                fut = self._save_pool.submit(
+                    self._write, key, storage, lineage, run_id, name, result
+                )
+                _PENDING_SAVES[reg_key] = fut
+            return
+        self._write(key, storage, lineage, run_id, name, result)
+
+    def _storage_root(self) -> str:
+        return str(getattr(self.ctx, "storage_dir", "") or "")
+
+    def wait_for_pending_save(self, run_id: str, name: str) -> None:
+        """Barrier: complete any in-flight async save of (run, name) —
+        across every Context over this storage root in the process."""
+        with _PENDING_SAVES_LOCK:
+            fut = _PENDING_SAVES.pop((self._storage_root(), run_id, name), None)
+        if fut is not None:
+            fut.result()  # re-raises writer-thread failures
+
+    def flush_saves(self) -> None:
+        """Complete every in-flight async save under this storage root."""
+        root = self._storage_root()
+        with _PENDING_SAVES_LOCK:
+            keys = [k for k in _PENDING_SAVES if k[0] == root]
+            futs = [_PENDING_SAVES.pop(k) for k in keys]
+        for fut in futs:
+            fut.result()
+
+    def _write(self, key: str, storage: Any, lineage: Any, run_id: str,
+               name: str, result: Any) -> None:
+        ctx = self.ctx
         with ctx.profiler.time("context.save_cache"):
             if _is_dataframe(result):
                 storage.save_dataframe(key, result, run_id=run_id, lineage=lineage)

@@ -150,7 +150,9 @@ class WaveChainFusion:
             )
 
         mesh_info = getattr(ctx, "mesh", None)
-        program = self._get_program(tuple(members), cfgs, plugins, mesh_info)
+        program, spec_cache = self._get_program(
+            tuple(members), cfgs, plugins, mesh_info
+        )
 
         thresholds_np = (
             np.zeros((n,), np.float32) if thresholds is None else thresholds
@@ -165,8 +167,12 @@ class WaveChainFusion:
         if mesh_info is not None:
             host_out = self._run_sharded(program, inputs, n, mesh_info)
         else:
-            dev_out = program(*(jnp.asarray(x) for x in inputs))
-            host_out = jax.device_get(dev_out)
+            dev_in = tuple(jnp.asarray(x) for x in inputs)
+            shapes_key = tuple(
+                (tuple(x.shape), str(x.dtype)) for x in dev_in
+            )
+            flat = program(*dev_in)
+            host_out = _unpack_host(np.asarray(flat), spec_cache[shapes_key])
 
         results: Dict[str, Any] = {}
         for m in members:
@@ -261,7 +267,9 @@ class WaveChainFusion:
 
         if mesh_info is not None:
             # event-axis data parallelism: one shard_map over the whole
-            # bundle, every stage's outputs sharded on their leading dim
+            # bundle, every stage's outputs sharded on their leading dim.
+            # (No transfer-packing here: the flat concat would break the
+            # even per-leaf sharding.)
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
@@ -273,10 +281,84 @@ class WaveChainFusion:
                 out_specs=P(axis),
                 check_vma=False,
             )
+            entry = (jax.jit(program), None)
+            self._programs[key] = entry
+            return entry
 
-        prog = jax.jit(program)
-        self._programs[key] = prog
-        return prog
+        # single-transfer packing: the jitted program returns ONE flat int32
+        # array; the per-shape unpack spec is recorded at trace time
+        spec_cache: Dict[Tuple, Any] = {}
+
+        def packed_program(*args):
+            shapes_key = tuple((tuple(a.shape), str(a.dtype)) for a in args)
+            out = program(*args)
+            flat, spec = _pack_leaves(out)
+            spec_cache[shapes_key] = spec
+            return flat
+
+        entry = (jax.jit(packed_program), spec_cache)
+        self._programs[key] = entry
+        return entry
+
+
+# ---------------------------------------------------------------------------
+# single-transfer packing: over the TPU tunnel every device->host fetch
+# costs ~32 ms of latency regardless of size, and a fused bundle has a
+# dozen-plus output leaves. Bitcast/cast every leaf to int32, flatten and
+# concatenate ON DEVICE, fetch once, split + cast back on host.
+# ---------------------------------------------------------------------------
+
+def _pack_leaves(tree):
+    """Device-side: one flat int32 array from every leaf (inside jit)."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    metas = []
+    parts = []
+    for leaf in leaves:
+        dt = leaf.dtype
+        if dt.itemsize > 4:
+            raise TypeError(
+                f"packed transfer cannot carry 64-bit leaf dtype {dt}; "
+                "widen the packing or keep this stage output off-bundle"
+            )
+        metas.append((tuple(leaf.shape), str(dt)))
+        if dt == jnp.float32:
+            p = jax.lax.bitcast_convert_type(leaf, jnp.int32)
+        else:
+            p = leaf.astype(jnp.int32)
+        parts.append(p.reshape(-1))
+    flat = jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.int32)
+    return flat, (treedef, metas)
+
+
+def _unpack_host(flat_host: np.ndarray, spec):
+    treedef, metas = spec
+    out = []
+    off = 0
+    for shape, dtype_str in metas:
+        size = int(np.prod(shape)) if shape else 1
+        chunk = flat_host[off:off + size]
+        off += size
+        if dtype_str == "float32":
+            arr = chunk.view(np.float32)
+        else:
+            arr = chunk.astype(np.dtype(dtype_str))
+        out.append(arr.reshape(shape))
+    import jax
+
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _packable(tree) -> bool:
+    import jax
+    import jax.numpy as jnp
+
+    ok = (jnp.float32, jnp.int32, jnp.int16, jnp.int8, jnp.uint8, jnp.bool_)
+    return all(
+        leaf.dtype in ok for leaf in jax.tree_util.tree_leaves(tree)
+    )
 
 
 _DEFAULT_RULES: Optional[List[Any]] = None

@@ -108,9 +108,17 @@ class BasicFeaturesPlugin(Plugin):
         as_, ae = F._norm_window(int(as_), None if ae is None else int(ae), L)
         return hs, he, as_, ae
 
+    # packed-transfer layout: all six reductions are int32, so one (6, n)
+    # stack crosses the host link in ONE transfer — on the TPU tunnel each
+    # separate fetch costs ~32 ms of latency regardless of size
+    _RED_FIELDS = ("min_h", "max_h", "count_h", "sum_a", "count_a",
+                   "max_abs_diff")
+
     @staticmethod
     def device_stage(cfg: dict, waves_d: Any, lengths_d: Any) -> dict:
         """Pure jit-composable device program: exact integer reductions."""
+        import jax.numpy as jnp
+
         L = waves_d.shape[1]
         if L >= 65536:
             raise ValueError(
@@ -118,18 +126,29 @@ class BasicFeaturesPlugin(Plugin):
                 "area accumulator"
             )
         hs, he, as_, ae = BasicFeaturesPlugin.normalized_windows(cfg, L)
-        return dict(F.feature_reductions(
+        red = F.feature_reductions(
             waves_d, lengths_d.astype("int32") if hasattr(lengths_d, "astype")
             else lengths_d,
             height_start=hs, height_end=he, area_start=as_, area_end=ae,
-        ))
+        )
+        # event-major (n, 6): the leading dim stays the event axis, so mesh
+        # sharding and pad/unpad slicing treat it like any other output
+        return {"packed": jnp.stack(
+            [red[k] for k in BasicFeaturesPlugin._RED_FIELDS], axis=1
+        )}
 
     def finalize(
         self, cfg: dict, red: dict, baselines: np.ndarray, pol: np.ndarray,
         timestamps: np.ndarray, boards: np.ndarray, channels: np.ndarray,
     ) -> Table:
         """Exact float64 host combine + Table build."""
-        red_host = {k: np.asarray(v) for k, v in red.items()}
+        if "packed" in red:
+            packed = np.asarray(red["packed"])
+            red_host = {
+                k: packed[:, i] for i, k in enumerate(self._RED_FIELDS)
+            }
+        else:
+            red_host = {k: np.asarray(v) for k, v in red.items()}
         feats = F.combine_features(red_host, baselines, pol)
         n = len(baselines)
         return Table(

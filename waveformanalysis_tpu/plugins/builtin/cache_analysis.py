@@ -35,6 +35,8 @@ class CacheAnalysisPlugin(Plugin):
     }
 
     def compute(self, context: Any, run_id: str, **kwargs: Any) -> Dict[str, Any]:
+        if hasattr(context, "flush_saves"):
+            context.flush_saves()  # the scan inspects cache files directly
         target_run = None if context.get_config(self, "all_runs") else run_id
         analyzer = CacheAnalyzer(context.storage)
         report: Dict[str, Any] = {
