@@ -176,6 +176,30 @@ def test_mesh_attached_context_matches_single_device(tmp_path):
     assert ctx_mesh.clone().mesh is not None
 
 
+def test_width_integral_joins_bundle(tmp_path):
+    from waveformanalysis_tpu.plugins.builtin.waveform_width_integral import (
+        WaveformWidthIntegralPlugin,
+    )
+
+    st = _st(n=256)
+    ctx_f = Context(storage_dir=str(tmp_path / "wf"),
+                    config={"show_progress": False, "fused_execution": True})
+    ctx_u = Context(storage_dir=str(tmp_path / "wu"),
+                    config={"show_progress": False, "fused_execution": False})
+    for ctx in (ctx_f, ctx_u):
+        ctx.register(BasicFeaturesPlugin(), ThresholdHitPlugin(),
+                     WaveformWidthIntegralPlugin())
+        ctx.inject_data("r", "st_waveforms", st)
+    out_f = ctx_f.get_data(
+        "r", ["basic_features", "hit_threshold", "waveform_width_integral"]
+    )
+    assert "fusion.wave_chain.compute" in str(ctx_f.profiler.summary())
+    for name in out_f:
+        u = ctx_u.get_data("r", name)
+        assert len(u) > 0
+        _tables_equal(out_f[name], u)
+
+
 def test_multi_target_get_data_fuses(tmp_path):
     st = _st(n=256)
     ctx = _make_ctx(tmp_path, "multi", True)

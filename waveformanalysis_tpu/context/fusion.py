@@ -31,7 +31,8 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-FUSED_CHAIN_MEMBERS = ("basic_features", "hit", "hit_threshold")
+FUSED_CHAIN_MEMBERS = ("basic_features", "hit", "hit_threshold",
+                       "waveform_width_integral")
 
 # device_stage-relevant config keys per member: the jit program is cached on
 # these (host-only keys like channel_config affect inputs, not the program)
@@ -44,6 +45,7 @@ _DEVICE_CFG_KEYS = {
     "hit_threshold": (
         "left_extension", "right_extension", "max_hits", "backend",
     ),
+    "waveform_width_integral": ("q_low", "q_high"),
 }
 
 
@@ -71,11 +73,15 @@ class WaveChainFusion:
         from waveformanalysis_tpu.plugins.builtin.peak_finding import (
             HitFinderPlugin,
         )
+        from waveformanalysis_tpu.plugins.builtin.waveform_width_integral import (
+            WaveformWidthIntegralPlugin,
+        )
 
         expected = {
             "basic_features": BasicFeaturesPlugin,
             "hit": HitFinderPlugin,
             "hit_threshold": ThresholdHitPlugin,
+            "waveform_width_integral": WaveformWidthIntegralPlugin,
         }
         members = [m for m in FUSED_CHAIN_MEMBERS if m in needed]
         if len(members) < 2:
@@ -127,10 +133,17 @@ class WaveChainFusion:
         )
         n = len(lengths)
         if n == 0:
+            from waveformanalysis_tpu.plugins.builtin.waveform_width_integral import (
+                WAVEFORM_WIDTH_INTEGRAL_SCHEMA,
+            )
+
             empty = {
                 "basic_features": lambda: Table.zeros(0, BASIC_FEATURES_SCHEMA),
                 "hit": lambda: Table.zeros(0, HIT_SCHEMA),
                 "hit_threshold": lambda: Table.zeros(0, THRESHOLD_HIT_SCHEMA),
+                "waveform_width_integral": lambda: Table.zeros(
+                    0, WAVEFORM_WIDTH_INTEGRAL_SCHEMA
+                ),
             }
             return {m: empty[m]() for m in members}
 
@@ -189,6 +202,10 @@ class WaveChainFusion:
             elif m == "hit_threshold":
                 results[m] = plugins[m].finalize(
                     cfgs[m], host_out[m], meta, lengths, n
+                )
+            elif m == "waveform_width_integral":
+                results[m] = plugins[m].finalize(
+                    cfgs[m], host_out[m], meta, n
                 )
         logger.debug(
             "fused %s over %d waveforms in one device program", members, n
@@ -262,6 +279,11 @@ class WaveChainFusion:
                     out[m] = stages[m](
                         member_cfgs[m], waves_d, lengths_d, sign_d,
                         baselines_d, thresholds_d,
+                    )
+                elif m == "waveform_width_integral":
+                    out[m] = stages[m](
+                        member_cfgs[m], waves_d, lengths_d, sign_d,
+                        baselines_d,
                     )
             return out
 

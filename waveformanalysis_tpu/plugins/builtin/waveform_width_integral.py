@@ -74,7 +74,9 @@ class WaveformWidthIntegralPlugin(Plugin):
     def resolve_depends_on(self, context: Any, run_id: Optional[str] = None):
         return list(resolve_wave_input_spec(context, self).depends_on)
 
-    def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
+    # -- three-phase structure (shared with the fused subgraph executor) ----
+
+    def kernel_config(self, context: Any) -> dict:
         q_low = float(context.get_config(self, "q_low"))
         q_high = float(context.get_config(self, "q_high"))
         dt = context.get_config(self, "dt")
@@ -84,7 +86,58 @@ class WaveformWidthIntegralPlugin(Plugin):
                 raise ValueError(f"sampling_rate ({sampling_rate}) must be > 0")
             dt = 1.0 / float(sampling_rate)
         if q_low <= 0 or q_high >= 1 or q_low >= q_high:
-            raise ValueError(f"invalid q_low/q_high: q_low={q_low}, q_high={q_high}")
+            raise ValueError(
+                f"invalid q_low/q_high: q_low={q_low}, q_high={q_high}"
+            )
+        return {"q_low": q_low, "q_high": q_high, "dt": float(dt)}
+
+    @staticmethod
+    def device_stage(
+        cfg: dict,
+        waves_d: Any,
+        lengths_d: Any,
+        sign_d: Any,
+        baselines_d: Any,
+    ) -> dict:
+        """Pure jit-composable device program: signal -> quantile widths.
+
+        The kernel masks by event length itself, so computing the signal
+        from (waves, baseline, sign) matches both the flat path and the
+        zero-padded records signal_matrix exactly.
+        """
+        w32 = waves_d.astype(jnp.float32)
+        signal = sign_d[:, None] * (w32 - baselines_d[:, None].astype(jnp.float32))
+        return dict(WD.integral_quantile_width(
+            signal, lengths_d.astype(jnp.int32),
+            q_low=cfg["q_low"], q_high=cfg["q_high"],
+        ))
+
+    def finalize(self, cfg: dict, out: dict, meta: Any, n: int) -> Table:
+        out = {k: np.asarray(v) for k, v in out.items()}
+        dt_f = cfg["dt"]
+        return Table(
+            {
+                "t_low": (out["t_low_samples"] * dt_f).astype(np.float32),
+                "t_high": (out["t_high_samples"] * dt_f).astype(np.float32),
+                "width": (out["width_samples"] * dt_f).astype(np.float32),
+                "t_low_samples": out["t_low_samples"].astype(np.float32),
+                "t_high_samples": out["t_high_samples"].astype(np.float32),
+                "width_samples": out["width_samples"].astype(np.float32),
+                "q_total": out["q_total"].astype(np.float64),
+                "timestamp": np.asarray(meta["timestamp"], np.int64)
+                if "timestamp" in meta else np.zeros(n, np.int64),
+                "board": np.asarray(meta["board"], np.int16)
+                if "board" in meta else np.zeros(n, np.int16),
+                "channel": np.asarray(meta["channel"], np.int16)
+                if "channel" in meta else np.zeros(n, np.int16),
+                "event_index": np.arange(n, dtype=np.int64),
+            },
+            schema=WAVEFORM_WIDTH_INTEGRAL_SCHEMA,
+        )
+
+    def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
+        cfg = self.kernel_config(context)
+        q_low, q_high, dt = cfg["q_low"], cfg["q_high"], cfg["dt"]
 
         wave_input = load_wave_input(context, self, run_id, needs_wave_samples=True)
         if wave_input.spec.is_records:
@@ -117,25 +170,4 @@ class WaveformWidthIntegralPlugin(Plugin):
             jnp.asarray(signal), jnp.asarray(np.asarray(lengths, np.int32)),
             q_low=q_low, q_high=q_high,
         )
-        out = {k: np.asarray(v) for k, v in out.items()}
-        n = len(lengths)
-        dt_f = float(dt)
-        return Table(
-            {
-                "t_low": (out["t_low_samples"] * dt_f).astype(np.float32),
-                "t_high": (out["t_high_samples"] * dt_f).astype(np.float32),
-                "width": (out["width_samples"] * dt_f).astype(np.float32),
-                "t_low_samples": out["t_low_samples"].astype(np.float32),
-                "t_high_samples": out["t_high_samples"].astype(np.float32),
-                "width_samples": out["width_samples"].astype(np.float32),
-                "q_total": out["q_total"].astype(np.float64),
-                "timestamp": np.asarray(meta["timestamp"], np.int64)
-                if "timestamp" in meta else np.zeros(n, np.int64),
-                "board": np.asarray(meta["board"], np.int16)
-                if "board" in meta else np.zeros(n, np.int16),
-                "channel": np.asarray(meta["channel"], np.int16)
-                if "channel" in meta else np.zeros(n, np.int16),
-                "event_index": np.arange(n, dtype=np.int64),
-            },
-            schema=WAVEFORM_WIDTH_INTEGRAL_SCHEMA,
-        )
+        return self.finalize(cfg, out, meta, len(lengths))
