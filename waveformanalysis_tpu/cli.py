@@ -145,7 +145,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         ctx.preview_execution(args.run_name, args.target, verbose=True)
         return 0
 
-    result = ctx.get_data(args.run_name, args.target)
+    try:
+        result = ctx.get_data(args.run_name, args.target)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
     # export
     if args.output:

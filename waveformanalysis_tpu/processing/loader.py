@@ -40,10 +40,10 @@ def get_raw_files(
         from waveformanalysis_tpu.formats.adapter import get_adapter
 
         adapter = get_adapter(daq_adapter)
-        try:
-            scan = adapter.scan_run(data_root, run_name)
-        except FileNotFoundError:
-            scan = {}
+        # a missing run directory is an error, matching the reference
+        # (reference: processing/loader.py:169 raises FileNotFoundError);
+        # an existing-but-empty run yields an empty list
+        scan = adapter.scan_run(data_root, run_name)
         groups = {ch: [str(p) for p in files] for ch, files in scan.items()}
 
     if not groups:
