@@ -255,6 +255,7 @@ class TestEventPlugins:
 
     def test_dataframe_cache_roundtrip(self, event_ctx, tmp_path):
         df1 = event_ctx.get_data("test_run", "df_events")
+        event_ctx.flush_saves()  # direct storage inspection below
         # new context, same storage -> parquet/pickle reload
         ctx2 = make_tiny_context(tmp_path, st_waveforms=make_fake_st_waveforms(1, 16))
         ctx2.register(BasicFeaturesPlugin(), DataFramePlugin(), GroupedEventsPlugin())

@@ -95,6 +95,7 @@ def test_fusion_respects_save_when_and_cache(tmp_path):
     ctx.get_data("r", "s1_s2")
     # hit_threshold is outside the s1_s2 dep tree; request it explicitly
     ctx.get_data("r", "hit_threshold")
+    ctx.flush_saves()  # direct storage inspection below
     # all bundle members were saved (save_when=always) under their own keys
     for name in ("basic_features", "hit", "hit_threshold"):
         key = ctx.key_for("r", name)
