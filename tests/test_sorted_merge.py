@@ -127,3 +127,32 @@ class TestShardedTimeSort:
         out = sharded_time_sort(cols, ("timestamp", "record_id"), mesh8)
         np.testing.assert_array_equal(out["timestamp"], cols["timestamp"])
         np.testing.assert_array_equal(out["record_id"], cols["record_id"])
+
+
+class TestRecordsMergeOnMesh:
+    def test_mesh_merge_equals_host_merge(self, mesh8, rng):
+        from waveformanalysis_tpu.processing.records_builder import (
+            build_records_from_st_waveforms,
+            merge_records_parts,
+        )
+        from waveformanalysis_tpu.testing.fixtures import make_fake_st_waveforms
+
+        parts = []
+        for ch in range(3):
+            st = make_fake_st_waveforms(
+                n_events=77, wave_length=32, n_channels=1, seed=ch,
+            )
+            st["channel"] = ch
+            st["timestamp"] = (
+                rng.integers(0, 10**9, 77).astype(np.int64) * 1000
+            )
+            parts.append(build_records_from_st_waveforms(st))
+        host = merge_records_parts(list(parts))
+        mesh = merge_records_parts(list(parts), mesh=mesh8)
+        assert len(host.records) == len(mesh.records) == 3 * 77
+        for k in host.records.field_names:
+            np.testing.assert_array_equal(
+                np.asarray(host.records[k]), np.asarray(mesh.records[k]),
+                err_msg=k,
+            )
+        np.testing.assert_array_equal(host.wave_pool, mesh.wave_pool)

@@ -133,20 +133,34 @@ def sort_bundle(bundle: RecordsBundle) -> RecordsBundle:
     return RecordsBundle(records=records, wave_pool=new_pool)
 
 
-def merge_records_parts(parts: Sequence[RecordsBundle]) -> RecordsBundle:
+def merge_records_parts(
+    parts: Sequence[RecordsBundle], mesh: Any = None
+) -> RecordsBundle:
     """Merge per-channel/per-part bundles into one sorted bundle.
 
     Vectorized replacement for the reference k-way heap merge
     (records_builder.py:870-948): concatenation + one lexsort + one gather.
+
+    With ``mesh`` (a jax Mesh with >1 device), the global sort runs as the
+    distributed block odd-even merge (parallel/sorted_merge.py) sharded
+    over the mesh — records never gather onto one device. The wave_pool
+    gather stays on host (ragged), matching the host path bit-for-bit.
     """
     parts = [p for p in parts if len(p.records) > 0]
     if not parts:
         return empty_bundle()
+    if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
+        return _merge_records_parts_on_mesh(parts, mesh)
     if len(parts) == 1:
         out = sort_bundle(parts[0])
         return out
 
-    # concatenate with pool-offset rebasing
+    records, pool = _concat_rebased(parts)
+    return sort_bundle(RecordsBundle(records=records, wave_pool=pool))
+
+
+def _concat_rebased(parts: Sequence[RecordsBundle]):
+    """Concatenate part tables with wave_pool offsets rebased."""
     pool_sizes = [len(p.wave_pool) for p in parts]
     pool_bases = np.concatenate([[0], np.cumsum(pool_sizes)[:-1]]).astype(np.int64)
     rebased = []
@@ -159,7 +173,41 @@ def merge_records_parts(parts: Sequence[RecordsBundle]) -> RecordsBundle:
         )
     records = Table.concatenate(rebased)
     pool = np.concatenate([p.wave_pool for p in parts]) if pool_sizes else np.zeros(0, np.uint16)
-    return sort_bundle(RecordsBundle(records=records, wave_pool=pool))
+    return records, pool
+
+
+def _merge_records_parts_on_mesh(
+    parts: Sequence[RecordsBundle], mesh: Any
+) -> RecordsBundle:
+    """Distributed merge: global record order via the sharded block
+    odd-even merge (SURVEY §7 hard part), wave_pool gathered on host.
+
+    Order contract identical to :func:`records_sort_order` — primary
+    timestamp, then pid/board/channel, then input order (carried as an
+    explicit sequence key so the distributed sort is deterministic)."""
+    from waveformanalysis_tpu.parallel.sorted_merge import sharded_time_sort
+
+    records, pool = _concat_rebased(parts)
+    n = len(records)
+    cols = {k: np.asarray(records[k]) for k in records.field_names}
+    cols["_seq"] = np.arange(n, dtype=np.int64)
+    sorted_cols = sharded_time_sort(
+        cols, ("timestamp", "pid", "board", "channel", "_seq"), mesh,
+    )
+    out = Table(
+        {k: sorted_cols[k] for k in records.field_names},
+        schema=records.schema, validate=False,
+    )
+    new_pool, new_offsets = gather_pool(
+        pool,
+        np.asarray(sorted_cols["wave_offset"], dtype=np.int64),
+        np.asarray(sorted_cols["event_length"], dtype=np.int64),
+    )
+    out = out.with_columns(
+        wave_offset=new_offsets,
+        record_id=np.arange(n, dtype=np.int64),
+    )
+    return RecordsBundle(records=out, wave_pool=new_pool)
 
 
 # --------------------------------------------------------------------------
