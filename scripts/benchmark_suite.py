@@ -240,6 +240,7 @@ def config_5(n_events: int = 32768, L: int = 128) -> None:
         out2 = ctx2.get_data("r", "df_events")
         dt_cached = time.perf_counter() - t0
         assert len(out2) == len(out)
+        ctx2.flush_saves()  # async writes settle before the tempdir goes
 
     # vs_baseline here = lineage-cache payoff: how much faster a cached
     # re-read through a cloned context is than the cold build.

@@ -271,3 +271,23 @@ class TestAsyncSave:
         ctx.get_data("test_run", "basic_features")  # submit succeeds
         with pytest.raises(OSError, match="disk gone"):
             ctx.flush_saves()
+
+    def test_context_manager_flushes_on_exit(self, tmp_path):
+        import tempfile
+
+        from waveformanalysis_tpu.context.context import Context
+        from waveformanalysis_tpu.plugins.builtin.basic_features import (
+            BasicFeaturesPlugin,
+        )
+        from waveformanalysis_tpu.testing.fixtures import make_fake_st_waveforms
+
+        # the with-form must settle async writes before the tempdir goes
+        with tempfile.TemporaryDirectory() as tmp:
+            with Context(storage_dir=tmp,
+                         config={"show_progress": False}) as ctx:
+                ctx.register(BasicFeaturesPlugin())
+                ctx.inject_data("r", "st_waveforms",
+                                make_fake_st_waveforms(64, 64))
+                ctx.get_data("r", "basic_features")
+                key = ctx.key_for("r", "basic_features")
+            assert ctx.storage.exists(key, run_id="r")

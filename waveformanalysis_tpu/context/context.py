@@ -747,6 +747,21 @@ class Context:
         self.execution_domain.flush_saves()
         return self
 
+    def close(self) -> None:
+        """Flush in-flight cache writes. Safe to call repeatedly.
+
+        Use this (or the ``with Context(...)`` form) before tearing down a
+        temporary storage directory — the async writer may still be
+        persisting the last outputs when the with-block exits otherwise.
+        """
+        self.flush_saves()
+
+    def __enter__(self) -> "Context":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.close()
+
     def clone(self, **config_updates: Any) -> "Context":
         """A new Context sharing storage + plugin classes, fresh caches."""
         self.flush_saves()  # the clone reads through the shared storage
