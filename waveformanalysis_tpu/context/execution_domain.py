@@ -395,6 +395,12 @@ class ExecutionDomain:
                 )
             reg_key = (self._storage_root(), run_id, name)
             with _PENDING_SAVES_LOCK:
+                # opportunistic purge: completed entries (never read back
+                # through a barrier) must not accumulate in long processes
+                done = [k for k, f in _PENDING_SAVES.items()
+                        if f.done() and f.exception() is None]
+                for k in done:
+                    _PENDING_SAVES.pop(k, None)
                 fut = self._save_pool.submit(
                     self._write, key, storage, lineage, run_id, name, result
                 )
