@@ -236,3 +236,82 @@ class TestV1725PluginMatrix:
         feats = v_ctx.get_data("rb", "basic_features")
         assert len(feats) == 12
         assert np.all(np.asarray(feats["height"]) >= 0)
+
+
+class TestV1725FullChain:
+    """The binary adapter through the WHOLE pipeline (not just records):
+    detection, widths, classification, grouping on V1725 data."""
+
+    @pytest.fixture()
+    def v_full_ctx(self, tmp_path):
+        import numpy as np
+
+        from utils import make_v1725_event
+
+        # build a run with real pulses: baseline 1000, negative square dips
+        raw = tmp_path / "daq" / "rv" / "RAW"
+        raw.mkdir(parents=True, exist_ok=True)
+        blob = b""
+        for i in range(12):
+            w0 = np.full(64, 1000, dtype=np.int16)
+            w0[20:26] -= 400
+            w1 = np.full(64, 1000, dtype=np.int16)
+            w1[22:40] -= 300
+            blob += make_v1725_event(
+                {0: w0, 1: w1},
+                timestamps={0: 1000 + i * 500, 1: 1000 + i * 500},
+                baselines={0: 1000, 1: 1000},
+            )
+        (raw / "test_raw_b0_seg0.bin").write_bytes(blob)
+
+        ctx = Context(
+            storage_dir=str(tmp_path / "st"),
+            config={"show_progress": False,
+                    "data_root": str(tmp_path / "daq"),
+                    "daq_adapter": "v1725"},
+        )
+        ctx.register(*tpu_default())
+        ctx.set_config({
+            "raw_files": {"daq_adapter": "v1725"},
+            "records": {"daq_adapter": "v1725"},
+            "wave_pool": {"daq_adapter": "v1725"},
+            "st_waveforms": {"daq_adapter": "v1725"},
+            "basic_features": {"wave_source": "records"},
+            "hit": {"wave_source": "records", "use_filtered": False,
+                    "use_derivative": False, "height": 100.0,
+                    "prominence": 50.0, "width": 2, "dt": 4},
+            "hit_threshold": {"wave_source": "records", "threshold": 100.0,
+                              "dt": 4},
+            "waveform_width_integral": {"wave_source": "records"},
+            "s1_s2": {"s1_width_range": (0.0, 40.0),
+                      "s2_width_range": (40.0, 100000.0)},
+        })
+        return ctx
+
+    def test_hits_detected_on_binary_run(self, v_full_ctx):
+        hits = v_full_ctx.get_data("rv", "hit")
+        assert len(hits) == 24  # one pulse per record
+        thr = v_full_ctx.get_data("rv", "hit_threshold")
+        assert len(thr) == 24
+
+    def test_width_integral_and_grouping(self, v_full_ctx):
+        wint = v_full_ctx.get_data("rv", "waveform_width_integral")
+        assert len(wint) == 24
+        w = np.asarray(wint["width_samples"])
+        assert np.all(w > 0)
+        # wide channel-1 pulses measurably wider than channel-0 spikes
+        ch = np.asarray(wint["channel"])
+        assert np.median(w[ch == 1]) > np.median(w[ch == 0])
+        ev = v_full_ctx.get_data("rv", "df_events")
+        assert len(ev) == 12  # per-event coincidence across both channels
+        assert np.all(np.asarray(ev["n_hits"]) == 2)
+
+    def test_fusion_covers_v1725_records_source(self, v_full_ctx):
+        out = v_full_ctx.get_data(
+            "rv", ["basic_features", "hit_threshold",
+                   "waveform_width_integral"]
+        )
+        assert all(len(v) == 24 for v in out.values())
+        assert "fusion.wave_chain.compute" in str(
+            v_full_ctx.profiler.summary()
+        )
