@@ -33,6 +33,9 @@ docs:
 docs-check:
 	python -m waveformanalysis_tpu.utils.cli_docs --out-dir docs/plugins check
 
+doc-sync:
+	JAX_PLATFORMS=cpu python scripts/check_doc_sync.py
+
 perf-baseline:
 	python scripts/performance_regression_check.py --save-baseline docs/perf_baseline.json
 
@@ -43,7 +46,7 @@ schema-check:
 	python scripts/schema_compat_check.py
 
 fuzz-native:
-	g++ -O1 -g -fsanitize=address,undefined \
+	g++ -O1 -g -march=native -fsanitize=address,undefined \
 	    waveformanalysis_tpu/native/csv_decode.cpp scripts/fuzz_native.cpp \
 	    -o /tmp/wfa_fuzz && /tmp/wfa_fuzz
 

@@ -6,6 +6,10 @@
 extern "C" {
 long long wfa_csv_shape(const char*, long long, int, char, long long*);
 long long wfa_csv_decode(const char*, long long, int, char, long long, long long, double*);
+long long wfa_csv_decode_typed(const char*, long long, int, char,
+                               long long, long long, int, int, int,
+                               short*, short*, long long*, double*,
+                               unsigned short*);
 long long wfa_v1725_scan(const char*, long long, long long*);
 long long wfa_v1725_decode(const char*, long long, short*, long long*, double*,
                            unsigned char*, long long*, int*, unsigned short*);
@@ -27,6 +31,18 @@ int main() {
             long long got = wfa_csv_decode(buf.data(), n, rng() % 3, ';',
                                            ncols, rows, out.data());
             if (got > rows) { printf("OVERFLOW csv %lld > %lld\n", got, rows); return 1; }
+            // typed fast path (incl. the AVX-512 mask walk): must stay in
+            // bounds and within the row budget on ANY input
+            if (ncols > 7) {
+                std::vector<short> bd(rows), ch2(rows);
+                std::vector<long long> ts2(rows);
+                std::vector<double> bl2(rows);
+                std::vector<unsigned short> sm((size_t)rows * (ncols - 7));
+                long long tg = wfa_csv_decode_typed(
+                    buf.data(), n, rng() % 3, ';', ncols, rows, 7, 7, 47,
+                    bd.data(), ch2.data(), ts2.data(), bl2.data(), sm.data());
+                if (tg > rows) { printf("OVERFLOW typed\n"); return 1; }
+            }
         }
         long long samp = 0;
         long long rec = wfa_v1725_scan(buf.data(), n, &samp);
