@@ -68,7 +68,14 @@ def _run_single_task(factory_or_ctx: Any, run_id: str, data_name: str,
     ctx = factory_or_ctx() if callable(factory_or_ctx) else factory_or_ctx
     if config_overrides:
         ctx.set_config(config_overrides)
-    return ctx.get_data(run_id, data_name)
+    data = ctx.get_data(run_id, data_name)
+    # async cache writes must be ON DISK before this task reports done:
+    # the parent (or another worker) may read the shared storage the moment
+    # the future resolves, and cross-process readers cannot barrier on this
+    # process's pending-save registry
+    if hasattr(ctx, "flush_saves"):
+        ctx.flush_saves()
+    return data
 
 
 def _process_worker(
