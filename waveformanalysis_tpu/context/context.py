@@ -776,6 +776,13 @@ class Context:
             new.register(type(plugin)())
         if self._mesh is not None:
             new.attach_mesh(self._mesh[0], axis=self._mesh[1])
+        # manually-injected data travels with the clone (by reference):
+        # thread-pool batch workers are clones and must see the same inputs
+        # the parent was given (computed results do NOT carry over — clones
+        # re-read those through the shared storage)
+        for (run_id, name), data in self._results.items():
+            if name in self._manual_names:
+                new.inject_data(run_id, name, data)
         return new
 
     # ------------------------------------------------------------------
