@@ -233,3 +233,16 @@ def test_fusion_program_cache_reuse(tmp_path):
     r2 = rule.compute(ctx, "r", members)
     assert len(rule._programs) == 1  # same device program reused
     _tables_equal(r1["hit_threshold"], r2["hit_threshold"])
+
+
+def test_empty_input_through_fusion(tmp_path):
+    st = _st(n=512)[0:0]  # zero-row structured array
+    ctx = _make_ctx(tmp_path, "empty", True)
+    ctx.inject_data("r", "st_waveforms", st)
+    out = ctx.get_data("r", ["basic_features", "hit", "hit_threshold"])
+    assert all(len(v) == 0 for v in out.values())
+
+
+def test_empty_target_list(tmp_path):
+    ctx = _make_ctx(tmp_path, "nil", True)
+    assert ctx.get_data("r", []) == {}
