@@ -34,6 +34,24 @@ logger = logging.getLogger(__name__)
 FUSED_CHAIN_MEMBERS = ("basic_features", "hit", "hit_threshold",
                        "waveform_width_integral")
 
+# members whose device stage emits fixed-capacity (n, K) slot tables; the
+# fused program compacts valid slots ON DEVICE so the tunnel fetch carries
+# only real hits, not the K-slot padding (at 65536x8 slots the full tables
+# are ~37 MB; the tunnel moves ~13 MB/s, so the padded fetch dominated the
+# whole bundle wall time). Fields are packed in this order, rows first.
+_SLOT_FIELDS = {
+    "hit": ("position", "peak_heights", "left_ips", "right_ips"),
+    "hit_threshold": (
+        "position", "height", "integral", "seg_start", "seg_end",
+        "run_start", "run_end",
+    ),
+}
+# (count key, capacity cfg key) used for the device-side overflow counter
+_SLOT_OVERFLOW = {
+    "hit": ("n_candidates", "max_peaks"),
+    "hit_threshold": ("n_runs", "max_hits"),
+}
+
 # device_stage-relevant config keys per member: the jit program is cached on
 # these (host-only keys like channel_config affect inputs, not the program)
 _DEVICE_CFG_KEYS = {
@@ -177,6 +195,7 @@ class WaveChainFusion:
             meta["baseline"].astype(np.float32),
             thresholds_np,
         )
+        slot_out = None
         if mesh_info is not None:
             host_out = self._run_sharded(program, inputs, n, mesh_info)
         else:
@@ -184,8 +203,10 @@ class WaveChainFusion:
             shapes_key = tuple(
                 (tuple(x.shape), str(x.dtype)) for x in dev_in
             )
-            flat = program(*dev_in)
-            host_out = _unpack_host(np.asarray(flat), spec_cache[shapes_key])
+            flat_d, slot_mats_d, counts_d = program(*dev_in)
+            host_out, slot_out = _fetch_packed_outputs(
+                flat_d, slot_mats_d, counts_d, spec_cache[shapes_key]
+            )
 
         results: Dict[str, Any] = {}
         for m in members:
@@ -198,11 +219,27 @@ class WaveChainFusion:
                     meta["timestamp"], meta["board"], meta["channel"],
                 )
             elif m == "hit":
-                results[m] = plugins[m].finalize(cfgs[m], host_out[m], meta, n)
+                if slot_out is not None:
+                    rows, slots = slot_out[m]
+                    results[m] = plugins[m].finalize_compact(
+                        cfgs[m], rows, slots,
+                        int(host_out[m + "__overflow"]), meta, n,
+                    )
+                else:
+                    results[m] = plugins[m].finalize(
+                        cfgs[m], host_out[m], meta, n
+                    )
             elif m == "hit_threshold":
-                results[m] = plugins[m].finalize(
-                    cfgs[m], host_out[m], meta, lengths, n
-                )
+                if slot_out is not None:
+                    rows, slots = slot_out[m]
+                    results[m] = plugins[m].finalize_compact(
+                        cfgs[m], rows, slots,
+                        int(host_out[m + "__overflow"]), meta, lengths, n,
+                    )
+                else:
+                    results[m] = plugins[m].finalize(
+                        cfgs[m], host_out[m], meta, lengths, n
+                    )
             elif m == "waveform_width_integral":
                 results[m] = plugins[m].finalize(
                     cfgs[m], host_out[m], meta, n
@@ -307,16 +344,47 @@ class WaveChainFusion:
             self._programs[key] = entry
             return entry
 
-        # single-transfer packing: the jitted program returns ONE flat int32
-        # array; the per-shape unpack spec is recorded at trace time
+        # minimal-transfer packing: the jitted program returns
+        #   (dense_flat_i32, per-member compacted slot matrices, counts)
+        # Dense (always-(n,)-shaped) leaves concatenate into ONE flat int32
+        # array; slot-table members are compacted on device (valid slots
+        # front-packed in row-major order) so the host can fetch only the
+        # first ``count`` rows of each matrix. The per-shape unpack spec is
+        # recorded at trace time.
         spec_cache: Dict[Tuple, Any] = {}
 
         def packed_program(*args):
+            import jax.numpy as jnp
+
             shapes_key = tuple((tuple(a.shape), str(a.dtype)) for a in args)
             out = program(*args)
-            flat, spec = _pack_leaves(out)
-            spec_cache[shapes_key] = spec
-            return flat
+            dense_out = {}
+            slot_mats = []
+            counts = []
+            slot_specs = []
+            for m in members:
+                if m not in _SLOT_FIELDS:
+                    dense_out[m] = out[m]
+                    continue
+                stage = out[m]
+                fields = _SLOT_FIELDS[m]
+                count_key, cap_key = _SLOT_OVERFLOW[m]
+                mat, count = _compact_slots(stage, fields)
+                slot_mats.append(mat)
+                counts.append(count)
+                slot_specs.append(
+                    (m, fields,
+                     tuple(str(stage[f].dtype) for f in fields))
+                )
+                dense_out[m + "__overflow"] = jnp.sum(
+                    (stage[count_key] > member_cfgs[m][cap_key]).astype(
+                        jnp.int32
+                    )
+                )
+            flat, spec = _pack_leaves(dense_out)
+            spec_cache[shapes_key] = (spec, slot_specs)
+            return flat, tuple(slot_mats), jnp.stack(counts) if counts \
+                else jnp.zeros((0,), jnp.int32)
 
         entry = (jax.jit(packed_program), spec_cache)
         self._programs[key] = entry
@@ -329,6 +397,88 @@ class WaveChainFusion:
 # dozen-plus output leaves. Bitcast/cast every leaf to int32, flatten and
 # concatenate ON DEVICE, fetch once, split + cast back on host.
 # ---------------------------------------------------------------------------
+
+def _compact_slots(stage_out, fields):
+    """Device-side: front-pack valid (n, K) slots into an (n*K, F+1) i32
+    matrix (inside jit).
+
+    Column 0 is the source-row index; columns 1.. are ``fields`` in order,
+    f32 leaves bitcast to i32. Valid slots land in row-major order — exactly
+    the order ``np.nonzero(valid)`` yields on host — so downstream columns
+    are bit-identical to the host-compaction path. Rows past the returned
+    count are zero.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    valid = stage_out["valid"]
+    n, K = valid.shape
+    vflat = valid.reshape(-1)
+    # destination of each valid slot in the packed matrix; invalid slots are
+    # sent out of range and dropped by the scatter
+    dest = jnp.where(
+        vflat, jnp.cumsum(vflat.astype(jnp.int32)) - 1, n * K
+    )
+    rows = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, K)
+    ).reshape(-1)
+    cols = [rows]
+    for f in fields:
+        leaf = stage_out[f].reshape(-1)
+        if leaf.dtype == jnp.float32:
+            leaf = jax.lax.bitcast_convert_type(leaf, jnp.int32)
+        else:
+            leaf = leaf.astype(jnp.int32)
+        cols.append(leaf)
+    src = jnp.stack(cols, axis=1)  # (n*K, F+1)
+    mat = jnp.zeros((n * K, src.shape[1]), jnp.int32).at[dest].set(
+        src, mode="drop"
+    )
+    count = jnp.sum(vflat.astype(jnp.int32))
+    return mat, count
+
+
+def _fetch_packed_outputs(flat_d, slot_mats_d, counts_d, spec_entry):
+    """Two-phase host fetch of a packed fused-bundle result.
+
+    Phase 1 fetches the tiny per-member valid counts (blocks until the
+    device program finishes); phase 2 slices each compacted slot matrix to
+    its count ON DEVICE, concatenates with the dense flat array, and fetches
+    everything in one transfer — the tunnel then moves only real data.
+
+    Returns (dense_tree, {member: (rows, slots_dict)}).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dense_spec, slot_specs = spec_entry
+    counts = np.asarray(counts_d).astype(np.int64)
+    parts = [flat_d.reshape(-1)]
+    for mat, c in zip(slot_mats_d, counts):
+        parts.append(jax.lax.slice_in_dim(mat, 0, int(c), axis=0).reshape(-1))
+    all_flat = np.asarray(jnp.concatenate(parts)) if len(parts) > 1 \
+        else np.asarray(parts[0])
+
+    dense_len = sum(
+        (int(np.prod(shape)) if shape else 1) for shape, _ in dense_spec[1]
+    )
+    dense_tree = _unpack_host(all_flat[:dense_len], dense_spec)
+
+    slot_out = {}
+    off = dense_len
+    for (m, fields, dtypes), c in zip(slot_specs, counts):
+        c = int(c)
+        width = len(fields) + 1
+        chunk = all_flat[off:off + c * width].reshape(c, width)
+        off += c * width
+        rows = chunk[:, 0]
+        slots = {}
+        for j, (f, dt) in enumerate(zip(fields, dtypes)):
+            col = np.ascontiguousarray(chunk[:, j + 1])
+            slots[f] = col.view(np.float32) if dt == "float32" else col
+        slot_out[m] = (rows, slots)
+    return dense_tree, slot_out
+
 
 def _pack_leaves(tree):
     """Device-side: one flat int32 array from every leaf (inside jit)."""

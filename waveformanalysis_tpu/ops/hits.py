@@ -127,11 +127,47 @@ def compact_threshold_hits(
     """Flatten (n, K) run results into flat THRESHOLD_HIT columns (host)."""
     valid = np.asarray(results["valid"])
     rows, cols = np.nonzero(valid)
-    pos = np.asarray(results["position"])[rows, cols].astype(np.int64)
-    start = np.asarray(results["run_start"])[rows, cols].astype(np.int64)
-    end = np.asarray(results["run_end"])[rows, cols].astype(np.int64)
-    seg_s = np.asarray(results["seg_start"])[rows, cols].astype(np.int64)
-    seg_e = np.asarray(results["seg_end"])[rows, cols].astype(np.int64)
+    return threshold_columns_from_flat(
+        rows=rows,
+        position=np.asarray(results["position"])[rows, cols],
+        height=np.asarray(results["height"])[rows, cols],
+        integral=np.asarray(results["integral"])[rows, cols],
+        seg_start=np.asarray(results["seg_start"])[rows, cols],
+        seg_end=np.asarray(results["seg_end"])[rows, cols],
+        run_start=np.asarray(results["run_start"])[rows, cols],
+        run_end=np.asarray(results["run_end"])[rows, cols],
+        timestamps=timestamps, boards=boards, channels=channels,
+        record_ids=record_ids, dt_ns=dt_ns, record_lengths=record_lengths,
+    )
+
+
+def threshold_columns_from_flat(
+    rows: np.ndarray,
+    position: np.ndarray,
+    height: np.ndarray,
+    integral: np.ndarray,
+    seg_start: np.ndarray,
+    seg_end: np.ndarray,
+    run_start: np.ndarray,
+    run_end: np.ndarray,
+    timestamps: np.ndarray,
+    boards: np.ndarray,
+    channels: np.ndarray,
+    record_ids: np.ndarray,
+    dt_ns: np.ndarray,
+    record_lengths: np.ndarray,
+) -> Dict[str, np.ndarray]:
+    """THRESHOLD_HIT columns from already-compacted per-run slot values.
+
+    ``rows`` maps each run to its source waveform (row-major slot order —
+    the order ``np.nonzero(valid)`` produces). Shared by the host compaction
+    above and the device-compacted fused-bundle transfer path.
+    """
+    pos = np.asarray(position).astype(np.int64)
+    start = np.asarray(run_start).astype(np.int64)
+    end = np.asarray(run_end).astype(np.int64)
+    seg_s = np.asarray(seg_start).astype(np.int64)
+    seg_e = np.asarray(seg_end).astype(np.int64)
     dt = np.asarray(dt_ns, dtype=np.int64)[rows]
     rec_len = np.asarray(record_lengths, dtype=np.int64)[rows]
 
@@ -140,8 +176,8 @@ def compact_threshold_hits(
 
     return {
         "position": pos,
-        "height": np.asarray(results["height"])[rows, cols].astype(np.float32),
-        "integral": np.asarray(results["integral"])[rows, cols].astype(np.float32),
+        "height": np.asarray(height).astype(np.float32),
+        "integral": np.asarray(integral).astype(np.float32),
         "edge_start": edge_start.astype(np.int32),
         "edge_end": edge_end.astype(np.int32),
         "width": (edge_end - edge_start).astype(np.float32),

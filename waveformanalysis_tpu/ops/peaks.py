@@ -374,16 +374,44 @@ def compact_hits(
     Global timestamp = event timestamp + position * dt_ns * 1000 (ps).
     """
     valid = np.asarray(results["valid"])
-    n, K = valid.shape
     rows, cols = np.nonzero(valid)
-    pos = np.asarray(results["position"])[rows, cols].astype(np.int64)
+    return hit_columns_from_flat(
+        rows=rows,
+        position=np.asarray(results["position"])[rows, cols],
+        heights=np.asarray(heights)[rows, cols],
+        left_ips=np.asarray(results["left_ips"])[rows, cols],
+        right_ips=np.asarray(results["right_ips"])[rows, cols],
+        timestamps=timestamps, boards=boards, channels=channels,
+        record_ids=record_ids, dt_ns=dt_ns,
+    )
+
+
+def hit_columns_from_flat(
+    rows: np.ndarray,
+    position: np.ndarray,
+    heights: np.ndarray,
+    left_ips: np.ndarray,
+    right_ips: np.ndarray,
+    timestamps: np.ndarray,
+    boards: np.ndarray,
+    channels: np.ndarray,
+    record_ids: np.ndarray,
+    dt_ns: np.ndarray,
+) -> Dict[str, np.ndarray]:
+    """HIT columns from already-compacted per-hit slot values.
+
+    ``rows`` maps each hit to its source waveform (row-major slot order —
+    exactly the order ``np.nonzero(valid)`` produces). Shared by the host
+    compaction above and the device-compacted fused-bundle transfer path.
+    """
+    pos = np.asarray(position).astype(np.int64)
     dt = np.asarray(dt_ns, dtype=np.int64)[rows]
     return {
         "position": pos,
-        "height": np.asarray(heights)[rows, cols].astype(np.float32),
+        "height": np.asarray(heights).astype(np.float32),
         "integral": np.zeros(len(rows), dtype=np.float32),
-        "edge_start": np.asarray(results["left_ips"])[rows, cols].astype(np.float32),
-        "edge_end": np.asarray(results["right_ips"])[rows, cols].astype(np.float32),
+        "edge_start": np.asarray(left_ips).astype(np.float32),
+        "edge_end": np.asarray(right_ips).astype(np.float32),
         "dt": dt.astype(np.int32),
         "timestamp": np.asarray(timestamps, dtype=np.int64)[rows] + pos * dt * 1000,
         "board": np.asarray(boards, dtype=np.int16)[rows],

@@ -152,11 +152,14 @@ class ThresholdHitPlugin(Plugin):
             max_hits=cfg["max_hits"],
         ))
 
-    def finalize(
-        self, cfg: dict, results: dict, meta: dict, lengths: np.ndarray, n: int
-    ) -> Table:
-        results = {k: np.asarray(v) for k, v in results.items()}
-        overflow = int(np.sum(results["n_runs"] > cfg["max_hits"]))
+    # slot fields the finalize step consumes, in the order the fused
+    # executor's device compaction packs them (fusion.py _SLOT_FIELDS)
+    COMPACT_SLOT_FIELDS = (
+        "position", "height", "integral", "seg_start", "seg_end",
+        "run_start", "run_end",
+    )
+
+    def _check_overflow(self, cfg: dict, overflow: int) -> None:
         if overflow and cfg.get("overflow_policy", "warn") != "ignore":
             msg = (
                 f"hit_threshold: {overflow} waveforms exceeded the "
@@ -167,14 +170,46 @@ class ThresholdHitPlugin(Plugin):
                 raise ValueError(msg)
             logger.warning(msg)
 
+    def _resolve_dt(self, cfg: dict, meta: dict, n: int) -> np.ndarray:
         dt = meta["dt"]
         if dt is None:
             if cfg["dt"] is None:
                 raise ValueError("[hit_threshold] dt must be provided (config or data)")
             dt = np.full(n, int(cfg["dt"]), dtype=np.int64)
+        return dt
 
+    def finalize(
+        self, cfg: dict, results: dict, meta: dict, lengths: np.ndarray, n: int
+    ) -> Table:
+        results = {k: np.asarray(v) for k, v in results.items()}
+        self._check_overflow(
+            cfg, int(np.sum(results["n_runs"] > cfg["max_hits"]))
+        )
+        dt = self._resolve_dt(cfg, meta, n)
         cols = HT.compact_threshold_hits(
             results,
+            timestamps=meta["timestamp"], boards=meta["board"],
+            channels=meta["channel"], record_ids=meta["record_id"],
+            dt_ns=dt, record_lengths=lengths,
+        )
+        return Table(cols, schema=THRESHOLD_HIT_SCHEMA)
+
+    def finalize_compact(
+        self, cfg: dict, rows: np.ndarray, slots: dict, overflow: int,
+        meta: dict, lengths: np.ndarray, n: int,
+    ) -> Table:
+        """Finalize from device-compacted per-run slot values (fused path).
+
+        Bit-identical to ``finalize``: the device compaction gathers the same
+        leaves ``compact_threshold_hits`` would, in the same row-major order.
+        """
+        self._check_overflow(cfg, overflow)
+        dt = self._resolve_dt(cfg, meta, n)
+        cols = HT.threshold_columns_from_flat(
+            rows=rows, position=slots["position"], height=slots["height"],
+            integral=slots["integral"], seg_start=slots["seg_start"],
+            seg_end=slots["seg_end"], run_start=slots["run_start"],
+            run_end=slots["run_end"],
             timestamps=meta["timestamp"], boards=meta["board"],
             channels=meta["channel"], record_ids=meta["record_id"],
             dt_ns=dt, record_lengths=lengths,

@@ -176,11 +176,11 @@ class HitFinderPlugin(Plugin):
         )
         return results
 
-    def finalize(self, cfg: dict, results: dict, meta: dict, n: int) -> Table:
-        """Host compaction of the device outputs into the hit Table."""
-        heights = results.pop("peak_heights")
-        results = {k: np.asarray(v) for k, v in results.items()}
-        overflow = int(np.sum(results["n_candidates"] > cfg["max_peaks"]))
+    # slot fields the finalize step consumes, in the order the fused
+    # executor's device compaction packs them (fusion.py _SLOT_FIELDS)
+    COMPACT_SLOT_FIELDS = ("position", "peak_heights", "left_ips", "right_ips")
+
+    def _check_overflow(self, cfg: dict, overflow: int) -> None:
         if overflow and cfg.get("overflow_policy", "warn") != "ignore":
             msg = (
                 f"hit: {overflow} waveforms exceeded the "
@@ -192,6 +192,7 @@ class HitFinderPlugin(Plugin):
                 raise ValueError(msg)
             logger.warning(msg)
 
+    def _resolve_dt(self, cfg: dict, meta: dict, n: int) -> np.ndarray:
         dt = meta["dt"] if meta["dt"] is not None else None
         if dt is None:
             if cfg["dt"] is None:
@@ -199,9 +200,40 @@ class HitFinderPlugin(Plugin):
             dt = np.full(n, int(cfg["dt"]), dtype=np.int64)
         if np.any(dt <= 0):
             raise ValueError("[hit] dt must be > 0")
+        return dt
 
+    def finalize(self, cfg: dict, results: dict, meta: dict, n: int) -> Table:
+        """Host compaction of the device outputs into the hit Table."""
+        heights = results.pop("peak_heights")
+        results = {k: np.asarray(v) for k, v in results.items()}
+        self._check_overflow(
+            cfg, int(np.sum(results["n_candidates"] > cfg["max_peaks"]))
+        )
+        dt = self._resolve_dt(cfg, meta, n)
         cols = PK.compact_hits(
             results, np.asarray(heights),
+            timestamps=meta["timestamp"], boards=meta["board"],
+            channels=meta["channel"], record_ids=meta["record_id"], dt_ns=dt,
+        )
+        return Table(cols, schema=HIT_SCHEMA)
+
+    def finalize_compact(
+        self, cfg: dict, rows: np.ndarray, slots: dict, overflow: int,
+        meta: dict, n: int,
+    ) -> Table:
+        """Finalize from device-compacted per-hit slot values (fused path).
+
+        ``slots`` holds one flat array per COMPACT_SLOT_FIELDS entry, already
+        restricted to valid slots in row-major order; ``rows`` maps each hit
+        to its source waveform. Bit-identical to ``finalize`` (the device
+        compaction gathers the same leaves ``compact_hits`` would).
+        """
+        self._check_overflow(cfg, overflow)
+        dt = self._resolve_dt(cfg, meta, n)
+        cols = PK.hit_columns_from_flat(
+            rows=rows, position=slots["position"],
+            heights=slots["peak_heights"], left_ips=slots["left_ips"],
+            right_ips=slots["right_ips"],
             timestamps=meta["timestamp"], boards=meta["board"],
             channels=meta["channel"], record_ids=meta["record_id"], dt_ns=dt,
         )
