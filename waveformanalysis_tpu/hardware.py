@@ -256,8 +256,13 @@ def get_polarity(
 def unique_hardware_channels(boards: Any, channels: Any) -> List[HardwareChannel]:
     boards = np.asarray(boards).astype(np.int64)
     channels = np.asarray(channels).astype(np.int64)
-    pairs = np.unique(np.stack([boards, channels], axis=1), axis=0)
-    return [HardwareChannel(int(b), int(c)) for b, c in pairs]
+    # combined int64 key (same scheme as group_indices_by_hardware_channel):
+    # order-isomorphic to lexicographic (board, channel) for |channel| < 2^31,
+    # and ~100x faster than np.unique(axis=0)'s void-dtype row sort at
+    # production event counts
+    keys = boards * (1 << 32) + channels
+    _, idx = np.unique(keys, return_index=True)
+    return [HardwareChannel(int(boards[i]), int(channels[i])) for i in idx]
 
 
 def group_indices_by_hardware_channel(
