@@ -398,49 +398,10 @@ class WaveChainFusion:
 # concatenate ON DEVICE, fetch once, split + cast back on host.
 # ---------------------------------------------------------------------------
 
-def _compact_slots(stage_out, fields):
-    """Device-side: front-pack valid (n, K) slots into an (n*K, F+1) i32
-    matrix (inside jit).
-
-    Column 0 is the source-row index; columns 1.. are ``fields`` in order,
-    f32 leaves bitcast to i32. Valid slots land in row-major order — exactly
-    the order ``np.nonzero(valid)`` yields on host — so downstream columns
-    are bit-identical to the host-compaction path. Rows past the returned
-    count are zero.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    valid = stage_out["valid"]
-    n, K = valid.shape
-    nK = n * K
-    vflat = valid.reshape(-1)
-    rows = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, K)
-    ).reshape(-1)
-    cols = [rows]
-    for f in fields:
-        leaf = stage_out[f].reshape(-1)
-        if leaf.dtype == jnp.float32:
-            leaf = jax.lax.bitcast_convert_type(leaf, jnp.int32)
-        else:
-            leaf = leaf.astype(jnp.int32)
-        cols.append(leaf)
-    # front-pack by sorting on (invalid, original index): valid slots keep
-    # row-major order, invalid slots sink to the back. A multi-operand TPU
-    # sort is ~12x faster here than the equivalent row scatter (A/B on the
-    # real chip, BENCHMARKS.md round-2 ledger).
-    skey = jnp.arange(nK, dtype=jnp.int32) + jnp.where(vflat, 0, nK)
-    sorted_ops = jax.lax.sort(
-        (skey, *cols), dimension=0, num_keys=1
-    )
-    count = jnp.sum(vflat.astype(jnp.int32))
-    # zero the tail so dropped-slot values never leak into a transfer
-    ok = jnp.arange(nK, dtype=jnp.int32) < count
-    mat = jnp.stack(
-        [jnp.where(ok, c, 0) for c in sorted_ops[1:]], axis=1
-    )
-    return mat, count
+from waveformanalysis_tpu.ops.compact import (  # noqa: E402
+    compact_slots as _compact_slots,
+    decode_slot_matrix as _decode_slot_matrix,
+)
 
 
 def _fetch_packed_outputs(flat_d, slot_mats_d, counts_d, spec_entry):
@@ -476,12 +437,7 @@ def _fetch_packed_outputs(flat_d, slot_mats_d, counts_d, spec_entry):
         width = len(fields) + 1
         chunk = all_flat[off:off + c * width].reshape(c, width)
         off += c * width
-        rows = chunk[:, 0]
-        slots = {}
-        for j, (f, dt) in enumerate(zip(fields, dtypes)):
-            col = np.ascontiguousarray(chunk[:, j + 1])
-            slots[f] = col.view(np.float32) if dt == "float32" else col
-        slot_out[m] = (rows, slots)
+        slot_out[m] = _decode_slot_matrix(chunk, fields, dtypes)
     return dense_tree, slot_out
 
 

@@ -158,6 +158,11 @@ class ThresholdHitPlugin(Plugin):
         "position", "height", "integral", "seg_start", "seg_end",
         "run_start", "run_end",
     )
+    # config keys the device program depends on (jit/program cache key)
+    DEVICE_CFG_KEYS = (
+        "left_extension", "right_extension", "max_hits", "backend",
+    )
+    _compact_programs: dict = {}
 
     def _check_overflow(self, cfg: dict, overflow: int) -> None:
         if overflow and cfg.get("overflow_policy", "warn") != "ignore":
@@ -216,6 +221,36 @@ class ThresholdHitPlugin(Plugin):
         )
         return Table(cols, schema=THRESHOLD_HIT_SCHEMA)
 
+    def _compact_program(self, cfg: dict):
+        """jitted (device_stage -> compact_slots -> overflow) program, cached
+        on the device-relevant config values (see HitFinderPlugin)."""
+        key = tuple((k, cfg[k]) for k in self.DEVICE_CFG_KEYS)
+        entry = ThresholdHitPlugin._compact_programs.get(key)
+        if entry is not None:
+            return entry
+
+        from waveformanalysis_tpu.ops.compact import compact_slots
+
+        cfg_c = dict(cfg)
+        fields = self.COMPACT_SLOT_FIELDS
+        stage = type(self).device_stage
+        spec: dict = {}
+
+        def prog(waves_d, lengths_d, sign_d, baselines_d, thresholds_d):
+            out = stage(
+                cfg_c, waves_d, lengths_d, sign_d, baselines_d, thresholds_d
+            )
+            spec["dtypes"] = tuple(str(out[f].dtype) for f in fields)
+            mat, count = compact_slots(out, fields)
+            overflow = jnp.sum(
+                (out["n_runs"] > cfg_c["max_hits"]).astype(jnp.int32)
+            )
+            return mat, count, overflow
+
+        entry = (jax.jit(prog), spec)
+        ThresholdHitPlugin._compact_programs[key] = entry
+        return entry
+
     def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
         cfg = self.kernel_config(context)
         waves, lengths, meta = _load_wave_matrix(context, self, run_id)
@@ -223,14 +258,23 @@ class ThresholdHitPlugin(Plugin):
         if n == 0:
             return Table.zeros(0, THRESHOLD_HIT_SCHEMA)
 
+        from waveformanalysis_tpu.ops.compact import decode_slot_matrix
+
         thresholds = self.host_prep(cfg, context, run_id, meta)
         sign = np.where(meta["polarity"] > 0, 1.0, -1.0).astype(np.float32)
-        results = self.device_stage(
-            cfg,
+        program, spec = self._compact_program(cfg)
+        mat_d, count_d, overflow_d = program(
             jnp.asarray(waves),
             jnp.asarray(lengths.astype(np.int32)),
             jnp.asarray(sign),
             jnp.asarray(meta["baseline"].astype(np.float32)),
             jnp.asarray(thresholds.astype(np.float32)),
         )
-        return self.finalize(cfg, results, meta, lengths, n)
+        count = int(count_d)
+        chunk = np.asarray(mat_d[:count])
+        rows, slots = decode_slot_matrix(
+            chunk, self.COMPACT_SLOT_FIELDS, spec["dtypes"]
+        )
+        return self.finalize_compact(
+            cfg, rows, slots, int(overflow_d), meta, lengths, n
+        )

@@ -179,6 +179,13 @@ class HitFinderPlugin(Plugin):
     # slot fields the finalize step consumes, in the order the fused
     # executor's device compaction packs them (fusion.py _SLOT_FIELDS)
     COMPACT_SLOT_FIELDS = ("position", "peak_heights", "left_ips", "right_ips")
+    # config keys the device program depends on (jit/program cache key —
+    # host-only keys like dt/overflow_policy affect finalize, not the trace)
+    DEVICE_CFG_KEYS = (
+        "use_derivative", "height", "distance", "prominence", "width",
+        "height_method", "height_window_extension", "max_peaks", "backend",
+    )
+    _compact_programs: dict = {}
 
     def _check_overflow(self, cfg: dict, overflow: int) -> None:
         if overflow and cfg.get("overflow_policy", "warn") != "ignore":
@@ -239,6 +246,36 @@ class HitFinderPlugin(Plugin):
         )
         return Table(cols, schema=HIT_SCHEMA)
 
+    def _compact_program(self, cfg: dict):
+        """jitted (device_stage -> compact_slots -> overflow) program, cached
+        on the device-relevant config values. The standalone compute fetches
+        only count + valid slot rows — same minimal transfer as the fused
+        bundle path."""
+        key = tuple((k, cfg[k]) for k in self.DEVICE_CFG_KEYS)
+        entry = HitFinderPlugin._compact_programs.get(key)
+        if entry is not None:
+            return entry
+
+        from waveformanalysis_tpu.ops.compact import compact_slots
+
+        cfg_c = dict(cfg)
+        fields = self.COMPACT_SLOT_FIELDS
+        stage = type(self).device_stage
+        spec: dict = {}
+
+        def prog(waves_d, lengths_d, sign_d, baselines_d):
+            out = stage(cfg_c, waves_d, lengths_d, sign_d, baselines_d)
+            spec["dtypes"] = tuple(str(out[f].dtype) for f in fields)
+            mat, count = compact_slots(out, fields)
+            overflow = jnp.sum(
+                (out["n_candidates"] > cfg_c["max_peaks"]).astype(jnp.int32)
+            )
+            return mat, count, overflow
+
+        entry = (jax.jit(prog), spec)
+        HitFinderPlugin._compact_programs[key] = entry
+        return entry
+
     def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
         cfg = self.kernel_config(context)
         waves, lengths, meta = _load_wave_matrix(context, self, run_id)
@@ -246,15 +283,24 @@ class HitFinderPlugin(Plugin):
         if n == 0:
             return Table.zeros(0, HIT_SCHEMA)
 
+        from waveformanalysis_tpu.ops.compact import decode_slot_matrix
+
         sign = np.where(meta["polarity"] > 0, 1.0, -1.0).astype(np.float32)
-        results = self.device_stage(
-            cfg,
+        program, spec = self._compact_program(cfg)
+        mat_d, count_d, overflow_d = program(
             jnp.asarray(waves),
             jnp.asarray(lengths.astype(np.int32)),
             jnp.asarray(sign),
             jnp.asarray(meta["baseline"].astype(np.float32)),
         )
-        return self.finalize(cfg, results, meta, n)
+        count = int(count_d)
+        chunk = np.asarray(mat_d[:count])
+        rows, slots = decode_slot_matrix(
+            chunk, self.COMPACT_SLOT_FIELDS, spec["dtypes"]
+        )
+        return self.finalize_compact(
+            cfg, rows, slots, int(overflow_d), meta, n
+        )
 
 
 def _load_wave_matrix(
