@@ -457,6 +457,64 @@ class Context:
             )
         return {name: out[name] for name in names}
 
+    def get_data_batched(
+        self, run_ids: Any, data_name: Any, **kwargs: Any
+    ) -> Dict[str, Any]:
+        """Multi-RUN read: fused bundles batch across runs on the event axis.
+
+        The reference's multi-run story is host process fan-out
+        (reference: waveform_analysis/core/data/batch_processor.py:197); the
+        TPU-native equivalent is the batch dimension: runs still to compute
+        are planned individually, but their fused wave-chain bundles are
+        concatenated and dispatched as ONE device program per matching
+        device configuration, amortizing upload/dispatch/fetch latency over
+        the whole batch (context/fusion.py compute_many). Cached runs load
+        as usual; outputs, lineage keys, and saves are identical to per-run
+        ``get_data``.
+
+        Returns ``{run_id: result}`` for a single name, or
+        ``{run_id: {name: result}}`` for a list of names.
+        """
+        run_ids = list(run_ids)
+        multi = isinstance(data_name, (list, tuple))
+        names = list(data_name) if multi else [data_name]
+        out: Dict[str, Dict[str, Any]] = {}
+        pending_runs: Dict[str, List[str]] = {}
+        for rid in run_ids:
+            self.config_domain.prepare_request(rid)
+            found: Dict[str, Any] = {}
+            pending: List[str] = []
+            for name in names:
+                data = self._get_data_from_memory(rid, name)
+                if data is None and name in self._plugins:
+                    key = self.key_for(rid, name)
+                    data = self.cache_domain.load_from_disk_with_check(
+                        rid, name, key
+                    )
+                if data is not None:
+                    found[name] = data
+                elif name not in self._plugins:
+                    raise KeyError(
+                        f"No plugin registered for '{name}'. "
+                        f"Registered: {sorted(self._plugins)}"
+                    )
+                else:
+                    pending.append(name)
+            out[rid] = found
+            if pending:
+                pending_runs[rid] = pending
+        if pending_runs:
+            union = sorted({n for p in pending_runs.values() for n in p})
+            computed = self.execution_domain.run_plugins_batched(
+                list(pending_runs), union, **kwargs
+            )
+            for rid, pend in pending_runs.items():
+                for name in pend:
+                    out[rid][name] = computed[rid][name]
+        if multi:
+            return {rid: {n: out[rid][n] for n in names} for rid in run_ids}
+        return {rid: out[rid][names[0]] for rid in run_ids}
+
     def _load_for_user(self, run_id: str, name: str) -> Any:
         data = self._get_data_from_memory(run_id, name)
         if data is not None:

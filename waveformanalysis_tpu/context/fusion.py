@@ -77,7 +77,9 @@ class WaveChainFusion:
 
     # -- applicability -------------------------------------------------------
 
-    def plan(self, ctx: Any, run_id: str, needed: set) -> Optional[List[str]]:
+    def plan(
+        self, ctx: Any, run_id: str, needed: set, min_members: int = 2
+    ) -> Optional[List[str]]:
         """Member names this rule can produce in one dispatch, or None."""
         from waveformanalysis_tpu.plugins.builtin._wave_source import (
             resolve_wave_input_spec,
@@ -102,7 +104,7 @@ class WaveChainFusion:
             "waveform_width_integral": WaveformWidthIntegralPlugin,
         }
         members = [m for m in FUSED_CHAIN_MEMBERS if m in needed]
-        if len(members) < 2:
+        if len(members) < min_members:
             return None
         usable = []
         sources = set()
@@ -118,9 +120,17 @@ class WaveChainFusion:
                 continue
             usable.append(m)
             sources.add(spec.expected_name)
-        if len(usable) < 2 or len(sources) != 1:
+        if len(usable) < min_members or len(sources) != 1:
             return None
         return usable
+
+    def plan_batched(
+        self, ctx: Any, run_id: str, needed: set
+    ) -> Optional[List[str]]:
+        """Batched-dispatch planning: a SINGLE member qualifies — batching
+        runs on the event axis amortizes upload/dispatch/fetch latency even
+        when only one wave-chain plugin is in the needed set."""
+        return self.plan(ctx, run_id, needed, min_members=1)
 
     # -- execution -----------------------------------------------------------
 
@@ -249,6 +259,226 @@ class WaveChainFusion:
         )
         return results
 
+    # -- multi-run batched execution ----------------------------------------
+
+    def compute_many(
+        self, ctx: Any, run_members: List[Tuple[str, List[str]]]
+    ) -> Dict[str, Dict[str, Any]]:
+        """Run the fused bundle for SEVERAL runs in as few device programs
+        as possible.
+
+        The reference fans multiple runs out over host processes
+        (reference: waveform_analysis/core/data/batch_processor.py:197); on
+        TPU the idiomatic axis is the batch dimension: runs whose device
+        configuration matches are CONCATENATED along the event axis and
+        dispatched as ONE program, so R runs pay one dispatch + one packed
+        fetch instead of R of each. Outputs are split at the run boundaries
+        on host and finalized/saved per run — bit-identical to per-run
+        execution (tests/test_batched_dispatch.py).
+
+        The concatenated event count is padded up to a multiple of
+        ``config["fused_batch_bucket"]`` (default 4096) with zero-length
+        events so repeated batched calls reuse a small set of compiled
+        programs. Zero-length padding is the same contract _run_sharded
+        relies on: no samples -> no features, no peaks, no hits.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        out: Dict[str, Dict[str, Any]] = {}
+
+        # per-run prep under that run's prepared request (run_config may
+        # differ per run, so group keys include the device-relevant cfg)
+        groups: Dict[Tuple, List[dict]] = {}
+        for run_id, members in run_members:
+            ctx.config_domain.prepare_request(run_id)
+            prep = self._prep_run(ctx, run_id, members)
+            if prep is None:  # empty run: finalize immediately
+                out[run_id] = self._empty_results(members)
+                continue
+            groups.setdefault(prep.pop("group_key"), []).append(prep)
+
+        for key, preps in groups.items():
+            if len(preps) == 1:
+                p = preps[0]
+                ctx.config_domain.prepare_request(p["run_id"])
+                out[p["run_id"]] = self.compute(ctx, p["run_id"], p["members"])
+                continue
+            out.update(self._dispatch_group(ctx, preps))
+        return out
+
+    def _prep_run(self, ctx: Any, run_id: str, members: List[str]):
+        """Load + host-prep one run's bundle inputs; None for empty runs."""
+        from waveformanalysis_tpu.plugins.builtin.peak_finding import (
+            _load_wave_matrix,
+        )
+
+        plugins = {m: ctx._plugins[m] for m in members}
+        cfgs = {m: plugins[m].kernel_config(ctx) for m in members}
+        waves, lengths, meta = _load_wave_matrix(
+            ctx, plugins[members[0]], run_id, keep_integer_waves=True
+        )
+        n = len(lengths)
+        if n == 0:
+            return None
+
+        sign = np.where(meta["polarity"] > 0, 1.0, -1.0).astype(np.float32)
+        thresholds = np.zeros((n,), np.float32)
+        if "hit_threshold" in members:
+            thresholds = plugins["hit_threshold"].host_prep(
+                cfgs["hit_threshold"], ctx, run_id, meta
+            ).astype(np.float32)
+        bf_baselines = None
+        if "basic_features" in members:
+            bf_baselines = plugins["basic_features"].host_prep(
+                cfgs["basic_features"], ctx, run_id,
+                np.asarray(meta["baseline"], dtype=np.float64),
+                meta["board"], meta["channel"],
+            )
+
+        cfg_key = tuple(
+            (m, tuple((k, cfgs[m][k]) for k in _DEVICE_CFG_KEYS[m]))
+            for m in members
+        )
+        return {
+            "run_id": run_id,
+            "members": list(members),
+            "plugins": plugins,
+            "cfgs": cfgs,
+            "waves": np.ascontiguousarray(waves),
+            "lengths": lengths.astype(np.int32),
+            "sign": sign,
+            "baseline_f32": meta["baseline"].astype(np.float32),
+            "thresholds": thresholds,
+            "bf_baselines": bf_baselines,
+            "meta": meta,
+            "n": n,
+            "group_key": (tuple(members), cfg_key, str(waves.dtype)),
+        }
+
+    def _dispatch_group(
+        self, ctx: Any, preps: List[dict]
+    ) -> Dict[str, Dict[str, Any]]:
+        """One concatenated device program for runs with matching config."""
+        import jax
+        import jax.numpy as jnp
+
+        members = preps[0]["members"]
+        cfgs = preps[0]["cfgs"]
+        plugins = preps[0]["plugins"]
+
+        L = max(p["waves"].shape[1] for p in preps)
+        total = sum(p["n"] for p in preps)
+        bucket = int(ctx.config.get("fused_batch_bucket", 4096))
+        padded = ((total + bucket - 1) // bucket) * bucket if bucket > 1 \
+            else total
+
+        wv0 = preps[0]["waves"]
+        waves = np.zeros((padded, L), dtype=wv0.dtype)
+        lengths = np.zeros((padded,), np.int32)
+        sign = np.ones((padded,), np.float32)
+        baselines = np.zeros((padded,), np.float32)
+        thresholds = np.zeros((padded,), np.float32)
+        offsets = []
+        off = 0
+        for p in preps:
+            n, w = p["n"], p["waves"]
+            waves[off:off + n, : w.shape[1]] = w
+            lengths[off:off + n] = p["lengths"]
+            sign[off:off + n] = p["sign"]
+            baselines[off:off + n] = p["baseline_f32"]
+            thresholds[off:off + n] = p["thresholds"]
+            offsets.append(off)
+            off += n
+
+        program, spec_cache = self._get_program(
+            tuple(members), cfgs, plugins, None, per_event_overflow=True
+        )
+        dev_in = tuple(
+            jnp.asarray(x)
+            for x in (waves, lengths, sign, baselines, thresholds)
+        )
+        shapes_key = tuple((tuple(x.shape), str(x.dtype)) for x in dev_in)
+        flat_d, slot_mats_d, counts_d = program(*dev_in)
+        host_out, slot_out = _fetch_packed_outputs(
+            flat_d, slot_mats_d, counts_d, spec_cache[shapes_key]
+        )
+
+        out: Dict[str, Dict[str, Any]] = {}
+        for p, off in zip(preps, offsets):
+            run_id, n, meta = p["run_id"], p["n"], p["meta"]
+            cfgs_r, plugins_r = p["cfgs"], p["plugins"]
+            results: Dict[str, Any] = {}
+            for m in members:
+                if m == "basic_features":
+                    import jax as _jax
+
+                    sub = _jax.tree_util.tree_map(
+                        lambda a: a[off:off + n], host_out[m]
+                    )
+                    pol = np.where(
+                        meta["polarity"] == 0, np.int8(-1), meta["polarity"]
+                    ).astype(np.int8)
+                    results[m] = plugins_r[m].finalize(
+                        cfgs_r[m], sub, p["bf_baselines"], pol,
+                        meta["timestamp"], meta["board"], meta["channel"],
+                    )
+                elif m in ("hit", "hit_threshold"):
+                    rows, slots = slot_out[m]
+                    lo = int(np.searchsorted(rows, off))
+                    hi = int(np.searchsorted(rows, off + n))
+                    rows_r = rows[lo:hi] - off
+                    slots_r = {f: c[lo:hi] for f, c in slots.items()}
+                    overflow_r = int(
+                        host_out[m + "__overflow"][off:off + n].sum()
+                    )
+                    if m == "hit":
+                        results[m] = plugins_r[m].finalize_compact(
+                            cfgs_r[m], rows_r, slots_r, overflow_r, meta, n
+                        )
+                    else:
+                        results[m] = plugins_r[m].finalize_compact(
+                            cfgs_r[m], rows_r, slots_r, overflow_r, meta,
+                            p["lengths"].astype(np.int64), n,
+                        )
+                elif m == "waveform_width_integral":
+                    import jax as _jax
+
+                    sub = _jax.tree_util.tree_map(
+                        lambda a: a[off:off + n], host_out[m]
+                    )
+                    results[m] = plugins_r[m].finalize(
+                        cfgs_r[m], sub, meta, n
+                    )
+            out[run_id] = results
+        logger.debug(
+            "batched fused %s over %d runs / %d waveforms (padded %d) in one "
+            "device program", members, len(preps), total, padded,
+        )
+        return out
+
+    @staticmethod
+    def _empty_results(members: List[str]) -> Dict[str, Any]:
+        from waveformanalysis_tpu.dtypes.table import Table
+        from waveformanalysis_tpu.plugins.builtin.basic_features import (
+            BASIC_FEATURES_SCHEMA,
+        )
+        from waveformanalysis_tpu.plugins.builtin.hit_finder import (
+            THRESHOLD_HIT_SCHEMA,
+        )
+        from waveformanalysis_tpu.plugins.builtin.peak_finding import HIT_SCHEMA
+        from waveformanalysis_tpu.plugins.builtin.waveform_width_integral import (
+            WAVEFORM_WIDTH_INTEGRAL_SCHEMA,
+        )
+
+        schemas = {
+            "basic_features": BASIC_FEATURES_SCHEMA,
+            "hit": HIT_SCHEMA,
+            "hit_threshold": THRESHOLD_HIT_SCHEMA,
+            "waveform_width_integral": WAVEFORM_WIDTH_INTEGRAL_SCHEMA,
+        }
+        return {m: Table.zeros(0, schemas[m]) for m in members}
+
     @staticmethod
     def _run_sharded(program, inputs, n: int, mesh_info) -> Dict[str, Any]:
         """Pad the event axis to the shard multiple, run, unpad outputs.
@@ -282,9 +512,15 @@ class WaveChainFusion:
 
     def _get_program(
         self, members: Tuple[str, ...], cfgs: Dict, plugins: Dict,
-        mesh_info=None,
+        mesh_info=None, per_event_overflow: bool = False,
     ):
-        """jit program cached on (members, device-relevant config values)."""
+        """jit program cached on (members, device-relevant config values).
+
+        ``per_event_overflow`` emits each slot member's overflow indicator as
+        a per-event (n,) vector instead of a scalar sum — the batched
+        multi-run dispatcher needs per-run overflow counts, which the host
+        recovers by summing run slices.
+        """
         import jax
 
         key_parts: List[Any] = [members]
@@ -295,6 +531,8 @@ class WaveChainFusion:
         if mesh_info is not None:
             mesh, axis = mesh_info
             key_parts.append(("mesh", id(mesh), axis))
+        if per_event_overflow:
+            key_parts.append("per_event_overflow")
         key = tuple(key_parts)
         prog = self._programs.get(key)
         if prog is not None:
@@ -376,10 +614,11 @@ class WaveChainFusion:
                     (m, fields,
                      tuple(str(stage[f].dtype) for f in fields))
                 )
-                dense_out[m + "__overflow"] = jnp.sum(
-                    (stage[count_key] > member_cfgs[m][cap_key]).astype(
-                        jnp.int32
-                    )
+                over = (
+                    stage[count_key] > member_cfgs[m][cap_key]
+                ).astype(jnp.int32)
+                dense_out[m + "__overflow"] = (
+                    over if per_event_overflow else jnp.sum(over)
                 )
             flat, spec = _pack_leaves(dense_out)
             spec_cache[shapes_key] = (spec, slot_specs)

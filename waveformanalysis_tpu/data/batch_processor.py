@@ -123,8 +123,8 @@ class BatchProcessor:
     ) -> None:
         if on_error not in ("continue", "stop", "raise"):
             raise ValueError("on_error must be continue|stop|raise")
-        if executor_type not in ("thread", "process"):
-            raise ValueError("executor_type must be thread|process")
+        if executor_type not in ("thread", "process", "device"):
+            raise ValueError("executor_type must be thread|process|device")
         self.context = context
         self.executor_type = executor_type
         self.max_workers = max_workers
@@ -206,9 +206,76 @@ class BatchProcessor:
         ``on_progress(done, total)`` — keeping notebook output and
         cancellation responsive while workers run.
         """
+        if self.executor_type == "device":
+            return self._process_runs_device(
+                run_ids, data_name, cancellation_token, keep_data, on_progress
+            )
         tasks = [(rid, None) for rid in run_ids]
         return self._process_tasks(tasks, data_name, cancellation_token,
                                    keep_data, poll_interval_s, on_progress)
+
+    def _process_runs_device(
+        self,
+        run_ids: Sequence[str],
+        data_name: str,
+        token: Optional[CancellationToken],
+        keep_data: bool,
+        on_progress: Optional[Callable[[int, int], None]],
+    ) -> BatchResult:
+        """Device-batched multi-run execution.
+
+        The reference fans runs over host process pools
+        (reference: batch_processor.py:197); on TPU the batch dimension IS
+        the parallel axis: all runs dispatch through
+        ``Context.get_data_batched``, which concatenates their fused wave
+        bundles into one device program per matching configuration. Falls
+        back to a serial per-run loop (preserving on_error/retry isolation)
+        if the batched dispatch fails as a whole.
+        """
+        result = BatchResult()
+        if token is not None and token.cancelled:
+            result.cancelled = True
+            return result
+        t0 = time.perf_counter()
+        try:
+            data = self.context.get_data_batched(list(run_ids), data_name)
+            # mirror the pool workers' contract: saves are ON DISK before
+            # the batch reports done (_run_single_task flushes the same way)
+            if hasattr(self.context, "flush_saves"):
+                self.context.flush_saves()
+            per_run = time.perf_counter() - t0
+            for rid in run_ids:
+                result.results[rid] = RunResult(
+                    run_id=rid, success=True,
+                    data=data[rid] if keep_data else None,
+                    duration_s=per_run / max(len(run_ids), 1),
+                )
+            if on_progress is not None:
+                on_progress(len(run_ids), len(run_ids))
+            return result
+        except Exception as e:  # noqa: BLE001
+            if self.on_error == "raise":
+                raise
+            logger.warning(
+                "device-batched dispatch failed (%s); retrying runs "
+                "individually", e,
+            )
+        provider = lambda: self.context  # noqa: E731 - same-context serial
+        done = 0
+        for rid in run_ids:
+            if token is not None and token.cancelled:
+                result.cancelled = True
+                break
+            run_result = self._attempt(provider, rid, data_name, None, token)
+            if not keep_data:
+                run_result.data = None
+            result.results[rid] = run_result
+            done += 1
+            if on_progress is not None:
+                on_progress(done, len(run_ids))
+            if not run_result.success and self.on_error == "stop":
+                break
+        return result
 
     def process_runs_with_config_grid(
         self,
