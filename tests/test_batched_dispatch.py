@@ -240,6 +240,27 @@ def test_batch_processor_device_fallback_isolates_errors(tmp_path, runs):
     ctx.flush_saves()
 
 
+def test_batched_on_mesh(tmp_path, runs):
+    """Batched multi-run dispatch composes with event-axis mesh sharding:
+    runs concatenate on the batch axis AND shard over the devices."""
+    import jax
+
+    from waveformanalysis_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ctx_ref = _make_ctx(tmp_path, "ref", runs)
+    ref = {rid: ctx_ref.get_data(rid, MEMBERS) for rid in runs}
+
+    ctx_m = _make_ctx(tmp_path, "mesh", runs).attach_mesh(make_mesh(8))
+    got = ctx_m.get_data_batched(list(runs), MEMBERS)
+    for rid in runs:
+        for m in MEMBERS:
+            _assert_tables_equal(ref[rid][m], got[rid][m], f"{rid}.{m}")
+    ctx_ref.flush_saves()
+    ctx_m.flush_saves()
+
+
 def test_batched_empty_run(tmp_path):
     runs = {"full": _st(50, seed=11), "empty": _st(1, seed=12)[:0]}
     ctx = _make_ctx(tmp_path, "c", runs)

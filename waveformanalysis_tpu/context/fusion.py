@@ -372,6 +372,12 @@ class WaveChainFusion:
         bucket = int(ctx.config.get("fused_batch_bucket", 4096))
         padded = ((total + bucket - 1) // bucket) * bucket if bucket > 1 \
             else total
+        mesh_info = getattr(ctx, "mesh", None)
+        if mesh_info is not None:
+            # batched runs compose with event-axis sharding: align the
+            # padded batch to the shard count so shard_map splits evenly
+            n_shards = mesh_info[0].shape[mesh_info[1]]
+            padded = ((padded + n_shards - 1) // n_shards) * n_shards
 
         wv0 = preps[0]["waves"]
         waves = np.zeros((padded, L), dtype=wv0.dtype)
@@ -391,18 +397,27 @@ class WaveChainFusion:
             offsets.append(off)
             off += n
 
-        program, spec_cache = self._get_program(
-            tuple(members), cfgs, plugins, None, per_event_overflow=True
-        )
-        dev_in = tuple(
-            jnp.asarray(x)
-            for x in (waves, lengths, sign, baselines, thresholds)
-        )
-        shapes_key = tuple((tuple(x.shape), str(x.dtype)) for x in dev_in)
-        flat_d, slot_mats_d, counts_d = program(*dev_in)
-        host_out, slot_out = _fetch_packed_outputs(
-            flat_d, slot_mats_d, counts_d, spec_cache[shapes_key]
-        )
+        inputs = (waves, lengths, sign, baselines, thresholds)
+        if mesh_info is not None:
+            # sharded batched program: raw (unpacked) outputs over the mesh,
+            # same path the single-run mesh branch of compute() uses
+            program, _spec = self._get_program(
+                tuple(members), cfgs, plugins, mesh_info
+            )
+            host_out = self._run_sharded(program, inputs, padded, mesh_info)
+            slot_out = None
+        else:
+            program, spec_cache = self._get_program(
+                tuple(members), cfgs, plugins, None, per_event_overflow=True
+            )
+            dev_in = tuple(jnp.asarray(x) for x in inputs)
+            shapes_key = tuple(
+                (tuple(x.shape), str(x.dtype)) for x in dev_in
+            )
+            flat_d, slot_mats_d, counts_d = program(*dev_in)
+            host_out, slot_out = _fetch_packed_outputs(
+                flat_d, slot_mats_d, counts_d, spec_cache[shapes_key]
+            )
 
         out: Dict[str, Dict[str, Any]] = {}
         for p, off in zip(preps, offsets):
@@ -424,6 +439,22 @@ class WaveChainFusion:
                         meta["timestamp"], meta["board"], meta["channel"],
                     )
                 elif m in ("hit", "hit_threshold"):
+                    if slot_out is None:
+                        import jax as _jax
+
+                        sub = _jax.tree_util.tree_map(
+                            lambda a: a[off:off + n], host_out[m]
+                        )
+                        if m == "hit":
+                            results[m] = plugins_r[m].finalize(
+                                cfgs_r[m], sub, meta, n
+                            )
+                        else:
+                            results[m] = plugins_r[m].finalize(
+                                cfgs_r[m], sub, meta,
+                                p["lengths"].astype(np.int64), n,
+                            )
+                        continue
                     rows, slots = slot_out[m]
                     lo = int(np.searchsorted(rows, off))
                     hi = int(np.searchsorted(rows, off + n))
