@@ -60,6 +60,56 @@ def make_fake_st_waveforms(
     return arr
 
 
+def make_synthetic_vx2730_run(
+    data_root: str,
+    run_name: str = "run_001",
+    n_channels: int = 2,
+    n_files_per_channel: int = 1,
+    n_rows: int = 32,
+    n_samples: int = 48,
+    baseline: int = 1000,
+    pulse_height: int = 200,
+    pulse_offset: int = 41,
+    dt_between_ps: int = 10_000_000,
+    noise: int = 3,
+    seed: int = 0,
+) -> str:
+    """Write a synthetic VX2730 CSV run tree and return the run directory.
+
+    Layout matches the adapter's expectations
+    (reference: utils/formats/vx2730.py:117-134): files under
+    ``{data_root}/{run_name}/RAW/Data_CH{c}_{i}.CSV``, ``;``-separated rows
+    ``board;channel;timetag;_;_;_;_;sample0;sample1;...`` with two header
+    lines on each channel's first file only. Every waveform carries a
+    negative square pulse of ``pulse_height`` ADC at ``pulse_offset`` —
+    placed after the VX2730 baseline window (samples 0-40) by default so
+    computed baselines stay clean.
+    """
+    import os
+
+    rng = np.random.default_rng(seed)
+    raw_dir = os.path.join(str(data_root), run_name, "RAW")
+    os.makedirs(raw_dir, exist_ok=True)
+    header = "HEADER LINE 1\nHEADER LINE 2\n"
+    for ch in range(n_channels):
+        for fi in range(n_files_per_channel):
+            lines = []
+            t0 = fi * n_rows * dt_between_ps
+            for i in range(n_rows):
+                samples = np.full(n_samples, baseline, dtype=np.int64)
+                if noise:
+                    samples += rng.integers(-noise, noise + 1, n_samples)
+                samples[pulse_offset:pulse_offset + 5] -= pulse_height
+                fields = [0, ch, t0 + i * dt_between_ps, 0, 0, 0, 0]
+                fields.extend(int(s) for s in samples)
+                lines.append(";".join(str(f) for f in fields))
+            path = os.path.join(raw_dir, f"Data_CH{ch}_{fi}.CSV")
+            body = "\n".join(lines) + "\n"
+            with open(path, "w") as fh:
+                fh.write((header if fi == 0 else "") + body)
+    return os.path.join(str(data_root), run_name)
+
+
 def make_tiny_context(
     tmp_dir: str,
     st_waveforms: Optional[Any] = None,
