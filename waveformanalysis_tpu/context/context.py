@@ -109,6 +109,14 @@ RESERVED_DATA_NAMES = {
     "clone",
 }
 
+# Data names removed during the reference's own API evolution: requests get
+# a migration pointer instead of a bare unknown-name error
+# (reference: core/context.py:187-190 _REMOVED_DATA_NAME_ALIASES).
+REMOVED_DATA_NAME_ALIASES: Dict[str, str] = {
+    "events_df": "df",
+    "events_grouped": "df_events",
+}
+
 
 class Context:
     """Orchestrates a DAG of plugins keyed by data names, with
@@ -416,10 +424,7 @@ class Context:
             return data
 
         if data_name not in self._plugins:
-            raise KeyError(
-                f"No plugin registered for '{data_name}'. "
-                f"Registered: {sorted(self._plugins)}"
-            )
+            raise self._unknown_name_error(data_name)
 
         key = self.key_for(run_id, data_name)
         data = self.cache_domain.load_from_disk_with_check(run_id, data_name, key)
@@ -446,10 +451,7 @@ class Context:
                 out[name] = data
             else:
                 if name not in self._plugins:
-                    raise KeyError(
-                        f"No plugin registered for '{name}'. "
-                        f"Registered: {sorted(self._plugins)}"
-                    )
+                    raise self._unknown_name_error(name)
                 pending.append(name)
         if pending:
             out.update(
@@ -494,10 +496,7 @@ class Context:
                 if data is not None:
                     found[name] = data
                 elif name not in self._plugins:
-                    raise KeyError(
-                        f"No plugin registered for '{name}'. "
-                        f"Registered: {sorted(self._plugins)}"
-                    )
+                    raise self._unknown_name_error(name)
                 else:
                     pending.append(name)
             out[rid] = found
@@ -514,6 +513,20 @@ class Context:
         if multi:
             return {rid: {n: out[rid][n] for n in names} for rid in run_ids}
         return {rid: out[rid][names[0]] for rid in run_ids}
+
+    def _unknown_name_error(self, name: str) -> KeyError:
+        """Unknown data name -> KeyError; removed legacy names get a
+        migration pointer (reference: core/context.py:187-190)."""
+        replacement = REMOVED_DATA_NAME_ALIASES.get(name)
+        if replacement is not None:
+            return KeyError(
+                f"data name '{name}' was removed; request '{replacement}' "
+                f"instead (see docs/migrating_from_reference.md)"
+            )
+        return KeyError(
+            f"No plugin registered for '{name}'. "
+            f"Registered: {sorted(self._plugins)}"
+        )
 
     def _load_for_user(self, run_id: str, name: str) -> Any:
         data = self._get_data_from_memory(run_id, name)
