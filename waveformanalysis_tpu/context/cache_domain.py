@@ -138,6 +138,13 @@ class CacheDomain:
                         print(f"  cleared memory cache: ({run_id}, {name})")
             if clear_disk:
                 try:
+                    # an in-flight async save of this key would land AFTER
+                    # the delete and resurrect the stale payload (the key is
+                    # unchanged for run_config-driven invalidation); settle
+                    # it first so the delete is final
+                    self.ctx.execution_domain.wait_for_pending_save(
+                        run_id, name
+                    )
                     key = self.key_for(run_id, name)
                     storage = self.ctx._get_storage_for_data_name(name)
                     if storage.exists(key, run_id):

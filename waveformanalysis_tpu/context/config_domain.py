@@ -78,22 +78,91 @@ class ConfigDomain:
 
     # -- request preparation -------------------------------------------------
 
+    def run_config_roots(self) -> list:
+        """Registered plugins whose outputs depend on run_config content
+        (``uses_run_config``); their downstream cones are the invalidation
+        targets (reference: context_config.py:312-330)."""
+        return [
+            name for name, plugin in self.ctx._plugins.items()
+            if bool(getattr(plugin, "uses_run_config", False))
+        ]
+
+    def _hash_state_path(self, run_id: str) -> Optional[str]:
+        root = getattr(self.ctx, "storage_dir", None)
+        if not root:
+            return None
+        return os.path.join(str(root), run_id, "_run_config_state.json")
+
+    def _load_persisted_hash(self, run_id: str) -> Optional[str]:
+        path = self._hash_state_path(run_id)
+        if not path or not os.path.exists(path):
+            return None
+        try:
+            with open(path) as fh:
+                return json.load(fh).get("hash")
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def _persist_hash(self, run_id: str, value: Optional[str]) -> None:
+        path = self._hash_state_path(run_id)
+        if not path:
+            return
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"hash": value, "path": self.run_config_path(run_id)}, fh)
+            os.replace(tmp, path)
+        except OSError as e:  # pragma: no cover - fs failures
+            logger.warning("Failed to persist run_config hash: %s", e)
+
     def prepare_request(self, run_id: str) -> None:
-        """Reload run config; if its hash changed, invalidate the run's caches."""
-        prev_hash = self._run_config_hashes.get(run_id, "__unset__")
+        """Reload run config; if its hash changed, invalidate the run's caches.
+
+        The previous hash is PERSISTED next to the run's cached data
+        (reference: context_config.py:258-311 save_run_config_hash), so a
+        run_config edited between processes also invalidates: disk caches of
+        every ``uses_run_config`` root plugin and its downstream cone are
+        cleared, not just this process's memory entries.
+        """
+        prev_hash = self._run_config_hashes.get(run_id)
+        first_sight = run_id not in self._run_config_hashes
         self.load_run_config(run_id, force=True)
         new_hash = self.compute_run_config_hash(run_id)
-        if prev_hash != "__unset__" and prev_hash != new_hash:
+        if first_sight:
+            prev_hash = self._load_persisted_hash(run_id)
+            if prev_hash is None:
+                # nothing recorded before (new run, or pre-feature caches):
+                # record without invalidating (reference: previous None ->
+                # save and return, context_config.py maybe_invalidate)
+                self._run_config_hashes[run_id] = new_hash
+                if new_hash is not None:
+                    self._persist_hash(run_id, new_hash)
+                return
+        if not first_sight and prev_hash == new_hash:
+            return
+        if prev_hash != new_hash:
             logger.info(
                 "run_config changed for run %s (%s -> %s); invalidating caches",
                 run_id, prev_hash, new_hash,
             )
-            # memory entries for this run are stale
-            for key in [k for k in self.ctx._results if k[0] == run_id]:
-                del self.ctx._results[key]
-                self.ctx._results_lineage.pop(key, None)
             self.ctx.cache_domain.clear_performance_caches()
+            # memory AND disk caches of run_config-dependent roots and
+            # everything below; manually injected inputs and plugins with no
+            # run_config dependence keep their caches (reference:
+            # invalidate_run_config_related_cache, context_config.py:319)
+            for root in self.run_config_roots():
+                try:
+                    self.ctx.cache_domain.clear_cache_for(
+                        run_id, root, downstream=True
+                    )
+                except Exception as e:  # pragma: no cover - defensive
+                    logger.warning(
+                        "Failed clearing run_config-dependent cache for "
+                        "(%s, %s): %s", run_id, root, e,
+                    )
         self._run_config_hashes[run_id] = new_hash
+        self._persist_hash(run_id, new_hash)
 
     def invalidate_run(self, run_id: str) -> None:
         self._run_configs.pop(run_id, None)

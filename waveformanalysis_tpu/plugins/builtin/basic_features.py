@@ -34,6 +34,8 @@ class BasicFeaturesPlugin(Plugin):
     """Compute basic height/amp/area/max_abs_diff features from waveforms."""
 
     provides = "basic_features"
+    # outputs depend on run_config channel_metadata (hardware overrides)
+    uses_run_config = True
     depends_on = []  # dynamic via resolve_depends_on
     description = (
         "Compute basic height, amplitude, area, and max-abs-diff features "

@@ -131,6 +131,8 @@ class FilteredWaveformsPlugin(Plugin):
     """Digital filtering of structured waveforms (float32 output waves)."""
 
     provides = "filtered_waveforms"
+    # outputs depend on run_config channel_metadata (hardware overrides)
+    uses_run_config = True
     depends_on = ["st_waveforms"]
     description = "Apply Butterworth band-pass or Savitzky-Golay filtering."
     version = FILTER_ENGINE_VERSION

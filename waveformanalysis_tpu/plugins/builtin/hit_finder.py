@@ -55,6 +55,8 @@ class ThresholdHitPlugin(Plugin):
     """Threshold-only hit detector with THRESHOLD_HIT output."""
 
     provides = "hit_threshold"
+    # outputs depend on run_config channel_metadata (hardware overrides)
+    uses_run_config = True
     depends_on = []  # dynamic
     description = "Threshold-only hit detector with THRESHOLD_HIT_DTYPE output."
     version = "0.11.1"

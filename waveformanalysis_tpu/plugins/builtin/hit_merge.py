@@ -109,6 +109,8 @@ class HitMergeClustersPlugin(Plugin):
     """(cluster_index, hit_index) membership rows."""
 
     provides = "hit_merge_clusters"
+    # outputs depend on run_config channel_metadata (hardware overrides)
+    uses_run_config = True
     depends_on = ["hit_threshold"]
     description = "Cluster membership table for merged threshold hits."
     version = "0.6.0"

@@ -106,6 +106,8 @@ class RecordsPlugin(Plugin):
     """Time-sorted flat records (metadata view of the bundle)."""
 
     provides = "records"
+    # outputs depend on run_config channel_metadata (hardware overrides)
+    uses_run_config = True
     depends_on = ["raw_files"]
     description = "Globally time-sorted records with wave_pool addressing."
     version = "2.0.1"
@@ -121,6 +123,8 @@ class WavePoolPlugin(Plugin):
     """Contiguous uint16 sample pool addressed by records.wave_offset."""
 
     provides = "wave_pool"
+    # outputs depend on run_config channel_metadata (hardware overrides)
+    uses_run_config = True
     depends_on = ["raw_files"]
     description = "Contiguous uint16 waveform sample pool."
     version = "2.0.1"

@@ -162,6 +162,8 @@ class WaveformsPlugin(Plugin):
     """Parse raw DAQ files into structured waveforms (st_waveforms)."""
 
     provides = "st_waveforms"
+    # outputs depend on run_config channel_metadata (hardware overrides)
+    uses_run_config = True
     description = (
         "Parse raw DAQ files and structure them into flat waveform records "
         "with baseline, timestamps (ps), and channel identity."
