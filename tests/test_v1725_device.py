@@ -1,0 +1,154 @@
+"""On-device V1725 bit-unpacking: parity with the host walker.
+
+The device path (ops/v1725_device.py) does a header-only host walk and a
+jitted uint32 gather/bit-slice for the samples; every column — including
+the unpacked waves — must be bit-identical to the host walker's Table
+(formats/v1725.py), across sign extension, truncation flags, multi-file
+concatenation, and wave_length clipping.
+"""
+
+import numpy as np
+import pytest
+
+from waveformanalysis_tpu.context.context import Context
+from waveformanalysis_tpu.ops.v1725_device import (
+    read_files_device,
+    scan_headers,
+    unpack_samples_device,
+)
+from waveformanalysis_tpu.plugins.builtin.waveforms import (
+    RawFileNamesPlugin,
+    WaveformsPlugin,
+)
+from tests.utils import make_v1725_event, write_v1725_run
+
+
+def _mk_ctx(tmp_path, device: bool):
+    ctx = Context(
+        storage_dir=str(tmp_path / ("dev" if device else "host")),
+        config={"show_progress": False, "data_root": str(tmp_path / "daq"),
+                "daq_adapter": "v1725"},
+    )
+    ctx.register(RawFileNamesPlugin(), WaveformsPlugin())
+    ctx.set_config({"raw_files": {"daq_adapter": "v1725"},
+                    "st_waveforms": {"daq_adapter": "v1725",
+                                     "device_unpack": device}})
+    return ctx
+
+
+def test_unpack_matches_frombuffer():
+    rng = np.random.default_rng(3)
+    waves = [rng.integers(-32768, 32767, size=2 * rng.integers(4, 20),
+                          dtype=np.int16) for _ in range(7)]
+    blob = b"".join(
+        make_v1725_event({0: w}, timestamps={0: 10 * i}) for i, w in
+        enumerate(waves)
+    )
+    meta = scan_headers(blob, board=2)
+    assert len(meta["offset"]) == 7
+    L = int(meta["n_samples"].max())
+    got = np.asarray(unpack_samples_device(
+        np.frombuffer(blob, np.uint8), meta["offset"], meta["n_samples"], L
+    ))
+    for i, w in enumerate(waves):
+        np.testing.assert_array_equal(got[i, : len(w)], w)
+        assert np.all(got[i, len(w):] == 0)
+
+
+def test_odd_offsets_and_negative_samples():
+    """Different-length records shift later sample starts across both
+    uint32 half-words; sign extension must hold for extreme values."""
+    w0 = np.array([-32768, 32767, -1, 1, 0, -12345], dtype=np.int16)
+    w1 = np.array([100, -100, 32767, -32768], dtype=np.int16)
+    blob = make_v1725_event({0: w0}) + make_v1725_event({1: w1})
+    meta = scan_headers(blob, board=0)
+    got = np.asarray(unpack_samples_device(
+        np.frombuffer(blob, np.uint8), meta["offset"], meta["n_samples"], 6
+    ))
+    np.testing.assert_array_equal(got[0], w0)
+    np.testing.assert_array_equal(got[1, :4], w1)
+
+
+def test_scan_headers_matches_walker_metadata(tmp_path):
+    write_v1725_run(tmp_path / "daq", run_name="r", n_events=5)
+    path = next((tmp_path / "daq" / "r" / "RAW").iterdir())
+    meta = scan_headers(path.read_bytes(), board=0)
+    assert len(meta["offset"]) == 10  # 5 events x 2 channels
+    assert sorted(set(meta["channel"].tolist())) == [0, 1]
+    np.testing.assert_array_equal(meta["baseline"][meta["channel"] == 0], 900)
+
+
+def test_plugin_parity_device_vs_host(tmp_path):
+    write_v1725_run(tmp_path / "daq", run_name="r", n_events=6, n_samples=40)
+    host = _mk_ctx(tmp_path, device=False).get_data("r", "st_waveforms")
+    dev = _mk_ctx(tmp_path, device=True).get_data("r", "st_waveforms")
+    assert len(host) == len(dev) == 12
+    for col in host.columns:
+        np.testing.assert_array_equal(
+            np.asarray(host[col]), np.asarray(dev[col]), err_msg=col
+        )
+
+
+def test_plugin_parity_multi_file(tmp_path):
+    daq = tmp_path / "daq"
+    raw = daq / "r" / "RAW"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(9)
+    for seg in range(3):
+        blob = b"".join(
+            make_v1725_event(
+                {0: rng.integers(-500, 500, 2 * rng.integers(8, 24),
+                                 dtype=np.int16)},
+                timestamps={0: seg * 10_000 + i},
+            )
+            for i in range(4)
+        )
+        (raw / f"data_b1_seg{seg}.bin").write_bytes(blob)
+    host = _mk_ctx(tmp_path, device=False).get_data("r", "st_waveforms")
+    dev = _mk_ctx(tmp_path, device=True).get_data("r", "st_waveforms")
+    assert len(host) == len(dev) == 12
+    assert np.all(np.asarray(dev["board"]) == 1)
+    for col in host.columns:
+        np.testing.assert_array_equal(
+            np.asarray(host[col]), np.asarray(dev[col]), err_msg=col
+        )
+
+
+def test_wave_length_clipping_parity(tmp_path):
+    write_v1725_run(tmp_path / "daq", run_name="r", n_events=3, n_samples=32)
+    ctx_h = _mk_ctx(tmp_path, device=False)
+    ctx_d = _mk_ctx(tmp_path, device=True)
+    for ctx in (ctx_h, ctx_d):
+        ctx.set_config({"st_waveforms": {"wave_length": 16}})
+    host = ctx_h.get_data("r", "st_waveforms")
+    dev = ctx_d.get_data("r", "st_waveforms")
+    assert np.asarray(dev["wave"]).shape[1] == 16
+    for col in host.columns:
+        np.testing.assert_array_equal(
+            np.asarray(host[col]), np.asarray(dev[col]), err_msg=col
+        )
+
+
+def test_truncated_file_parity(tmp_path):
+    """A file cut mid-waveform: both paths stop at the same record."""
+    daq = tmp_path / "daq"
+    raw = daq / "r" / "RAW"
+    raw.mkdir(parents=True)
+    w = np.arange(-20, 20, dtype=np.int16)
+    blob = make_v1725_event({0: w}) + make_v1725_event({0: w})
+    (raw / "cut_b0_seg0.bin").write_bytes(blob[: len(blob) - 30])
+    host = _mk_ctx(tmp_path, device=False).get_data("r", "st_waveforms")
+    dev = _mk_ctx(tmp_path, device=True).get_data("r", "st_waveforms")
+    assert len(host) == len(dev) == 1
+    np.testing.assert_array_equal(
+        np.asarray(host["wave"]), np.asarray(dev["wave"])
+    )
+
+
+def test_device_unpack_untracked_in_lineage(tmp_path):
+    write_v1725_run(tmp_path / "daq", run_name="r", n_events=2)
+    ctx_h = _mk_ctx(tmp_path, device=False)
+    ctx_d = _mk_ctx(tmp_path, device=True)
+    assert ctx_h.key_for("r", "st_waveforms") == \
+        ctx_d.key_for("r", "st_waveforms"), \
+        "execution strategy must not rotate lineage"

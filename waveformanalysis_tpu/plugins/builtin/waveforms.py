@@ -198,6 +198,13 @@ class WaveformsPlugin(Plugin):
             default=None, type=dict,
             help="{(board, channel): physical_channel} remapping",
         ),
+        "device_unpack": Option(
+            default=False, type=bool, track=False,
+            help="V1725: unpack samples ON DEVICE (host does a header-only "
+                 "walk; raw bytes upload once and a jitted gather/bit-slice "
+                 "builds the wave matrix in HBM). Bit-identical to the host "
+                 "walker; execution strategy only.",
+        ),
     }
 
     def resolve_depends_on(self, context: Any, run_id: Optional[str] = None):
@@ -241,7 +248,14 @@ class WaveformsPlugin(Plugin):
                                wave_length=wave_length or 1)
 
         if adapter_name == "v1725":
-            table = self._compute_v1725(adapter, raw_files, dt_ns, wave_length)
+            if context.get_config(self, "device_unpack"):
+                table = self._compute_v1725_device(
+                    adapter, raw_files, dt_ns, wave_length
+                )
+            else:
+                table = self._compute_v1725(
+                    adapter, raw_files, dt_ns, wave_length
+                )
             return apply_polarity_metadata(table, context, run_id)
 
         # file-level parallel parse, grouped back per channel
@@ -375,6 +389,62 @@ class WaveformsPlugin(Plugin):
                 "board": data["board"].astype(np.int16),
                 "channel": data["channel"].astype(np.int16),
                 "wave": waves,
+            },
+            schema=ST_WAVEFORM_SCHEMA,
+        )
+
+
+    def _compute_v1725_device(
+        self,
+        adapter: Any,
+        raw_files: List[List[str]],
+        dt_ns: int,
+        wave_length: Optional[int],
+    ) -> Table:
+        """Device-unpacked V1725 path (SURVEY §7 on-device bit-unpacking).
+
+        The host walks headers only; a jitted uint32 gather/bit-slice
+        program builds the padded wave matrix in HBM. Bit-identical to
+        :meth:`_compute_v1725` (tests/test_v1725_device.py) — the wave
+        column is fetched back here because st_waveforms is a host Table;
+        device-resident pipelines call ops.v1725_device.read_files_device
+        directly to keep the matrix in HBM.
+        """
+        from waveformanalysis_tpu.ops.v1725_device import read_files_device
+
+        files, seen = [], set()
+        for group in raw_files:
+            for f in group or []:
+                if f not in seen:
+                    seen.add(f)
+                    files.append(f)
+        waves_d, meta = read_files_device(
+            files, wave_length=wave_length,
+            board_from_path=adapter.format_reader._extract_board_from_path,
+        )
+        n = len(meta["offset"])
+        if n == 0:
+            return Table.zeros(0, ST_WAVEFORM_SCHEMA,
+                               wave_length=wave_length or 1)
+        ts_ps = adapter.format_spec.normalize_timestamp_to_ps(
+            meta["timestamp"], dt_ns=dt_ns
+        )
+        L = int(np.asarray(waves_d).shape[1]) if hasattr(waves_d, "shape") \
+            else 1
+        return Table(
+            {
+                "baseline": meta["baseline"],
+                "baseline_upstream": np.full(n, np.nan),
+                "polarity": np.zeros(n, dtype=np.int8),
+                "timestamp": ts_ps.astype(np.int64),
+                "record_id": np.arange(n, dtype=np.int64),
+                "dt": np.full(n, dt_ns, dtype=np.int32),
+                "event_length": np.minimum(meta["n_samples"], L).astype(
+                    np.int32
+                ),
+                "board": meta["board"],
+                "channel": meta["channel"],
+                "wave": np.asarray(waves_d),
             },
             schema=ST_WAVEFORM_SCHEMA,
         )
