@@ -78,6 +78,32 @@ def test_scan_headers_matches_walker_metadata(tmp_path):
     np.testing.assert_array_equal(meta["baseline"][meta["channel"] == 0], 900)
 
 
+def test_native_header_scan_matches_python(tmp_path):
+    from waveformanalysis_tpu.native import scan_v1725_headers_bytes
+    from waveformanalysis_tpu.ops.v1725_device import _scan_headers_py
+
+    rng = np.random.default_rng(5)
+    blob = b"".join(
+        make_v1725_event(
+            {int(c): rng.integers(-999, 999, 2 * rng.integers(3, 30),
+                                  dtype=np.int16)
+             for c in rng.choice(16, size=rng.integers(1, 4), replace=False)},
+            timestamps={c: int(rng.integers(0, 2**47)) for c in range(16)},
+            baselines={c: int(rng.integers(0, 65535)) for c in range(16)},
+        )
+        for _ in range(40)
+    ) + b"\x01\x02"  # malformed tail exercises the stop behavior
+    native = scan_v1725_headers_bytes(blob)
+    if native is None:
+        pytest.skip("native library unavailable")
+    py = _scan_headers_py(blob, board=4, base_offset=100)
+    assert len(native["offset"]) == len(py["offset"])
+    for k in ("channel", "timestamp", "baseline", "n_samples"):
+        np.testing.assert_array_equal(native[k], py[k], err_msg=k)
+    np.testing.assert_array_equal(native["offset"] + 100, py["offset"])
+    np.testing.assert_array_equal(native["trunc"].astype(bool), py["trunc"])
+
+
 def test_plugin_parity_device_vs_host(tmp_path):
     write_v1725_run(tmp_path / "daq", run_name="r", n_events=6, n_samples=40)
     host = _mk_ctx(tmp_path, device=False).get_data("r", "st_waveforms")

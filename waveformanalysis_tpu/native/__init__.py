@@ -114,6 +114,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_uint16),
             ]
+            lib.wfa_v1725_headers.restype = ctypes.c_longlong
+            lib.wfa_v1725_headers.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong,
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.POINTER(ctypes.c_longlong),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_longlong),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
             _lib = lib
         except Exception as err:
             logger.warning("native load failed: %s", err)
@@ -200,6 +210,42 @@ def decode_csv_vx2730_typed(
         "board": board[:got], "channel": channel[:got],
         "timestamp": timestamp[:got], "baseline": baseline[:got],
         "samples": samples[:got],
+    }
+
+
+def scan_v1725_headers_bytes(data: bytes) -> Optional[dict]:
+    """Header-only V1725 walk: per-record metadata + sample BYTE offsets.
+
+    No samples are copied — the device-unpack path uploads ``data`` once
+    and gathers on the accelerator (ops/v1725_device.py). Same truncation
+    semantics as the full decoder; None when the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    total_samples = ctypes.c_longlong(0)
+    records = lib.wfa_v1725_scan(data, n, ctypes.byref(total_samples))
+    channel = np.empty(records, dtype=np.int16)
+    timestamp = np.empty(records, dtype=np.int64)
+    baseline = np.empty(records, dtype=np.float64)
+    trunc = np.empty(records, dtype=np.uint8)
+    offset = np.empty(records, dtype=np.int64)
+    length = np.empty(records, dtype=np.int32)
+    if records:
+        got = lib.wfa_v1725_headers(
+            data, n,
+            channel.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            timestamp.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            baseline.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            trunc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offset.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            length.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        assert got == records, (got, records)
+    return {
+        "channel": channel, "timestamp": timestamp, "baseline": baseline,
+        "trunc": trunc, "offset": offset, "n_samples": length,
     }
 
 

@@ -619,4 +619,43 @@ long long wfa_v1725_decode(const char* buf, long long len,
     return rec;
 }
 
+// Header-only walk: like wfa_v1725_decode but offset_out carries the BYTE
+// offset of each record's samples within buf and no samples are copied —
+// the caller uploads buf once and unpacks on the accelerator
+// (ops/v1725_device.py). Outputs sized from wfa_v1725_scan; returns
+// records written.
+long long wfa_v1725_headers(const char* buf, long long len,
+                            short* channel_out, long long* timestamp_out,
+                            double* baseline_out, unsigned char* trunc_out,
+                            long long* offset_out, int* length_out) {
+    const unsigned char* b = (const unsigned char*)buf;
+    long long pos = 0, rec = 0;
+    while (pos + 16 <= len) {
+        unsigned mask = b[pos + 4] | ((unsigned)b[pos + 11] << 8);
+        pos += 16;
+        bool bad = false;
+        for (int ch = 0; ch < 16 && mask; ++ch) {
+            if (!(mask & (1u << ch))) continue;
+            mask &= ~(1u << ch);
+            if (pos + 12 > len) { bad = true; break; }
+            const unsigned char* h = b + pos;
+            long long words = (long long)(h[0] | ((unsigned)h[1] << 8)
+                              | ((unsigned)h[2] << 16)) & ((1 << 22) - 1);
+            long long sig_bytes = (words - 3) * 4;
+            pos += 12;
+            if (sig_bytes < 0 || pos + sig_bytes > len) { bad = true; break; }
+            channel_out[rec] = (short)ch;
+            trunc_out[rec] = (h[3] >> 6) & 1;
+            timestamp_out[rec] = (long long)le_u48(h + 4);
+            baseline_out[rec] = (double)(h[10] | ((unsigned)h[11] << 8));
+            offset_out[rec] = pos;
+            length_out[rec] = (int)(sig_bytes / 2);
+            pos += sig_bytes;
+            ++rec;
+        }
+        if (bad) break;
+    }
+    return rec;
+}
+
 }  // extern "C"

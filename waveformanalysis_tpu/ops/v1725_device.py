@@ -33,10 +33,38 @@ def scan_headers(
 ) -> Dict[str, np.ndarray]:
     """Header-only walk: per-record metadata + sample byte offsets.
 
-    Same truncation semantics as the full walker (short header/waveform ->
-    stop this file with a warning); ``base_offset`` shifts offsets when
-    several files concatenate into one device buffer.
+    Uses the native walker when available (wfa_v1725_headers — at 50k
+    records the python loop costs ~215 ms vs ~2 ms native), with the pure
+    python loop as the exact-parity fallback. Same truncation semantics as
+    the full walker (short header/waveform -> stop this file with a
+    warning); ``base_offset`` shifts offsets when several files concatenate
+    into one device buffer.
     """
+    try:
+        from waveformanalysis_tpu.native import scan_v1725_headers_bytes
+
+        native = scan_v1725_headers_bytes(buf)
+    except Exception as e:  # pragma: no cover - import/ABI issues
+        logger.debug("native header scan unavailable: %s", e)
+        native = None
+    if native is not None:
+        n_rec = len(native["offset"])
+        return {
+            "board": np.full(n_rec, board, dtype=np.int16),
+            "channel": native["channel"],
+            "timestamp": native["timestamp"],
+            "baseline": native["baseline"],
+            "trunc": native["trunc"].astype(bool),
+            "offset": native["offset"] + base_offset,
+            "n_samples": native["n_samples"],
+        }
+    return _scan_headers_py(buf, board, base_offset)
+
+
+def _scan_headers_py(
+    buf: bytes, board: int, base_offset: int = 0
+) -> Dict[str, np.ndarray]:
+    """Pure-python header walk (parity oracle for the native scan)."""
     n = len(buf)
     view = memoryview(buf)
     boards: List[int] = []
