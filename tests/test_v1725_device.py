@@ -171,6 +171,52 @@ def test_truncated_file_parity(tmp_path):
     )
 
 
+def test_device_resident_pipeline_parity(tmp_path):
+    """device_unpack feeds the fused bundle WITHOUT a host round trip: the
+    st_waveforms wave column stays a device array and downstream outputs
+    are bit-identical to the host-unpacked pipeline."""
+    import jax
+
+    from waveformanalysis_tpu.plugins.builtin.basic_features import (
+        BasicFeaturesPlugin,
+    )
+    from waveformanalysis_tpu.plugins.builtin.hit_finder import (
+        ThresholdHitPlugin,
+    )
+    from waveformanalysis_tpu.plugins.builtin.peak_finding import (
+        HitFinderPlugin,
+    )
+
+    write_v1725_run(tmp_path / "daq", run_name="r", n_events=16,
+                    n_samples=64)
+
+    def mk(device):
+        ctx = _mk_ctx(tmp_path, device=device)
+        ctx.register(BasicFeaturesPlugin(), HitFinderPlugin(),
+                     ThresholdHitPlugin())
+        ctx.set_config({"hit": {"use_filtered": False,
+                                "use_derivative": False, "height": 100.0,
+                                "prominence": 50.0, "width": 2}})
+        return ctx
+
+    ctx_d = mk(True)
+    st = ctx_d.get_data("r", "st_waveforms")
+    assert isinstance(st["wave"], jax.Array), \
+        "device_unpack must keep the wave matrix device-resident"
+
+    targets = ["basic_features", "hit", "hit_threshold"]
+    out_d = ctx_d.get_data("r", targets)
+    out_h = mk(False).get_data("r", targets)
+    for name in targets:
+        a, b = out_h[name], out_d[name]
+        assert len(a) == len(b), name
+        for col in a.columns:
+            np.testing.assert_array_equal(
+                np.asarray(a[col]), np.asarray(b[col]),
+                err_msg=f"{name}.{col}",
+            )
+
+
 def test_device_unpack_untracked_in_lineage(tmp_path):
     write_v1725_run(tmp_path / "daq", run_name="r", n_events=2)
     ctx_h = _mk_ctx(tmp_path, device=False)

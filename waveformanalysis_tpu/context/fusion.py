@@ -67,6 +67,17 @@ _DEVICE_CFG_KEYS = {
 }
 
 
+def _wave_input_array(waves):
+    """Host waves -> C-contiguous ndarray; device waves pass through so the
+    fused program consumes the HBM-resident matrix without a host round
+    trip (device_unpack pipelines)."""
+    import jax
+
+    if isinstance(waves, jax.Array):
+        return waves
+    return np.ascontiguousarray(waves)
+
+
 class WaveChainFusion:
     """Fuses basic_features / hit / hit_threshold over a shared wave source."""
 
@@ -199,7 +210,7 @@ class WaveChainFusion:
             np.zeros((n,), np.float32) if thresholds is None else thresholds
         )
         inputs = (
-            np.ascontiguousarray(waves),
+            _wave_input_array(waves),
             lengths.astype(np.int32),
             sign,
             meta["baseline"].astype(np.float32),
@@ -345,7 +356,7 @@ class WaveChainFusion:
             "members": list(members),
             "plugins": plugins,
             "cfgs": cfgs,
-            "waves": np.ascontiguousarray(waves),
+            "waves": _wave_input_array(waves),
             "lengths": lengths.astype(np.int32),
             "sign": sign,
             "baseline_f32": meta["baseline"].astype(np.float32),

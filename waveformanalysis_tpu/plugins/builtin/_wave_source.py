@@ -100,6 +100,24 @@ def load_wave_input(
     return WaveInput(spec=spec, waveform_data=_as_table(data))
 
 
+def wave_matrix_view(col: Any) -> Any:
+    """A wave column ready for device kernels, WITHOUT forcing a fetch.
+
+    Device arrays (e.g. the on-device V1725 unpack output,
+    ops/v1725_device.py) pass through so the padded matrix stays resident
+    in HBM all the way into the fused kernels; host columns normalize to
+    np.ndarray as before.
+    """
+    try:
+        import jax
+
+        if isinstance(col, jax.Array):
+            return col
+    except Exception:  # pragma: no cover - jax always present in practice
+        pass
+    return np.asarray(col)
+
+
 def _as_table(data: Any) -> Optional[Table]:
     if data is None or isinstance(data, Table):
         return data

@@ -22,6 +22,7 @@ from waveformanalysis_tpu.hardware import resolve_channel_value_arrays
 from waveformanalysis_tpu.ops import features as F
 from waveformanalysis_tpu.plugins.base import Option, Plugin
 from waveformanalysis_tpu.plugins.builtin._wave_source import (
+    wave_matrix_view,
     WAVE_SOURCE_AUTO,
     load_wave_input,
     resolve_wave_input_spec,
@@ -204,7 +205,7 @@ class BasicFeaturesPlugin(Plugin):
             n = len(data)
             if n == 0:
                 return None
-            waves = np.asarray(data["wave"])
+            waves = wave_matrix_view(data["wave"])
             event_length = (
                 np.asarray(data["event_length"], dtype=np.int32)
                 if "event_length" in data
@@ -249,9 +250,12 @@ class BasicFeaturesPlugin(Plugin):
         )
         import jax.numpy as jnp
 
+        w = inp["waves"]
+        if not hasattr(w, "devices"):  # host path keeps the contiguous copy
+            w = np.ascontiguousarray(w)
         red = self.device_stage(
             cfg,
-            jnp.asarray(np.ascontiguousarray(inp["waves"])),
+            jnp.asarray(w),
             jnp.asarray(inp["event_length"]),
         )
         return self.finalize(

@@ -27,6 +27,7 @@ from waveformanalysis_tpu.dtypes.table import Table
 from waveformanalysis_tpu.ops import peaks as PK
 from waveformanalysis_tpu.plugins.base import Option, Plugin
 from waveformanalysis_tpu.plugins.builtin._wave_source import (
+    wave_matrix_view,
     WAVE_SOURCE_AUTO,
     load_wave_input,
     resolve_wave_input_spec,
@@ -334,7 +335,7 @@ def _load_wave_matrix(
 
     data = wave_input.waveform_data
     n = len(data)
-    waves = np.asarray(data["wave"])
+    waves = wave_matrix_view(data["wave"])
     lengths = (
         np.asarray(data["event_length"], dtype=np.int64)
         if "event_length" in data

@@ -405,10 +405,11 @@ class WaveformsPlugin(Plugin):
 
         The host walks headers only; a jitted uint32 gather/bit-slice
         program builds the padded wave matrix in HBM. Bit-identical to
-        :meth:`_compute_v1725` (tests/test_v1725_device.py) — the wave
-        column is fetched back here because st_waveforms is a host Table;
-        device-resident pipelines call ops.v1725_device.read_files_device
-        directly to keep the matrix in HBM.
+        :meth:`_compute_v1725` (tests/test_v1725_device.py). The wave
+        column stays the DEVICE array: Table columns may be device-backed,
+        the fused kernels consume it without re-upload
+        (_wave_source.wave_matrix_view), and persistence fetches once on
+        the async writer thread.
         """
         from waveformanalysis_tpu.ops.v1725_device import read_files_device
 
@@ -429,8 +430,7 @@ class WaveformsPlugin(Plugin):
         ts_ps = adapter.format_spec.normalize_timestamp_to_ps(
             meta["timestamp"], dt_ns=dt_ns
         )
-        L = int(np.asarray(waves_d).shape[1]) if hasattr(waves_d, "shape") \
-            else 1
+        L = int(waves_d.shape[1])
         return Table(
             {
                 "baseline": meta["baseline"],
@@ -444,7 +444,7 @@ class WaveformsPlugin(Plugin):
                 ),
                 "board": meta["board"],
                 "channel": meta["channel"],
-                "wave": np.asarray(waves_d),
+                "wave": waves_d,
             },
             schema=ST_WAVEFORM_SCHEMA,
         )
