@@ -315,24 +315,53 @@ def pair_events(
     """Filter events whose span fits the window; add per-channel columns
     (reference: processing/analyzer.py:66-150)."""
     df_paired = df_events[df_events["dt/ns"] <= time_window_ns].copy()
-    if "delta_t" not in df_paired.columns and not df_paired.empty:
-        df_paired["delta_t"] = df_paired["timestamps"].apply(
-            lambda x: (x[-1] - x[0]) / 1000.0
-        )
-    if not df_paired.empty:
-        areas_key = "areas" if "areas" in df_paired.columns else "charges"
-        heights_key = "heights" if "heights" in df_paired.columns else "peaks"
+    if df_paired.empty:
+        return df_paired
 
-        def get_val(arr: Any, idx: int) -> float:
-            if isinstance(arr, (list, np.ndarray)) and len(arr) > idx:
-                return arr[idx]
-            return np.nan
+    # vectorized per-event array indexing: rebuild the flat value arrays
+    # once + an offset table, then every derived column is a single gather.
+    # The pandas .apply formulation this replaces cost ~5-10 us/row for
+    # EACH of the 1 + 2*n_channels columns.
+    def _flat(col: Any, dtype=np.float64):
+        # int64 for ps timestamps: f64 would drop ULPs past 2**53
+        vals = col.to_list()
+        counts = np.fromiter((len(v) for v in vals), dtype=np.int64,
+                             count=len(vals))
+        if len(vals):
+            # one concatenate over the raw per-event arrays, one cast —
+            # a per-item asarray loop here costs ~3 us/event
+            flat = np.concatenate(vals)
+            if flat.dtype != dtype:
+                flat = flat.astype(dtype)
+        else:
+            flat = np.zeros(0, dtype)
+        offsets = np.zeros(len(vals), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        return flat, offsets, counts
 
-        for i in range(n_channels):
-            df_paired[f"area_ch{start_channel + i}"] = df_paired[areas_key].apply(
-                lambda x, i=i: get_val(x, i)
-            )
-            df_paired[f"height_ch{start_channel + i}"] = df_paired[heights_key].apply(
-                lambda x, i=i: get_val(x, i)
-            )
+    def _take(flat, offsets, counts, idx):
+        """value[idx] per event, NaN where the array is shorter."""
+        ok = counts > idx
+        pos = np.minimum(offsets + idx, max(len(flat) - 1, 0))
+        out = np.full(len(counts), np.nan)
+        if len(flat):
+            out[ok] = flat[pos[ok]]
+        return out
+
+    if "delta_t" not in df_paired.columns:
+        ts_flat, ts_off, ts_cnt = _flat(df_paired["timestamps"],
+                                        dtype=np.int64)
+        first = ts_flat[ts_off] if len(ts_flat) else np.zeros(0)
+        last = ts_flat[ts_off + ts_cnt - 1] if len(ts_flat) else np.zeros(0)
+        df_paired["delta_t"] = (last - first) / 1000.0
+
+    areas_key = "areas" if "areas" in df_paired.columns else "charges"
+    heights_key = "heights" if "heights" in df_paired.columns else "peaks"
+    a_flat, a_off, a_cnt = _flat(df_paired[areas_key])
+    h_flat, h_off, h_cnt = _flat(df_paired[heights_key])
+    for i in range(n_channels):
+        df_paired[f"area_ch{start_channel + i}"] = _take(a_flat, a_off,
+                                                         a_cnt, i)
+        df_paired[f"height_ch{start_channel + i}"] = _take(h_flat, h_off,
+                                                           h_cnt, i)
     return df_paired
