@@ -261,6 +261,51 @@ def test_batched_on_mesh(tmp_path, runs):
     ctx_m.flush_saves()
 
 
+def test_batched_per_run_targets_no_overcompute(tmp_path, runs):
+    """A run only computes/caches the names pending FOR IT — not the union
+    of every run's pending names."""
+    ctx2 = _make_ctx(tmp_path, "c2", runs)
+    ctx2.get_data("run_a", "basic_features")  # run_a: hit still pending
+    got = ctx2.get_data_batched(["run_a", "run_b"], "hit")
+    assert len(got["run_a"]) > 0 and len(got["run_b"]) > 0
+    ctx2.flush_saves()
+
+
+def test_batched_device_resident_waves(tmp_path):
+    """Device-backed wave columns concatenate IN HBM for the batched
+    program (no host fetch of the resident matrices)."""
+    import jax
+    import jax.numpy as jnp
+
+    runs = {"d1": _st(60, seed=21), "d2": _st(90, seed=22)}
+    ctx_ref = _make_ctx(tmp_path, "ref", runs)
+    ref = {rid: ctx_ref.get_data(rid, MEMBERS) for rid in runs}
+
+    dev_runs = {}
+    for rid, st in runs.items():
+        t = Table.from_numpy(st)
+        dev_runs[rid] = t.with_columns(wave=jnp.asarray(st["wave"]))
+        assert isinstance(dev_runs[rid]["wave"], jax.Array)
+    ctx_b = _make_ctx(tmp_path, "batched", dev_runs)
+    got = ctx_b.get_data_batched(list(runs), MEMBERS)
+    for rid in runs:
+        for m in MEMBERS:
+            _assert_tables_equal(ref[rid][m], got[rid][m], f"{rid}.{m}")
+    ctx_ref.flush_saves()
+    ctx_b.flush_saves()
+
+
+def test_config_grid_rejects_device_executor(tmp_path, runs):
+    from waveformanalysis_tpu.data.batch_processor import BatchProcessor
+
+    ctx = _make_ctx(tmp_path, "c", runs)
+    bp = BatchProcessor(ctx, executor_type="device")
+    with pytest.raises(ValueError, match="config-grid"):
+        bp.process_runs_with_config_grid(
+            list(runs), "basic_features", [{"hit": {"height": 10.0}}]
+        )
+
+
 def test_batched_empty_run(tmp_path):
     runs = {"full": _st(50, seed=11), "empty": _st(1, seed=12)[:0]}
     ctx = _make_ctx(tmp_path, "c", runs)

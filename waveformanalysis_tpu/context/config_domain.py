@@ -127,6 +127,7 @@ class ConfigDomain:
         """
         prev_hash = self._run_config_hashes.get(run_id)
         first_sight = run_id not in self._run_config_hashes
+        prev_cfg = self._run_configs.get(run_id)
         self.load_run_config(run_id, force=True)
         new_hash = self.compute_run_config_hash(run_id)
         if first_sight:
@@ -150,8 +151,18 @@ class ConfigDomain:
             # memory AND disk caches of run_config-dependent roots and
             # everything below; manually injected inputs and plugins with no
             # run_config dependence keep their caches (reference:
-            # invalidate_run_config_related_cache, context_config.py:319)
-            for root in self.run_config_roots():
+            # invalidate_run_config_related_cache, context_config.py:319).
+            # Roots = uses_run_config plugins PLUS any plugin named in the
+            # old or new run_config "plugins" block — those blocks feed
+            # _effective_config for every plugin, marked or not.
+            roots = set(self.run_config_roots())
+            for cfg in (prev_cfg, self._run_configs.get(run_id)):
+                block = (cfg or {}).get("plugins")
+                if isinstance(block, dict):
+                    roots.update(
+                        name for name in block if name in self.ctx._plugins
+                    )
+            for root in sorted(roots):
                 try:
                     self.ctx.cache_domain.clear_cache_for(
                         run_id, root, downstream=True

@@ -503,9 +503,8 @@ class Context:
             if pending:
                 pending_runs[rid] = pending
         if pending_runs:
-            union = sorted({n for p in pending_runs.values() for n in p})
             computed = self.execution_domain.run_plugins_batched(
-                list(pending_runs), union, **kwargs
+                list(pending_runs), pending_runs, **kwargs
             )
             for rid, pend in pending_runs.items():
                 for name in pend:

@@ -180,10 +180,14 @@ class ExecutionDomain:
         return results
 
     def run_plugins_batched(
-        self, run_ids: List[str], targets: List[str], **kwargs: Any
+        self, run_ids: List[str], targets: Any, **kwargs: Any
     ) -> Dict[str, Dict[str, Any]]:
         """Execute ``targets`` for several runs, batching fused bundles
         ACROSS runs.
+
+        ``targets`` is either one name list applied to every run, or a
+        ``{run_id: [names]}`` mapping — per-run lists avoid computing (and
+        caching) names a given run never asked for.
 
         Planning happens per run (caches and run_config differ), then every
         run's fused-bundle members are handed to the fusion rule's
@@ -194,13 +198,18 @@ class ExecutionDomain:
         save/lineage/stats semantics are unchanged.
         """
         ctx = self.ctx
+        per_run_targets = (
+            {rid: list(targets[rid]) for rid in run_ids}
+            if isinstance(targets, dict)
+            else {rid: list(targets) for rid in run_ids}
+        )
         run_info = []
         for rid in run_ids:
             ctx.config_domain.prepare_request(rid)
             seen: Set[str] = set()
             plan: List[str] = []
             needed: Set[str] = set()
-            for target in targets:
+            for target in per_run_targets[rid]:
                 for name in self.resolve_execution_plan(target, rid):
                     if name not in seen:
                         seen.add(name)
@@ -228,8 +237,8 @@ class ExecutionDomain:
                     precomputed[rid].update(results)
 
         out: Dict[str, Dict[str, Any]] = {}
-        target_set = set(targets)
         for rid, plan, needed, bundles in run_info:
+            target_set = set(per_run_targets[rid])
             ctx.config_domain.prepare_request(rid)
             fused_results = dict(precomputed[rid])
             results: Dict[str, Any] = {}
@@ -247,7 +256,7 @@ class ExecutionDomain:
                 )
                 if name in target_set:
                     results[name] = result
-            for target in targets:
+            for target in per_run_targets[rid]:
                 if target not in results:
                     results[target] = ctx._load_for_user(rid, target)
             out[rid] = results

@@ -71,11 +71,14 @@ def _wave_input_array(waves):
     """Host waves -> C-contiguous ndarray; device waves pass through so the
     fused program consumes the HBM-resident matrix without a host round
     trip (device_unpack pipelines)."""
-    import jax
+    from waveformanalysis_tpu.plugins.builtin._wave_source import (
+        wave_matrix_view,
+    )
 
-    if isinstance(waves, jax.Array):
-        return waves
-    return np.ascontiguousarray(waves)
+    out = wave_matrix_view(waves)
+    if isinstance(out, np.ndarray):
+        out = np.ascontiguousarray(out)
+    return out
 
 
 class WaveChainFusion:
@@ -310,11 +313,11 @@ class WaveChainFusion:
             groups.setdefault(prep.pop("group_key"), []).append(prep)
 
         for key, preps in groups.items():
-            if len(preps) == 1:
-                p = preps[0]
-                ctx.config_domain.prepare_request(p["run_id"])
-                out[p["run_id"]] = self.compute(ctx, p["run_id"], p["members"])
-                continue
+            # singleton groups also dispatch through the bucket-padded
+            # program: the prep work is reused, and the padded shapes are
+            # the SAME ones other batched calls compile, so a lone
+            # odd-config run shares compiled programs instead of forcing
+            # the standard-shape variant
             out.update(self._dispatch_group(ctx, preps))
         return out
 
@@ -390,8 +393,12 @@ class WaveChainFusion:
             n_shards = mesh_info[0].shape[mesh_info[1]]
             padded = ((padded + n_shards - 1) // n_shards) * n_shards
 
+        import jax as _jax
+
         wv0 = preps[0]["waves"]
-        waves = np.zeros((padded, L), dtype=wv0.dtype)
+        all_device = all(
+            isinstance(p["waves"], _jax.Array) for p in preps
+        )
         lengths = np.zeros((padded,), np.int32)
         sign = np.ones((padded,), np.float32)
         baselines = np.zeros((padded,), np.float32)
@@ -399,14 +406,32 @@ class WaveChainFusion:
         offsets = []
         off = 0
         for p in preps:
-            n, w = p["n"], p["waves"]
-            waves[off:off + n, : w.shape[1]] = w
+            n = p["n"]
             lengths[off:off + n] = p["lengths"]
             sign[off:off + n] = p["sign"]
             baselines[off:off + n] = p["baseline_f32"]
             thresholds[off:off + n] = p["thresholds"]
             offsets.append(off)
             off += n
+        if all_device:
+            # device-resident wave matrices (device_unpack pipelines)
+            # concatenate IN HBM — fetching them back to build a host
+            # buffer would pay the round trip the residency exists to
+            # avoid
+            parts = [
+                jnp.pad(p["waves"],
+                        ((0, 0), (0, L - p["waves"].shape[1])))
+                if p["waves"].shape[1] < L else p["waves"]
+                for p in preps
+            ]
+            if padded > total:
+                parts.append(jnp.zeros((padded - total, L), wv0.dtype))
+            waves = jnp.concatenate(parts, axis=0)
+        else:
+            waves = np.zeros((padded, L), dtype=np.asarray(wv0).dtype)
+            for p, off_p in zip(preps, offsets):
+                w = np.asarray(p["waves"])
+                waves[off_p:off_p + p["n"], : w.shape[1]] = w
 
         inputs = (waves, lengths, sign, baselines, thresholds)
         if mesh_info is not None:

@@ -288,6 +288,12 @@ class BatchProcessor:
         """Sweep each run over config variants
         (reference: batch_processor.py:956). Result keys are
         '{run_id}#{variant_index}'."""
+        if self.executor_type == "device":
+            raise ValueError(
+                "config-grid sweeps vary per-task config and cannot share "
+                "one batched device program; use executor_type='thread' or "
+                "'process'"
+            )
         tasks = []
         for rid in run_ids:
             for i, overrides in enumerate(config_grid):

@@ -325,16 +325,25 @@ def pair_events(
     def _flat(col: Any, dtype=np.float64):
         # int64 for ps timestamps: f64 would drop ULPs past 2**53
         vals = col.to_list()
-        counts = np.fromiter((len(v) for v in vals), dtype=np.int64,
-                             count=len(vals))
-        if len(vals):
+        try:
+            counts = np.fromiter((len(v) for v in vals), dtype=np.int64,
+                                 count=len(vals))
             # one concatenate over the raw per-event arrays, one cast —
             # a per-item asarray loop here costs ~3 us/event
-            flat = np.concatenate(vals)
-            if flat.dtype != dtype:
-                flat = flat.astype(dtype)
-        else:
-            flat = np.zeros(0, dtype)
+            flat = np.concatenate(vals) if len(vals) else np.zeros(0, dtype)
+        except (TypeError, ValueError):
+            # tolerant path for None/scalar cells (treated as empty, like
+            # the reference's get_val NaN fallback)
+            cleaned = [
+                np.atleast_1d(v) if isinstance(v, (list, np.ndarray))
+                else np.zeros(0, dtype)
+                for v in vals
+            ]
+            counts = np.fromiter((len(v) for v in cleaned), dtype=np.int64,
+                                 count=len(cleaned))
+            flat = np.concatenate(cleaned) if cleaned else np.zeros(0, dtype)
+        if flat.dtype != dtype:
+            flat = flat.astype(dtype)
         offsets = np.zeros(len(vals), dtype=np.int64)
         np.cumsum(counts[:-1], out=offsets[1:])
         return flat, offsets, counts
@@ -351,9 +360,15 @@ def pair_events(
     if "delta_t" not in df_paired.columns:
         ts_flat, ts_off, ts_cnt = _flat(df_paired["timestamps"],
                                         dtype=np.int64)
-        first = ts_flat[ts_off] if len(ts_flat) else np.zeros(0)
-        last = ts_flat[ts_off + ts_cnt - 1] if len(ts_flat) else np.zeros(0)
-        df_paired["delta_t"] = (last - first) / 1000.0
+        ok = ts_cnt > 0
+        hi = max(len(ts_flat) - 1, 0)
+        first = ts_flat[np.clip(ts_off, 0, hi)] if len(ts_flat) else \
+            np.zeros(len(ts_cnt), np.int64)
+        last = ts_flat[np.clip(ts_off + ts_cnt - 1, 0, hi)] \
+            if len(ts_flat) else np.zeros(len(ts_cnt), np.int64)
+        delta = (last - first) / 1000.0
+        # empty timestamp cells -> NaN (the .apply formulation raised)
+        df_paired["delta_t"] = np.where(ok, delta, np.nan)
 
     areas_key = "areas" if "areas" in df_paired.columns else "charges"
     heights_key = "heights" if "heights" in df_paired.columns else "peaks"

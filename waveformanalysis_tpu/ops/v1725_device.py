@@ -158,6 +158,13 @@ def unpack_samples_device(
     import jax.numpy as jnp
 
     raw = np.asarray(raw, dtype=np.uint8)
+    if len(raw) + 2 * int(L) >= 2**31:
+        # byte_idx is computed in int32 on device; callers chunk buffers
+        # (read_files_device groups files below this bound)
+        raise ValueError(
+            f"raw buffer of {len(raw)} bytes exceeds the int32 byte-index "
+            "range of the device unpack program; split the input"
+        )
     pad = (-len(raw)) % 4
     if pad:
         raw = np.concatenate([raw, np.zeros(pad, np.uint8)])
@@ -177,9 +184,14 @@ def read_files_device(
     """(device wave matrix, metadata columns) for a list of V1725 files.
 
     File buffers concatenate (each padded to a 4-byte boundary so word
-    indexing stays valid) and upload once; metadata comes from the
-    header-only host walk.
+    indexing stays valid) in GROUPS bounded by the unpack program's int32
+    byte-index range (~2 GiB); each group uploads once, per-group matrices
+    concatenate on device. Metadata comes from the header-only host walk.
     """
+    # int32 byte-index headroom: buffer + 2*L must stay under 2**31
+    GROUP_LIMIT = 2**31 - (1 << 22)
+
+    groups: List[Tuple[List[bytes], List[Dict[str, np.ndarray]]]] = []
     bufs: List[bytes] = []
     metas: List[Dict[str, np.ndarray]] = []
     base = 0
@@ -190,20 +202,38 @@ def read_files_device(
             continue
         board = board_from_path(path) if board_from_path else 0
         buf = path.read_bytes()
+        padded_len = len(buf) + ((-len(buf)) % 4)
+        if bufs and base + padded_len > GROUP_LIMIT:
+            groups.append((bufs, metas))
+            bufs, metas, base = [], [], 0
         metas.append(scan_headers(buf, board, base_offset=base))
-        pad = (-len(buf)) % 4
-        if pad:
-            buf = buf + b"\x00" * pad
+        if padded_len != len(buf):
+            buf = buf + b"\x00" * (padded_len - len(buf))
         bufs.append(buf)
         base += len(buf)
-    if not metas or sum(len(m["offset"]) for m in metas) == 0:
+    if bufs:
+        groups.append((bufs, metas))
+
+    all_metas = [m for _, ms in groups for m in ms]
+    if not all_metas or sum(len(m["offset"]) for m in all_metas) == 0:
         empty = {k: np.zeros(0, dtype=v.dtype) for k, v in
                  scan_headers(b"", 0).items()}
         return None, empty
     meta = {
-        k: np.concatenate([m[k] for m in metas]) for k in metas[0]
+        k: np.concatenate([m[k] for m in all_metas]) for k in all_metas[0]
     }
     L = int(wave_length) if wave_length else int(meta["n_samples"].max())
-    raw = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-    waves = unpack_samples_device(raw, meta["offset"], meta["n_samples"], L)
-    return waves, meta
+
+    parts = []
+    for bufs_g, metas_g in groups:
+        off_g = np.concatenate([m["offset"] for m in metas_g])
+        len_g = np.concatenate([m["n_samples"] for m in metas_g])
+        if len(off_g) == 0:
+            continue
+        raw = np.frombuffer(b"".join(bufs_g), dtype=np.uint8)
+        parts.append(unpack_samples_device(raw, off_g, len_g, L))
+    if len(parts) == 1:
+        return parts[0], meta
+    import jax.numpy as jnp
+
+    return jnp.concatenate(parts, axis=0), meta

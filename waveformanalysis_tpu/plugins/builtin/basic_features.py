@@ -250,8 +250,8 @@ class BasicFeaturesPlugin(Plugin):
         )
         import jax.numpy as jnp
 
-        w = inp["waves"]
-        if not hasattr(w, "devices"):  # host path keeps the contiguous copy
+        w = wave_matrix_view(inp["waves"])
+        if isinstance(w, np.ndarray):  # host path keeps the contiguous copy
             w = np.ascontiguousarray(w)
         red = self.device_stage(
             cfg,

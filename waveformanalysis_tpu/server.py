@@ -171,6 +171,10 @@ def request(socket_path: str, payload: Dict[str, Any],
             if not chunk:
                 break
             buf += chunk
+    if not buf.strip():
+        # connection closed without a reply (shutdown race, crashed
+        # handler) — OSError so wait_ready keeps polling
+        raise ConnectionError("server closed connection without a response")
     return json.loads(buf)
 
 
