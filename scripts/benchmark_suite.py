@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Benchmark suite: the five driver BASELINE.json configs.
+"""Benchmark suite: the driver BASELINE.json configs (+ extensions).
 
 Each config prints one JSON line {"config", "metric", "value", "unit",
 "vs_baseline"}; `--all` runs every config. The repo-root bench.py remains
@@ -10,6 +10,7 @@ the driver's headline (config 4 at full scale).
   3 filtered-pulse chain (Pallas sosfiltfilt -> widths)
   4 S1/S2 peak-finding + classification (fused Pallas chain)
   5 streaming chunked full-run context (dual baseline, breaks, caching)
+  6 multi-run batched dispatch vs a per-run loop (dispatch amortization)
 
 vs_baseline compares against a single-core reference-style NumPy/SciPy
 implementation of the same semantics, measured in-process.
@@ -256,6 +257,79 @@ def config_5(n_events: int = 32768, L: int = 128) -> None:
     }))
 
 
+def config_6(n_events: Optional[int] = None, L: int = 128, n_runs: int = 8) -> None:
+    """multi-run batched dispatch vs a per-run loop (same process, warm)."""
+    import jax
+    import jax.numpy as jnp
+
+    np.asarray(jnp.zeros(8))  # tunnel warm-up
+    if n_events is None:
+        # dispatch amortization is the quantity under test; CPU kernels are
+        # slow enough that production scale would swamp it in compute time
+        n_events = 32768 if jax.default_backend() == "tpu" else 2048
+
+    from waveformanalysis_tpu.context.context import Context
+    from waveformanalysis_tpu.plugins.builtin.basic_features import (
+        BasicFeaturesPlugin,
+    )
+    from waveformanalysis_tpu.plugins.builtin.dataframe import DataFramePlugin
+    from waveformanalysis_tpu.plugins.builtin.event_analysis import (
+        GroupedEventsPlugin,
+    )
+    from waveformanalysis_tpu.testing.fixtures import make_fake_st_waveforms
+
+    def mkrun(seed):
+        st = make_fake_st_waveforms(n_events=n_events, wave_length=L,
+                                    pulse_height=300, polarity="positive",
+                                    noise_rms=3.0, seed=seed)
+        st["channel"] = (np.arange(n_events) % 2).astype(np.int16)
+        return st
+
+    def mkctx(tmp, runs):
+        ctx = Context(storage_dir=tmp, config={"show_progress": False})
+        ctx.register(BasicFeaturesPlugin(), DataFramePlugin(),
+                     GroupedEventsPlugin())
+        for rid, st in runs.items():
+            ctx.inject_data(rid, "st_waveforms", st)
+        return ctx
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # warm both program variants on throwaway runs
+        warm = {f"w{i}": mkrun(900 + i) for i in range(n_runs)}
+        ctx = mkctx(os.path.join(tmp, "w"), warm)
+        ctx.get_data("w0", "df_events")
+        ctx.get_data_batched(list(warm), "df_events")
+        ctx.flush_saves()
+
+        loop_runs = {f"l{i}": mkrun(100 + i) for i in range(n_runs)}
+        ctx_l = mkctx(os.path.join(tmp, "l"), loop_runs)
+        t0 = time.perf_counter()
+        for rid in loop_runs:
+            ctx_l.get_data(rid, "df_events")
+        dt_loop = time.perf_counter() - t0
+        ctx_l.flush_saves()
+
+        batch_runs = {f"b{i}": mkrun(200 + i) for i in range(n_runs)}
+        ctx_b = mkctx(os.path.join(tmp, "b"), batch_runs)
+        t0 = time.perf_counter()
+        out = ctx_b.get_data_batched(list(batch_runs), "df_events")
+        dt_batch = time.perf_counter() - t0
+        assert all(len(out[r]) > 0 for r in batch_runs)
+        ctx_b.flush_saves()
+
+    total = n_runs * n_events
+    print(json.dumps({
+        "config": 6,
+        "metric": (
+            f"batched {n_runs}-run events/s (per-run loop "
+            f"{total / dt_loop / 1e3:.0f}k ev/s)"
+        ),
+        "value": round(total / dt_batch, 1),
+        "unit": "events/s",
+        "vs_baseline": round(dt_loop / dt_batch, 2),
+    }))
+
+
 def main() -> None:
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         # env alone does not override the host's axon preset; config does
@@ -263,10 +337,11 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--config", type=int, choices=[1, 2, 3, 4, 5])
+    ap.add_argument("--config", type=int, choices=[1, 2, 3, 4, 5, 6])
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
-    configs = {1: config_1, 2: config_2, 3: config_3, 4: config_4, 5: config_5}
+    configs = {1: config_1, 2: config_2, 3: config_3, 4: config_4,
+               5: config_5, 6: config_6}
     if args.all:
         import subprocess
 
