@@ -60,6 +60,25 @@ class TestProcessCLI:
         out = capsys.readouterr().out
         assert "channel 0" in out and "files" in out
 
+    def test_show_daq(self, daq, tmp_path, capsys):
+        """--show-daq renders the per-channel overview table
+        (reference: tests/test_cli_show_daq.py,
+        tests/test_display_run_channel_details.py)."""
+        rc = cli_main(_base_args(daq, tmp_path, "--show-daq"))
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "DAQ run:" in out
+        assert "adapter: vx2730" in out
+        assert "size(MB)" in out and "window(s)" in out
+
+    def test_daq_inspection_requires_run_name(self, daq, tmp_path, capsys):
+        args = _base_args(daq, tmp_path, "--show-daq")
+        args = [a for i, a in enumerate(args)
+                if a != "--run-name" and (i == 0 or args[i - 1] != "--run-name")]
+        rc = cli_main(args)
+        assert rc == 2
+        assert "run-name" in capsys.readouterr().err
+
     def test_show_config(self, daq, tmp_path, capsys):
         rc = cli_main(_base_args(daq, tmp_path, "--show-config"))
         assert rc == 0
