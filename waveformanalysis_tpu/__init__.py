@@ -59,6 +59,7 @@ _LAZY_API = {
     "tpu_default": ("waveformanalysis_tpu.plugins.plugin_sets", "tpu_default"),
     "get_profile": ("waveformanalysis_tpu.plugins.plugin_sets", "get_profile"),
     "BatchProcessor": ("waveformanalysis_tpu.data.batch_processor", "BatchProcessor"),
+    "PipelineServer": ("waveformanalysis_tpu.server", "PipelineServer"),
     # flagship fused model
     "ChainConfig": ("waveformanalysis_tpu.models.full_chain", "ChainConfig"),
     "full_chain_step": ("waveformanalysis_tpu.models.full_chain", "full_chain_step"),
