@@ -115,6 +115,33 @@ def test_unknown_op_and_bad_json(running_server):
     assert json.loads(buf)["ok"] is False
 
 
+def test_soak_mixed_requests(running_server):
+    """Sustained mixed traffic: interleaved computes, errors, malformed
+    payloads, and flushes leave the server healthy and the pending-save
+    registry drained."""
+    from waveformanalysis_tpu.context.execution_domain import _PENDING_SAVES
+
+    _ctx, sock = running_server
+    for i in range(40):
+        rid = f"r{i % 3}"
+        if i % 7 == 3:
+            resp = request(sock, {"op": "get_data", "run_id": "nope",
+                                  "names": ["df"]})
+            assert resp["ok"] is False
+        elif i % 11 == 5:
+            assert request(sock, {"op": "nonsense"})["ok"] is False
+        else:
+            resp = request(sock, {"op": "get_data", "run_id": rid,
+                                  "names": ["basic_features", "df"]})
+            assert resp["ok"], resp
+    request(sock, {"op": "flush"})
+    stats = request(sock, {"op": "stats"})
+    assert stats["requests"] >= 42
+    root = str(_ctx.storage_dir)
+    assert not any(k[0] == root for k in _PENDING_SAVES), \
+        "flush must drain the async-save registry"
+
+
 def test_cli_entry_point_registered():
     import tomllib
 
