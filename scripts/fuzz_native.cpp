@@ -13,6 +13,8 @@ long long wfa_csv_decode_typed(const char*, long long, int, char,
 long long wfa_v1725_scan(const char*, long long, long long*);
 long long wfa_v1725_decode(const char*, long long, short*, long long*, double*,
                            unsigned char*, long long*, int*, unsigned short*);
+long long wfa_v1725_headers(const char*, long long, short*, long long*, double*,
+                            unsigned char*, long long*, int*);
 }
 int main() {
     std::mt19937 rng(42);
@@ -54,6 +56,24 @@ int main() {
             long long got = wfa_v1725_decode(buf.data(), n, ch.data(), ts.data(),
                 bl.data(), tr.data(), off.data(), len.data(), pool.data());
             if (got > rec) { printf("OVERFLOW v1725\n"); return 1; }
+            // header-only walk must agree with the full decode on counts,
+            // lengths, and metadata — and its byte offsets must stay inside
+            // the buffer
+            std::vector<short> hch(rec); std::vector<long long> hts(rec), hoff(rec);
+            std::vector<double> hbl(rec); std::vector<unsigned char> htr(rec);
+            std::vector<int> hlen(rec);
+            long long hgot = wfa_v1725_headers(buf.data(), n, hch.data(),
+                hts.data(), hbl.data(), htr.data(), hoff.data(), hlen.data());
+            if (hgot != got) { printf("MISMATCH v1725 headers count\n"); return 1; }
+            for (long long r = 0; r < hgot; ++r) {
+                if (hch[r] != ch[r] || hts[r] != ts[r] || hbl[r] != bl[r] ||
+                    htr[r] != tr[r] || hlen[r] != len[r]) {
+                    printf("MISMATCH v1725 headers meta row %lld\n", r); return 1;
+                }
+                if (hoff[r] < 0 || hoff[r] + 2LL * hlen[r] > n) {
+                    printf("OOB v1725 header offset row %lld\n", r); return 1;
+                }
+            }
         }
     }
     printf("ASAN FUZZ OK\n");

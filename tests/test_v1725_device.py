@@ -217,6 +217,29 @@ def test_device_resident_pipeline_parity(tmp_path):
             )
 
 
+def test_device_table_persists_and_reloads(tmp_path):
+    """A st_waveforms Table whose wave column is a device array persists
+    through the async writer and reloads (fresh context) byte-identical to
+    the host-unpacked payload."""
+    write_v1725_run(tmp_path / "daq", run_name="r", n_events=5, n_samples=32)
+    ctx = _mk_ctx(tmp_path, device=True)
+    st = ctx.get_data("r", "st_waveforms")
+    ctx.flush_saves()
+
+    ctx2 = _mk_ctx(tmp_path, device=True)  # same storage dir ("dev")
+    assert ctx2.cache_domain.is_cache_hit("r", "st_waveforms")
+    st2 = ctx2.get_data("r", "st_waveforms")
+    for col in st.columns:
+        np.testing.assert_array_equal(
+            np.asarray(st[col]), np.asarray(st2[col]), err_msg=col
+        )
+
+    host = _mk_ctx(tmp_path, device=False).get_data("r", "st_waveforms")
+    np.testing.assert_array_equal(
+        np.asarray(st2["wave"]), np.asarray(host["wave"])
+    )
+
+
 def test_device_unpack_untracked_in_lineage(tmp_path):
     write_v1725_run(tmp_path / "daq", run_name="r", n_events=2)
     ctx_h = _mk_ctx(tmp_path, device=False)
