@@ -263,12 +263,24 @@ def test_batched_on_mesh(tmp_path, runs):
 
 def test_batched_per_run_targets_no_overcompute(tmp_path, runs):
     """A run only computes/caches the names pending FOR IT — not the union
-    of every run's pending names."""
-    ctx2 = _make_ctx(tmp_path, "c2", runs)
-    ctx2.get_data("run_a", "basic_features")  # run_a: hit still pending
-    got = ctx2.get_data_batched(["run_a", "run_b"], "hit")
-    assert len(got["run_a"]) > 0 and len(got["run_b"]) > 0
-    ctx2.flush_saves()
+    of every run's pending names (exercised via the per-run mapping form
+    of run_plugins_batched directly)."""
+    ctx = _make_ctx(tmp_path, "c", runs)
+    out = ctx.execution_domain.run_plugins_batched(
+        ["run_a", "run_b"],
+        {"run_a": ["hit"], "run_b": ["basic_features"]},
+    )
+    assert len(out["run_a"]["hit"]) > 0
+    assert len(out["run_b"]["basic_features"]) > 0
+    assert "basic_features" not in out["run_a"]
+    assert "hit" not in out["run_b"]
+    ctx.flush_saves()
+    # the cross products were never computed/cached: hit has no
+    # basic_features dependency and vice versa
+    assert not ctx.cache_domain.is_cache_hit("run_a", "basic_features")
+    assert not ctx.cache_domain.is_cache_hit("run_b", "hit")
+    assert ctx.cache_domain.is_cache_hit("run_a", "hit")
+    assert ctx.cache_domain.is_cache_hit("run_b", "basic_features")
 
 
 def test_batched_device_resident_waves(tmp_path):

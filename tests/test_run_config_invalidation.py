@@ -184,6 +184,48 @@ def test_plugin_block_feeds_resolved_config(tmp_path, daq_root):
     assert resolved2.get_value("fixed_baseline").value == {"0:0": 920.0}
 
 
+def test_plugins_block_removal_invalidates_across_processes(tmp_path, daq_root):
+    """A plugin reading its run_config 'plugins' block recomputes after the
+    block is REMOVED — even in a fresh process, via the persisted
+    plugin_roots state (the old config is otherwise unknown there)."""
+    from typing import Any
+
+    from waveformanalysis_tpu.dtypes.table import Table
+    from waveformanalysis_tpu.plugins.base import Plugin
+
+    class BlockEcho(Plugin):
+        provides = "block_echo"
+        depends_on: tuple = ()
+        save_when = "always"
+        version = "1.0"
+
+        def compute(self, context: Any, run_id: str, **kw: Any) -> Table:
+            block = context.config_domain.get_plugin_run_config(
+                run_id, "block_echo"
+            )
+            return Table({"scale": np.full(4, block.get("scale", 1.0))})
+
+    def mk():
+        ctx = Context(storage_dir=str(tmp_path / "store"),
+                      config={"show_progress": False,
+                              "data_root": str(daq_root)})
+        ctx.register(BlockEcho())
+        return ctx
+
+    _write_run_config(daq_root, {"plugins": {"block_echo": {"scale": 7.0}}})
+    ctx1 = mk()
+    out1 = ctx1.get_data(RUN, "block_echo")
+    assert np.all(np.asarray(out1["scale"]) == 7.0)
+    ctx1.flush_saves()
+
+    _write_run_config(daq_root, {})  # plugins block removed entirely
+    ctx2 = mk()  # fresh "process"
+    out2 = ctx2.get_data(RUN, "block_echo")
+    assert np.all(np.asarray(out2["scale"]) == 1.0), \
+        "stale block-era cache served after the plugins block was removed"
+    ctx2.flush_saves()
+
+
 def test_uses_run_config_roots_registered(tmp_path, daq_root):
     ctx = _mk_ctx(tmp_path, daq_root)
     roots = set(ctx.config_domain.run_config_roots())

@@ -93,15 +93,21 @@ class ConfigDomain:
             return None
         return os.path.join(str(root), run_id, "_run_config_state.json")
 
-    def _load_persisted_hash(self, run_id: str) -> Optional[str]:
+    def _load_persisted_state(self, run_id: str) -> Dict[str, Any]:
         path = self._hash_state_path(run_id)
         if not path or not os.path.exists(path):
-            return None
+            return {}
         try:
             with open(path) as fh:
-                return json.load(fh).get("hash")
+                state = json.load(fh)
+            return state if isinstance(state, dict) else {}
         except (OSError, json.JSONDecodeError):
-            return None
+            return {}
+
+    @staticmethod
+    def _plugin_block_names(cfg: Optional[Dict[str, Any]]) -> list:
+        block = (cfg or {}).get("plugins")
+        return sorted(block) if isinstance(block, dict) else []
 
     def _persist_hash(self, run_id: str, value: Optional[str]) -> None:
         path = self._hash_state_path(run_id)
@@ -111,7 +117,16 @@ class ConfigDomain:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = path + ".tmp"
             with open(tmp, "w") as fh:
-                json.dump({"hash": value, "path": self.run_config_path(run_id)}, fh)
+                # plugin_roots: the plugins-block names at save time, so a
+                # later process can invalidate entries whose block was
+                # REMOVED (the old config is otherwise unknown to it)
+                json.dump({
+                    "hash": value,
+                    "path": self.run_config_path(run_id),
+                    "plugin_roots": self._plugin_block_names(
+                        self._run_configs.get(run_id)
+                    ),
+                }, fh)
             os.replace(tmp, path)
         except OSError as e:  # pragma: no cover - fs failures
             logger.warning("Failed to persist run_config hash: %s", e)
@@ -128,10 +143,13 @@ class ConfigDomain:
         prev_hash = self._run_config_hashes.get(run_id)
         first_sight = run_id not in self._run_config_hashes
         prev_cfg = self._run_configs.get(run_id)
+        prev_block_names: list = self._plugin_block_names(prev_cfg)
         self.load_run_config(run_id, force=True)
         new_hash = self.compute_run_config_hash(run_id)
         if first_sight:
-            prev_hash = self._load_persisted_hash(run_id)
+            state = self._load_persisted_state(run_id)
+            prev_hash = state.get("hash")
+            prev_block_names = list(state.get("plugin_roots") or [])
             if prev_hash is None:
                 # nothing recorded before (new run, or pre-feature caches):
                 # record without invalidating (reference: previous None ->
@@ -156,12 +174,11 @@ class ConfigDomain:
             # old or new run_config "plugins" block — those blocks feed
             # _effective_config for every plugin, marked or not.
             roots = set(self.run_config_roots())
-            for cfg in (prev_cfg, self._run_configs.get(run_id)):
-                block = (cfg or {}).get("plugins")
-                if isinstance(block, dict):
-                    roots.update(
-                        name for name in block if name in self.ctx._plugins
-                    )
+            block_names = set(prev_block_names)
+            block_names.update(
+                self._plugin_block_names(self._run_configs.get(run_id))
+            )
+            roots.update(n for n in block_names if n in self.ctx._plugins)
             for root in sorted(roots):
                 try:
                     self.ctx.cache_domain.clear_cache_for(

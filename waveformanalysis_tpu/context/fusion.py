@@ -393,11 +393,9 @@ class WaveChainFusion:
             n_shards = mesh_info[0].shape[mesh_info[1]]
             padded = ((padded + n_shards - 1) // n_shards) * n_shards
 
-        import jax as _jax
-
         wv0 = preps[0]["waves"]
         all_device = all(
-            isinstance(p["waves"], _jax.Array) for p in preps
+            isinstance(p["waves"], jax.Array) for p in preps
         )
         lengths = np.zeros((padded,), np.int32)
         sign = np.ones((padded,), np.float32)

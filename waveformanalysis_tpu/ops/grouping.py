@@ -335,7 +335,8 @@ def pair_events(
             # tolerant path for None/scalar cells (treated as empty, like
             # the reference's get_val NaN fallback)
             cleaned = [
-                np.atleast_1d(v) if isinstance(v, (list, np.ndarray))
+                np.atleast_1d(np.asarray(v))
+                if hasattr(v, "__len__") and not isinstance(v, (str, bytes))
                 else np.zeros(0, dtype)
                 for v in vals
             ]

@@ -185,16 +185,16 @@ def read_files_device(
 
     File buffers concatenate (each padded to a 4-byte boundary so word
     indexing stays valid) in GROUPS bounded by the unpack program's int32
-    byte-index range (~2 GiB); each group uploads once, per-group matrices
-    concatenate on device. Metadata comes from the header-only host walk.
+    byte-index range (~2 GiB, minus 2*L headroom for the per-record sample
+    span); each group uploads once, per-group matrices concatenate on
+    device. Metadata comes from the header-only host walk; ``offset``
+    values in the returned metadata are positions in the GLOBAL padded
+    byte stream across all files.
     """
-    # int32 byte-index headroom: buffer + 2*L must stay under 2**31
-    GROUP_LIMIT = 2**31 - (1 << 22)
-
-    groups: List[Tuple[List[bytes], List[Dict[str, np.ndarray]]]] = []
+    # scan everything first: L (hence the per-group byte budget) depends on
+    # the longest record, and the returned offsets are global
     bufs: List[bytes] = []
     metas: List[Dict[str, np.ndarray]] = []
-    base = 0
     for fp in file_paths:
         path = Path(fp)
         if not path.exists():
@@ -202,36 +202,60 @@ def read_files_device(
             continue
         board = board_from_path(path) if board_from_path else 0
         buf = path.read_bytes()
-        padded_len = len(buf) + ((-len(buf)) % 4)
-        if bufs and base + padded_len > GROUP_LIMIT:
-            groups.append((bufs, metas))
-            bufs, metas, base = [], [], 0
-        metas.append(scan_headers(buf, board, base_offset=base))
-        if padded_len != len(buf):
-            buf = buf + b"\x00" * (padded_len - len(buf))
+        metas.append(scan_headers(buf, board))
+        pad = (-len(buf)) % 4
+        if pad:
+            buf = buf + b"\x00" * pad
         bufs.append(buf)
-        base += len(buf)
-    if bufs:
-        groups.append((bufs, metas))
 
-    all_metas = [m for _, ms in groups for m in ms]
-    if not all_metas or sum(len(m["offset"]) for m in all_metas) == 0:
+    if not metas or sum(len(m["offset"]) for m in metas) == 0:
         empty = {k: np.zeros(0, dtype=v.dtype) for k, v in
                  scan_headers(b"", 0).items()}
         return None, empty
-    meta = {
-        k: np.concatenate([m[k] for m in all_metas]) for k in all_metas[0]
-    }
-    L = int(wave_length) if wave_length else int(meta["n_samples"].max())
 
+    max_samples = max(
+        (int(m["n_samples"].max()) for m in metas if len(m["n_samples"])),
+        default=1,
+    )
+    L = int(wave_length) if wave_length else max_samples
+    # int32 byte-index headroom: group bytes + 2*L must stay under 2**31
+    group_limit = max(2**31 - 2 * max(L, max_samples) - 8, 1 << 20)
+
+    global_meta: List[Dict[str, np.ndarray]] = []
     parts = []
-    for bufs_g, metas_g in groups:
-        off_g = np.concatenate([m["offset"] for m in metas_g])
-        len_g = np.concatenate([m["n_samples"] for m in metas_g])
-        if len(off_g) == 0:
-            continue
-        raw = np.frombuffer(b"".join(bufs_g), dtype=np.uint8)
-        parts.append(unpack_samples_device(raw, off_g, len_g, L))
+    g_bufs: List[bytes] = []
+    g_offsets: List[np.ndarray] = []
+    g_lengths: List[np.ndarray] = []
+    g_size = 0
+    global_base = 0
+
+    def _flush_group():
+        nonlocal g_bufs, g_offsets, g_lengths, g_size
+        if g_bufs and sum(len(o) for o in g_offsets):
+            raw = np.frombuffer(b"".join(g_bufs), dtype=np.uint8)
+            parts.append(unpack_samples_device(
+                raw, np.concatenate(g_offsets),
+                np.concatenate(g_lengths), L,
+            ))
+        g_bufs, g_offsets, g_lengths, g_size = [], [], [], 0
+
+    for buf, m in zip(bufs, metas):
+        if g_bufs and g_size + len(buf) > group_limit:
+            _flush_group()
+        g_bufs.append(buf)
+        g_offsets.append(m["offset"] + g_size)
+        g_lengths.append(m["n_samples"])
+        g_size += len(buf)
+        gm = dict(m)
+        gm["offset"] = m["offset"] + global_base
+        global_meta.append(gm)
+        global_base += len(buf)
+    _flush_group()
+
+    meta = {
+        k: np.concatenate([m[k] for m in global_meta])
+        for k in global_meta[0]
+    }
     if len(parts) == 1:
         return parts[0], meta
     import jax.numpy as jnp
