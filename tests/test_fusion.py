@@ -246,3 +246,36 @@ def test_empty_input_through_fusion(tmp_path):
 def test_empty_target_list(tmp_path):
     ctx = _make_ctx(tmp_path, "nil", True)
     assert ctx.get_data("r", []) == {}
+
+
+def test_fusion_over_filtered_wave_source(tmp_path):
+    """The bundle fuses over filtered_waveforms too (all members share the
+    source): fused vs per-plugin outputs stay bit-identical on the f32
+    filtered matrix."""
+    from waveformanalysis_tpu.plugins.builtin.filtering import (
+        FilteredWaveformsPlugin,
+    )
+
+    def mk(sub, fused):
+        ctx = Context(storage_dir=str(tmp_path / sub),
+                      config={"show_progress": False,
+                              "fused_execution": fused})
+        ctx.register(FilteredWaveformsPlugin(), BasicFeaturesPlugin(),
+                     HitFinderPlugin(), ThresholdHitPlugin())
+        ctx.set_config({
+            "basic_features": {"wave_source": "filtered_waveforms"},
+            "hit": {"wave_source": "filtered_waveforms",
+                    "use_derivative": False, "height": 50.0,
+                    "prominence": 20.0, "width": 2},
+            "hit_threshold": {"wave_source": "filtered_waveforms"},
+        })
+        st = _st(n=128, seed=3)
+        ctx.inject_data("r", "st_waveforms", st)
+        return ctx
+
+    targets = ["basic_features", "hit", "hit_threshold"]
+    fused = mk("fused", True).get_data("r", targets)
+    unfused = mk("unfused", False).get_data("r", targets)
+    for name in targets:
+        assert len(fused[name]) == len(unfused[name]), name
+        _tables_equal(unfused[name], fused[name])
