@@ -154,8 +154,9 @@ def main() -> None:
 
         last_err = err
         print(f"# TPU attempt 1 failed: {err!r}", file=sys.stderr)
-        for attempt in (2, 3):
-            time.sleep(120)
+        # escalating cool-downs: observed tunnel outages run 20+ minutes
+        for attempt, cooldown in ((2, 120), (3, 300), (4, 600)):
+            time.sleep(cooldown)
             proc = subprocess.run(
                 [sys.executable, __file__, "--tpu-rate-only"],
                 capture_output=True, text=True, timeout=900,
