@@ -247,3 +247,38 @@ def test_device_unpack_untracked_in_lineage(tmp_path):
     assert ctx_h.key_for("r", "st_waveforms") == \
         ctx_d.key_for("r", "st_waveforms"), \
         "execution strategy must not rotate lineage"
+
+
+def test_multi_group_buffers_match_single_group(tmp_path):
+    """Files exceeding the group byte budget split into several device
+    uploads whose concatenated matrix and GLOBAL offsets match the
+    single-group result (exercises the >2 GiB path at a tiny limit)."""
+    from waveformanalysis_tpu.ops.v1725_device import read_files_device
+
+    daq = tmp_path / "daq" / "r" / "RAW"
+    daq.mkdir(parents=True)
+    rng = np.random.default_rng(13)
+    paths = []
+    for seg in range(4):
+        blob = b"".join(
+            make_v1725_event(
+                {0: rng.integers(-500, 500, 2 * rng.integers(4, 16),
+                                 dtype=np.int16)},
+                timestamps={0: seg * 1000 + i},
+            )
+            for i in range(3)
+        )
+        p = daq / f"x_b0_seg{seg}.bin"
+        p.write_bytes(blob)
+        paths.append(str(p))
+
+    waves_one, meta_one = read_files_device(paths)
+    # limit of 1 byte forces one group PER FILE
+    waves_many, meta_many = read_files_device(paths, _group_limit=1)
+    np.testing.assert_array_equal(np.asarray(waves_one),
+                                  np.asarray(waves_many))
+    for k in meta_one:
+        np.testing.assert_array_equal(meta_one[k], meta_many[k], err_msg=k)
+    # offsets are global positions in the padded byte stream: strictly
+    # increasing across file boundaries
+    assert np.all(np.diff(meta_many["offset"]) > 0)

@@ -179,7 +179,7 @@ def unpack_samples_device(
 
 def read_files_device(
     file_paths: List, wave_length: Optional[int] = None,
-    board_from_path=None,
+    board_from_path=None, _group_limit: Optional[int] = None,
 ) -> Tuple[object, Dict[str, np.ndarray]]:
     """(device wave matrix, metadata columns) for a list of V1725 files.
 
@@ -219,7 +219,10 @@ def read_files_device(
     )
     L = int(wave_length) if wave_length else max_samples
     # int32 byte-index headroom: group bytes + 2*L must stay under 2**31
-    group_limit = max(2**31 - 2 * max(L, max_samples) - 8, 1 << 20)
+    # (_group_limit lets tests exercise the multi-group path cheaply)
+    group_limit = _group_limit if _group_limit is not None else max(
+        2**31 - 2 * max(L, max_samples) - 8, 1 << 20
+    )
 
     global_meta: List[Dict[str, np.ndarray]] = []
     parts = []
