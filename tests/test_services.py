@@ -288,6 +288,7 @@ class TestCacheCLI:
                       config={"show_progress": False})
         ctx.register(SimpleSource())
         ctx.get_data("r1", "src")
+        ctx.flush_saves()  # CLI inspects cache FILES: settle async writes
 
         from waveformanalysis_tpu.cli_cache import main
 
