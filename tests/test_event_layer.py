@@ -192,6 +192,53 @@ class TestGroupingOps:
         assert out.iloc[0]["area_ch1"] == 2.0
         assert out.iloc[0]["delta_t"] == 50.0
 
+    def test_pair_events_device_matches_host(self):
+        """Device pairing kernel parity (ops/grouping_device.
+        pair_events_device) vs the host oracle, including NaN fill for
+        events shorter than the channel index and empty-cell tolerance."""
+        rng = np.random.default_rng(7)
+        n_events = 64
+        cells_ts, cells_a, cells_h, spans = [], [], [], []
+        t = 0
+        for i in range(n_events):
+            k = int(rng.integers(0, 4))  # 0..3 hits (0 exercises NaN fill)
+            ts = np.sort(rng.integers(t, t + 400_000, k)).astype(np.int64)
+            cells_ts.append(ts)
+            cells_a.append(rng.normal(5, 1, k))
+            cells_h.append(rng.normal(0.5, 0.1, k))
+            spans.append(float(rng.uniform(0, 200)))
+            t += 1_000_000
+        df_events = pd.DataFrame({
+            "event_id": np.arange(n_events),
+            "dt/ns": spans,
+            "timestamps": cells_ts,
+            "areas": cells_a,
+            "heights": cells_h,
+            "n_hits": [len(c) for c in cells_ts],
+        })
+        host = G.pair_events(df_events, time_window_ns=100, n_channels=3,
+                             start_channel=1, backend="host")
+        dev = G.pair_events(df_events, time_window_ns=100, n_channels=3,
+                            start_channel=1, backend="device")
+        assert list(host.columns) == list(dev.columns)
+        assert len(host) == len(dev) > 0
+        for col in host.columns:
+            if host[col].dtype == object:
+                continue
+            np.testing.assert_array_equal(
+                host[col].to_numpy(), dev[col].to_numpy(), err_msg=col
+            )
+
+    def test_pair_events_device_empty_and_plugin_backend(self, tmp_path):
+        # empty input stays empty through the device path
+        empty = pd.DataFrame({
+            "event_id": [], "dt/ns": [], "timestamps": [],
+            "areas": [], "heights": [], "n_hits": [],
+        })
+        out = G.pair_events(empty, time_window_ns=100, n_channels=2,
+                            backend="device")
+        assert len(out) == 0
+
 
 @pytest.fixture
 def event_ctx(tmp_path):

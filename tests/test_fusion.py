@@ -279,3 +279,146 @@ def test_fusion_over_filtered_wave_source(tmp_path):
     for name in targets:
         assert len(fused[name]) == len(unfused[name]), name
         _tables_equal(unfused[name], fused[name])
+
+
+# --- round-3: full S1/S2 cone fusion -----------------------------------------
+
+def _make_full_ctx(tmp_path, sub, fused):
+    from waveformanalysis_tpu.plugins.builtin.hit_merge import (
+        HitMergeClustersPlugin,
+        HitMergedComponentsPlugin,
+        HitMergePlugin,
+    )
+    from waveformanalysis_tpu.plugins.builtin.waveform_width_integral import (
+        WaveformWidthIntegralPlugin,
+    )
+
+    ctx = _make_ctx(tmp_path, sub, fused)
+    ctx.register(HitMergePlugin(), HitMergeClustersPlugin(),
+                 HitMergedComponentsPlugin(), WaveformWidthIntegralPlugin())
+    return ctx
+
+
+FULL_CONE = (
+    "basic_features", "hit", "hit_threshold", "waveform_width_integral",
+    "waveform_width", "hit_merged", "hit_merge_clusters",
+    "hit_merged_components", "s1_s2",
+)
+
+
+def test_full_cone_fused_equals_unfused(tmp_path):
+    """Every member of the full records->features->S1/S2 cone is produced by
+    ONE fused device program + in-bundle host finalizes, bit-identical to the
+    per-plugin path (reference cone: s1_s2_classifier.py:73,
+    waveform_width.py:40, hit_merge.py:325-445)."""
+    st = _st(n=512)
+    ctx_f = _make_full_ctx(tmp_path, "fused", True)
+    ctx_u = _make_full_ctx(tmp_path, "unfused", False)
+    for ctx in (ctx_f, ctx_u):
+        ctx.inject_data("r", "st_waveforms", st)
+
+    out_f = ctx_f.get_data("r", list(FULL_CONE))
+    summary = str(ctx_f.profiler.summary())
+    assert "fusion.wave_chain.compute" in summary
+    # NO standalone compute ran for any cone member
+    for name in FULL_CONE:
+        assert f"plugin.{name}.compute" not in summary, name
+    for name in FULL_CONE:
+        u = ctx_u.get_data("r", name)
+        assert len(u) > 0, name
+        _tables_equal(out_f[name], u)
+
+
+def test_s1_s2_single_target_fuses_whole_cone(tmp_path):
+    """The driver metric path: ctx.get_data(run, "s1_s2") alone compiles the
+    cone into one device program (waveform_width no longer round-trips)."""
+    st = _st(n=256)
+    ctx = _make_ctx(tmp_path, "one", True)
+    ctx.inject_data("r", "st_waveforms", st)
+    out = ctx.get_data("r", "s1_s2")
+    assert len(out) > 0
+    summary = str(ctx.profiler.summary())
+    assert "fusion.wave_chain.compute" in summary
+    for name in ("waveform_width", "s1_s2", "hit", "basic_features"):
+        assert f"plugin.{name}.compute" not in summary, name
+
+
+def test_width_fuses_with_cached_hit_support_stage(tmp_path):
+    """hit cached from an earlier request: waveform_width still fuses by
+    recomputing the hit stage on device (unemitted support stage) — outputs
+    identical to the standalone join against the cached hit table."""
+    st = _st(n=256)
+    ctx = _make_ctx(tmp_path, "sup", True)
+    ctx.inject_data("r", "st_waveforms", st)
+    hit_first = ctx.get_data("r", "hit")
+    assert len(hit_first) > 0
+    ctx.flush_saves()
+
+    ctx2 = ctx.clone()
+    ctx2.inject_data("r", "st_waveforms", st)
+    out = ctx2.get_data("r", "s1_s2")
+    summary = str(ctx2.profiler.summary())
+    assert "fusion.wave_chain.compute" in summary
+    assert "plugin.waveform_width.compute" not in summary
+
+    ctx_u = _make_ctx(tmp_path, "sup_u", False)
+    ctx_u.inject_data("r", "st_waveforms", st)
+    _tables_equal(out, ctx_u.get_data("r", "s1_s2"))
+    _tables_equal(ctx2.get_data("r", "waveform_width"),
+                  ctx_u.get_data("r", "waveform_width"))
+
+
+def test_merge_family_fused_with_cached_threshold(tmp_path):
+    """hit_threshold cached: the merge family still rides the bundle (one
+    merge serves all three members) and matches standalone outputs."""
+    st = _st(n=256)
+    ctx = _make_full_ctx(tmp_path, "mf", True)
+    ctx.inject_data("r", "st_waveforms", st)
+    ctx.get_data("r", "hit_threshold")
+    ctx.flush_saves()
+
+    ctx2 = ctx.clone()
+    ctx2.inject_data("r", "st_waveforms", st)
+    out = ctx2.get_data(
+        "r", ["hit_merged", "hit_merge_clusters", "hit_merged_components",
+              "basic_features"]
+    )
+    ctx_u = _make_full_ctx(tmp_path, "mf_u", False)
+    ctx_u.inject_data("r", "st_waveforms", st)
+    for name in ("hit_merged", "hit_merge_clusters", "hit_merged_components"):
+        u = ctx_u.get_data("r", name)
+        assert len(u) > 0, name
+        _tables_equal(out[name], u)
+
+
+def test_full_cone_batched_dispatch_matches_loop(tmp_path):
+    """get_data_batched over the full cone: batched-concatenated device
+    program + per-run host finalizes == per-run loop results."""
+    sts = {f"r{i}": _st(n=128 + 32 * i, seed=i) for i in range(3)}
+    ctx_b = _make_full_ctx(tmp_path, "batched", True)
+    ctx_l = _make_full_ctx(tmp_path, "loop", True)
+    for rid, st in sts.items():
+        ctx_b.inject_data(rid, "st_waveforms", st)
+        ctx_l.inject_data(rid, "st_waveforms", st)
+
+    out_b = ctx_b.get_data_batched(list(sts), ["s1_s2", "hit_merged"])
+    for rid in sts:
+        for name in ("s1_s2", "hit_merged"):
+            _tables_equal(out_b[rid][name], ctx_l.get_data(rid, name))
+
+
+@pytest.mark.multidevice
+def test_full_cone_on_mesh_matches_single_device(tmp_path):
+    import jax
+
+    from waveformanalysis_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    st = _st(n=300)  # not a shard multiple: exercises pad/unpad
+    ctx_s = _make_full_ctx(tmp_path, "m_single", True)
+    ctx_m = _make_full_ctx(tmp_path, "m_mesh", True).attach_mesh(make_mesh(8))
+    for ctx in (ctx_s, ctx_m):
+        ctx.inject_data("r", "st_waveforms", st)
+    for name in ("s1_s2", "waveform_width", "hit_merged"):
+        _tables_equal(ctx_s.get_data("r", name), ctx_m.get_data("r", name))

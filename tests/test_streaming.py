@@ -307,3 +307,108 @@ class TestChunkInvariance:
         np.testing.assert_array_equal(streamed_t, times)
         np.testing.assert_allclose(streamed, np.asarray(whole["value"]),
                                    err_msg=f"chunk_size={chunk_size}")
+
+
+@pytest.mark.multidevice
+class TestDeviceChunkExecutor:
+    """streaming_config executor_type="device": chunks become mesh shards,
+    each group of n_shards chunks dispatches as ONE shard_map program
+    (plugins/streaming.py _compute_device). Chunk windows / halo / breaks /
+    clipping are the host engine's, so streams must match chunk-for-chunk."""
+
+    def _ctx(self, tmp_path, sub, streaming_config, mesh=None):
+        st = make_fake_st_waveforms(n_events=100, wave_length=64,
+                                    pulse_start=20, pulse_width=4,
+                                    pulse_height=300)
+        ctx = make_tiny_context(tmp_path / sub, st_waveforms=st)
+        ctx.register(SignalPeaksStreamPlugin())
+        ctx.set_config({"signal_peaks_stream": {
+            "height": 50.0, "prominence": 10.0, "width": 1,
+            "streaming_config": streaming_config,
+        }})
+        if mesh is not None:
+            ctx.attach_mesh(mesh)
+        return ctx
+
+    def test_device_stream_matches_host_chunks(self, tmp_path):
+        import jax
+
+        from waveformanalysis_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(8)
+        # 100 events / chunk 16 -> 7 chunks: exercises a full 8-shard-padded
+        # group boundary (one group, one partially-empty shard)
+        host = self._ctx(tmp_path, "h", {"chunk_size": 16})
+        dev = self._ctx(tmp_path, "d",
+                        {"chunk_size": 16, "executor_type": "device"},
+                        mesh=mesh)
+        host_chunks = list(host.get_data("test_run", "signal_peaks_stream"))
+        dev_chunks = list(dev.get_data("test_run", "signal_peaks_stream"))
+        assert len(host_chunks) == len(dev_chunks) == 7
+        for hc, dc in zip(host_chunks, dev_chunks):
+            assert (hc.start, hc.end) == (dc.start, dc.end)
+            assert hc.metadata["segment_id"] == dc.metadata["segment_id"]
+            for field in hc.data.field_names:
+                np.testing.assert_array_equal(
+                    np.asarray(hc.data[field]), np.asarray(dc.data[field]),
+                    err_msg=field,
+                )
+
+    def test_device_stream_multi_group(self, tmp_path):
+        """More chunks than shards: groups dispatch in order."""
+        import jax
+
+        from waveformanalysis_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        mesh = make_mesh(4)
+        host = self._ctx(tmp_path, "h2", {"chunk_size": 8})
+        dev = self._ctx(tmp_path, "d2",
+                        {"chunk_size": 8, "executor_type": "device"},
+                        mesh=mesh)
+        host_chunks = list(host.get_data("test_run", "signal_peaks_stream"))
+        dev_chunks = list(dev.get_data("test_run", "signal_peaks_stream"))
+        assert len(host_chunks) == len(dev_chunks) == 13
+        for hc, dc in zip(host_chunks, dev_chunks):
+            np.testing.assert_array_equal(
+                np.asarray(hc.data["position"]), np.asarray(dc.data["position"])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(hc.data["timestamp"]), np.asarray(dc.data["timestamp"])
+            )
+
+    def test_device_fallback_without_hooks(self, tmp_path, caplog):
+        """A stream plugin without device hooks falls back to host execution
+        instead of failing."""
+        import logging
+
+        from waveformanalysis_tpu.plugins.streaming import (
+            StreamingConfig,
+            StreamingPlugin,
+        )
+        from waveformanalysis_tpu.dtypes.table import Table
+
+        class Doubler(StreamingPlugin):
+            provides = "doubled_stream"
+            depends_on = ["st_waveforms"]
+            save_when = "never"
+
+            def compute_chunk(self, context, run_id, chunk):
+                data = chunk.data
+                if not isinstance(data, Table):
+                    data = Table.from_numpy(data)
+                return data
+
+        st = make_fake_st_waveforms(n_events=20, wave_length=32)
+        ctx = make_tiny_context(tmp_path, st_waveforms=st)
+        ctx.register(Doubler())
+        ctx.set_config({"doubled_stream": {
+            "streaming_config": {"chunk_size": 8, "executor_type": "device"},
+        }})
+        with caplog.at_level(logging.WARNING):
+            chunks = list(ctx.get_data("test_run", "doubled_stream"))
+        assert sum(len(c) for c in chunks) == 20
+        assert any("device-parallel" in r.message for r in caplog.records)

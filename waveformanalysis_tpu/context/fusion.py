@@ -31,8 +31,20 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-FUSED_CHAIN_MEMBERS = ("basic_features", "hit", "hit_threshold",
-                       "waveform_width_integral")
+# members whose device_stage runs inside the ONE jit program (they sweep the
+# wave matrix); waveform_width consumes the hit member's peak slots on device
+FUSED_DEVICE_MEMBERS = (
+    "basic_features", "hit", "hit_threshold", "waveform_width_integral",
+    "waveform_width",
+)
+# members computed on host INSIDE the bundle from other members' finalized
+# tables (hits are orders of magnitude fewer than samples, so these are
+# bandwidth-trivial; running them in the bundle removes their standalone
+# round trips and re-reads)
+FUSED_HOST_MEMBERS = (
+    "hit_merge_clusters", "hit_merged", "hit_merged_components", "s1_s2",
+)
+FUSED_CHAIN_MEMBERS = FUSED_DEVICE_MEMBERS + FUSED_HOST_MEMBERS
 
 # members whose device stage emits fixed-capacity (n, K) slot tables; the
 # fused program compacts valid slots ON DEVICE so the tunnel fetch carries
@@ -45,8 +57,14 @@ _SLOT_FIELDS = {
         "position", "height", "integral", "seg_start", "seg_end",
         "run_start", "run_end",
     ),
+    "waveform_width": (
+        "position", "rise_samples", "fall_samples", "total_samples",
+        "peak_height", "width_valid",
+    ),
 }
 # (count key, capacity cfg key) used for the device-side overflow counter
+# (waveform_width has none: its rows mirror the hit member's slots, whose
+# counter already reports capacity overflow)
 _SLOT_OVERFLOW = {
     "hit": ("n_candidates", "max_peaks"),
     "hit_threshold": ("n_runs", "max_hits"),
@@ -64,6 +82,9 @@ _DEVICE_CFG_KEYS = {
         "left_extension", "right_extension", "max_hits", "backend",
     ),
     "waveform_width_integral": ("q_low", "q_high"),
+    "waveform_width": (
+        "rise_low", "rise_high", "fall_high", "fall_low", "interpolation",
+    ),
 }
 
 
@@ -91,50 +112,140 @@ class WaveChainFusion:
 
     # -- applicability -------------------------------------------------------
 
-    def plan(
-        self, ctx: Any, run_id: str, needed: set, min_members: int = 2
-    ) -> Optional[List[str]]:
-        """Member names this rule can produce in one dispatch, or None."""
-        from waveformanalysis_tpu.plugins.builtin._wave_source import (
-            resolve_wave_input_spec,
-        )
+    @staticmethod
+    def _expected_classes() -> Dict[str, Any]:
         from waveformanalysis_tpu.plugins.builtin.basic_features import (
             BasicFeaturesPlugin,
         )
         from waveformanalysis_tpu.plugins.builtin.hit_finder import (
             ThresholdHitPlugin,
         )
+        from waveformanalysis_tpu.plugins.builtin.hit_merge import (
+            HitMergeClustersPlugin,
+            HitMergedComponentsPlugin,
+            HitMergePlugin,
+        )
         from waveformanalysis_tpu.plugins.builtin.peak_finding import (
             HitFinderPlugin,
+        )
+        from waveformanalysis_tpu.plugins.builtin.s1_s2_classifier import (
+            S1S2ClassifierPlugin,
+        )
+        from waveformanalysis_tpu.plugins.builtin.waveform_width import (
+            WaveformWidthPlugin,
         )
         from waveformanalysis_tpu.plugins.builtin.waveform_width_integral import (
             WaveformWidthIntegralPlugin,
         )
 
-        expected = {
+        return {
             "basic_features": BasicFeaturesPlugin,
             "hit": HitFinderPlugin,
             "hit_threshold": ThresholdHitPlugin,
             "waveform_width_integral": WaveformWidthIntegralPlugin,
+            "waveform_width": WaveformWidthPlugin,
+            "hit_merged": HitMergePlugin,
+            "hit_merge_clusters": HitMergeClustersPlugin,
+            "hit_merged_components": HitMergedComponentsPlugin,
+            "s1_s2": S1S2ClassifierPlugin,
         }
+
+    @staticmethod
+    def _is_builtin(ctx: Any, name: str, expected: Dict[str, Any]) -> bool:
+        """Only the builtin implementations are fusable: a subclass with its
+        own compute must run through the normal path."""
+        plugin = ctx._plugins.get(name)
+        return (plugin is not None
+                and type(plugin).compute is expected[name].compute)
+
+    @staticmethod
+    def _member_source(ctx: Any, name: str) -> Optional[str]:
+        """Wave-source data name a device member's kernels read."""
+        from waveformanalysis_tpu.plugins.builtin._wave_source import (
+            resolve_wave_input_spec,
+        )
+
+        plugin = ctx._plugins[name]
+        try:
+            if name == "waveform_width":
+                return plugin.expected_wave_source(ctx)
+            return resolve_wave_input_spec(ctx, plugin).expected_name
+        except Exception:
+            return None
+
+    def plan(
+        self, ctx: Any, run_id: str, needed: set, min_members: int = 2
+    ) -> Optional[List[str]]:
+        """Member names this rule can produce in one dispatch, or None.
+
+        Device members must share ONE wave source (the bundle uploads one
+        wave matrix); when their sources differ, the largest same-source
+        group wins and the rest run standalone. Host members join when
+        their inputs are bundle members or already cache-valid:
+
+        - waveform_width additionally needs a usable hit stage over the same
+          source — as a bundle member, or recomputed as an unemitted support
+          stage when hit is cache-valid (deterministic device program + same
+          lineage => identical positions);
+        - s1_s2 needs waveform_width in the bundle and basic_features in the
+          bundle or cached;
+        - the hit_merge family needs hit_threshold in the bundle or cached.
+        """
+        expected = self._expected_classes()
         members = [m for m in FUSED_CHAIN_MEMBERS if m in needed]
         if len(members) < min_members:
             return None
-        usable = []
-        sources = set()
+
+        # -- device members: group by wave source, keep the largest group --
+        by_source: Dict[str, List[str]] = {}
         for m in members:
-            plugin = ctx._plugins.get(m)
-            # only the builtin implementations are fusable: a subclass with
-            # its own compute must run through the normal path
-            if plugin is None or type(plugin).compute is not expected[m].compute:
+            if m not in FUSED_DEVICE_MEMBERS:
                 continue
-            try:
-                spec = resolve_wave_input_spec(ctx, plugin)
-            except Exception:
+            if not self._is_builtin(ctx, m, expected):
                 continue
-            usable.append(m)
-            sources.add(spec.expected_name)
-        if len(usable) < min_members or len(sources) != 1:
+            src = self._member_source(ctx, m)
+            if src is not None:
+                by_source.setdefault(src, []).append(m)
+        if not by_source:
+            return None
+        source, device = max(
+            by_source.items(), key=lambda kv: (len(kv[1]),
+                                               kv[0] == "records")
+        )
+
+        # waveform_width needs the hit stage over the bundle's source
+        if "waveform_width" in device:
+            hit_ok = (
+                self._is_builtin(ctx, "hit", expected)
+                and self._member_source(ctx, "hit") == source
+                and ("hit" in device
+                     or ctx.cache_domain.is_cache_hit(run_id, "hit"))
+            )
+            if not hit_ok:
+                device = [m for m in device if m != "waveform_width"]
+        if not device:
+            return None
+
+        # -- host members ---------------------------------------------------
+        def available(name: str) -> bool:
+            return name in device or ctx.cache_domain.is_cache_hit(
+                run_id, name
+            )
+
+        host: List[str] = []
+        for m in members:
+            if m not in FUSED_HOST_MEMBERS:
+                continue
+            if not self._is_builtin(ctx, m, expected):
+                continue
+            if m == "s1_s2":
+                if available("waveform_width") and available("basic_features"):
+                    host.append(m)
+            elif available("hit_threshold"):
+                host.append(m)
+
+        usable = [m for m in FUSED_CHAIN_MEMBERS if m in device or m in host]
+        if len(usable) < min_members:
             return None
         return usable
 
@@ -153,51 +264,42 @@ class WaveChainFusion:
         import jax
         import jax.numpy as jnp
 
-        from waveformanalysis_tpu.dtypes.table import Table
-        from waveformanalysis_tpu.plugins.builtin.basic_features import (
-            BASIC_FEATURES_SCHEMA,
-        )
-        from waveformanalysis_tpu.plugins.builtin.hit_finder import (
-            THRESHOLD_HIT_SCHEMA,
-        )
         from waveformanalysis_tpu.plugins.builtin.peak_finding import (
-            HIT_SCHEMA,
             _load_wave_matrix,
         )
 
+        device_members = [m for m in members if m in FUSED_DEVICE_MEMBERS]
+        host_members = [m for m in members if m in FUSED_HOST_MEMBERS]
         plugins = {m: ctx._plugins[m] for m in members}
         cfgs = {m: plugins[m].kernel_config(ctx) for m in members}
+        support_hit_cfg = self._support_hit_cfg(ctx, device_members)
 
         # one wave-input load for the whole bundle (keeps the native integer
-        # dtype; every device stage casts on device)
+        # dtype; every device stage casts on device). waveform_width has no
+        # wave_source option, so the load rides another member (or the hit
+        # plugin, whose source the planner verified matches).
+        load_via = next(
+            (m for m in device_members if m != "waveform_width"), None
+        )
+        load_plugin = (
+            plugins[load_via] if load_via is not None else ctx._plugins["hit"]
+        )
         waves, lengths, meta = _load_wave_matrix(
-            ctx, plugins[members[0]], run_id, keep_integer_waves=True
+            ctx, load_plugin, run_id, keep_integer_waves=True
         )
         n = len(lengths)
         if n == 0:
-            from waveformanalysis_tpu.plugins.builtin.waveform_width_integral import (
-                WAVEFORM_WIDTH_INTEGRAL_SCHEMA,
-            )
-
-            empty = {
-                "basic_features": lambda: Table.zeros(0, BASIC_FEATURES_SCHEMA),
-                "hit": lambda: Table.zeros(0, HIT_SCHEMA),
-                "hit_threshold": lambda: Table.zeros(0, THRESHOLD_HIT_SCHEMA),
-                "waveform_width_integral": lambda: Table.zeros(
-                    0, WAVEFORM_WIDTH_INTEGRAL_SCHEMA
-                ),
-            }
-            return {m: empty[m]() for m in members}
+            return self._empty_results(members)
 
         # host preps (config machinery producing device inputs)
         sign = np.where(meta["polarity"] > 0, 1.0, -1.0).astype(np.float32)
         thresholds = None
-        if "hit_threshold" in members:
+        if "hit_threshold" in device_members:
             thresholds = plugins["hit_threshold"].host_prep(
                 cfgs["hit_threshold"], ctx, run_id, meta
             ).astype(np.float32)
         bf_baselines = None
-        if "basic_features" in members:
+        if "basic_features" in device_members:
             bf_baselines = plugins["basic_features"].host_prep(
                 cfgs["basic_features"], ctx, run_id,
                 np.asarray(meta["baseline"], dtype=np.float64),
@@ -206,7 +308,8 @@ class WaveChainFusion:
 
         mesh_info = getattr(ctx, "mesh", None)
         program, spec_cache = self._get_program(
-            tuple(members), cfgs, plugins, mesh_info
+            tuple(device_members), cfgs, plugins, mesh_info,
+            support_hit_cfg=support_hit_cfg,
         )
 
         thresholds_np = (
@@ -233,45 +336,158 @@ class WaveChainFusion:
             )
 
         results: Dict[str, Any] = {}
-        for m in members:
-            if m == "basic_features":
-                pol = np.where(
-                    meta["polarity"] == 0, np.int8(-1), meta["polarity"]
-                ).astype(np.int8)
-                results[m] = plugins[m].finalize(
-                    cfgs[m], host_out[m], bf_baselines, pol,
-                    meta["timestamp"], meta["board"], meta["channel"],
-                )
-            elif m == "hit":
-                if slot_out is not None:
-                    rows, slots = slot_out[m]
-                    results[m] = plugins[m].finalize_compact(
-                        cfgs[m], rows, slots,
-                        int(host_out[m + "__overflow"]), meta, n,
-                    )
-                else:
-                    results[m] = plugins[m].finalize(
-                        cfgs[m], host_out[m], meta, n
-                    )
-            elif m == "hit_threshold":
-                if slot_out is not None:
-                    rows, slots = slot_out[m]
-                    results[m] = plugins[m].finalize_compact(
-                        cfgs[m], rows, slots,
-                        int(host_out[m + "__overflow"]), meta, lengths, n,
-                    )
-                else:
-                    results[m] = plugins[m].finalize(
-                        cfgs[m], host_out[m], meta, lengths, n
-                    )
-            elif m == "waveform_width_integral":
-                results[m] = plugins[m].finalize(
-                    cfgs[m], host_out[m], meta, n
-                )
+        for m in device_members:
+            results[m] = self._finalize_member(
+                ctx, m, plugins, cfgs, support_hit_cfg, host_out, slot_out,
+                meta, lengths, n, offset=None, bf_baselines=bf_baselines,
+            )
+        self._finalize_host_members(
+            ctx, run_id, host_members, plugins, cfgs, results
+        )
         logger.debug(
             "fused %s over %d waveforms in one device program", members, n
         )
         return results
+
+    @staticmethod
+    def _support_hit_cfg(ctx: Any, device_members: List[str]):
+        """Kernel config for the UNEMITTED hit stage backing waveform_width
+        when hit itself is cache-valid and outside the bundle."""
+        if "waveform_width" in device_members and "hit" not in device_members:
+            return ctx._plugins["hit"].kernel_config(ctx)
+        return None
+
+    def _finalize_member(
+        self, ctx: Any, m: str, plugins: Dict, cfgs: Dict, support_hit_cfg,
+        host_out: Dict, slot_out, meta: dict, lengths: np.ndarray, n: int,
+        offset, per_run_lengths=None, bf_baselines=None,
+    ):
+        """Finalize ONE device member from fetched outputs.
+
+        ``offset=None`` = single-run path (whole arrays); otherwise the
+        batched path passes (offset, n) so dense leaves slice and slot rows
+        rebase. ``per_run_lengths`` carries the run's own lengths column for
+        hit_threshold in the batched path.
+        """
+        import jax as _jax
+
+        def dense(name):
+            tree = host_out[name]
+            if offset is None:
+                return tree
+            return _jax.tree_util.tree_map(
+                lambda a: a[offset:offset + n], tree
+            )
+
+        def slot_rows(name):
+            rows, slots = slot_out[name]
+            if offset is None:
+                return rows, slots, None
+            lo = int(np.searchsorted(rows, offset))
+            hi = int(np.searchsorted(rows, offset + n))
+            return rows[lo:hi] - offset, \
+                {f: c[lo:hi] for f, c in slots.items()}, (lo, hi)
+
+        lengths_col = lengths if per_run_lengths is None else per_run_lengths
+
+        if m == "basic_features":
+            pol = np.where(
+                meta["polarity"] == 0, np.int8(-1), meta["polarity"]
+            ).astype(np.int8)
+            return plugins[m].finalize(
+                cfgs[m], dense(m), bf_baselines, pol,
+                meta["timestamp"], meta["board"], meta["channel"],
+            )
+        if m == "hit":
+            if slot_out is not None:
+                rows, slots, _ = slot_rows(m)
+                return plugins[m].finalize_compact(
+                    cfgs[m], rows, slots, self._member_overflow(
+                        host_out, m, offset, n), meta, n,
+                )
+            return plugins[m].finalize(cfgs[m], dense(m), meta, n)
+        if m == "hit_threshold":
+            if slot_out is not None:
+                rows, slots, _ = slot_rows(m)
+                return plugins[m].finalize_compact(
+                    cfgs[m], rows, slots, self._member_overflow(
+                        host_out, m, offset, n),
+                    meta, np.asarray(lengths_col, np.int64), n,
+                )
+            return plugins[m].finalize(
+                cfgs[m], dense(m), meta, np.asarray(lengths_col, np.int64), n
+            )
+        if m == "waveform_width_integral":
+            return plugins[m].finalize(cfgs[m], dense(m), meta, n)
+        if m == "waveform_width":
+            hit_cfg = cfgs.get("hit") or support_hit_cfg
+            dt_ns = ctx._plugins["hit"]._resolve_dt(hit_cfg, meta, n)
+            if slot_out is not None:
+                rows, slots, _ = slot_rows(m)
+                return plugins[m].finalize_compact(
+                    cfgs[m], rows, slots, meta, dt_ns
+                )
+            return plugins[m].finalize(cfgs[m], dense(m), meta, dt_ns)
+        raise KeyError(m)
+
+    @staticmethod
+    def _member_overflow(host_out: Dict, m: str, offset, n: int) -> int:
+        over = host_out[m + "__overflow"]
+        if offset is None:
+            return int(np.sum(over))
+        return int(np.asarray(over)[offset:offset + n].sum())
+
+    @staticmethod
+    def _finalize_host_members(
+        ctx: Any, run_id: str, host_members: List[str], plugins: Dict,
+        cfgs: Dict, results: Dict[str, Any],
+    ) -> None:
+        """Compute the bundle's host members from finalized member tables.
+
+        Inputs outside the bundle are cache-valid by the planner's contract
+        and load through the normal (cached) get_data path. The SAME pure
+        functions the standalone computes call run here, so outputs are
+        bit-identical (reference cones: s1_s2_classifier.py:73,
+        hit_merge.py:325-445).
+        """
+        if not host_members:
+            return
+
+        def table_input(name: str):
+            if name in results:
+                return results[name]
+            return ctx.get_data(run_id, name)
+
+        if "s1_s2" in host_members:
+            results["s1_s2"] = plugins["s1_s2"].classify(
+                cfgs["s1_s2"], table_input("waveform_width"),
+                table_input("basic_features"),
+            )
+        merge_members = [m for m in host_members if m != "s1_s2"]
+        if merge_members:
+            from waveformanalysis_tpu.plugins.builtin.hit_merge import (
+                clusters_table,
+                components_table,
+                merge_from_table,
+                merged_table,
+            )
+
+            emit = {
+                "hit_merged": merged_table,
+                "hit_merge_clusters": clusters_table,
+                "hit_merged_components": components_table,
+            }
+            hits_th = table_input("hit_threshold")
+            triples: Dict[Tuple, Any] = {}
+            for m in merge_members:
+                ckey = tuple(sorted(
+                    (k, v) for k, v in cfgs[m].items()
+                ))
+                if ckey not in triples:
+                    # one merge per distinct config serves every member that
+                    # shares it (standalone runs the merge once per plugin)
+                    triples[ckey] = merge_from_table(cfgs[m], hits_th)
+                results[m] = emit[m](triples[ckey])
 
     # -- multi-run batched execution ----------------------------------------
 
@@ -327,10 +543,18 @@ class WaveChainFusion:
             _load_wave_matrix,
         )
 
+        device_members = [m for m in members if m in FUSED_DEVICE_MEMBERS]
         plugins = {m: ctx._plugins[m] for m in members}
         cfgs = {m: plugins[m].kernel_config(ctx) for m in members}
+        support_hit_cfg = self._support_hit_cfg(ctx, device_members)
+        load_via = next(
+            (m for m in device_members if m != "waveform_width"), None
+        )
+        load_plugin = (
+            plugins[load_via] if load_via is not None else ctx._plugins["hit"]
+        )
         waves, lengths, meta = _load_wave_matrix(
-            ctx, plugins[members[0]], run_id, keep_integer_waves=True
+            ctx, load_plugin, run_id, keep_integer_waves=True
         )
         n = len(lengths)
         if n == 0:
@@ -338,12 +562,12 @@ class WaveChainFusion:
 
         sign = np.where(meta["polarity"] > 0, 1.0, -1.0).astype(np.float32)
         thresholds = np.zeros((n,), np.float32)
-        if "hit_threshold" in members:
+        if "hit_threshold" in device_members:
             thresholds = plugins["hit_threshold"].host_prep(
                 cfgs["hit_threshold"], ctx, run_id, meta
             ).astype(np.float32)
         bf_baselines = None
-        if "basic_features" in members:
+        if "basic_features" in device_members:
             bf_baselines = plugins["basic_features"].host_prep(
                 cfgs["basic_features"], ctx, run_id,
                 np.asarray(meta["baseline"], dtype=np.float64),
@@ -352,13 +576,21 @@ class WaveChainFusion:
 
         cfg_key = tuple(
             (m, tuple((k, cfgs[m][k]) for k in _DEVICE_CFG_KEYS[m]))
-            for m in members
+            for m in device_members
         )
+        if support_hit_cfg is not None:
+            cfg_key += (("__hit_support", tuple(
+                (k, support_hit_cfg[k])
+                for k in _DEVICE_CFG_KEYS["hit"]
+            )),)
         return {
             "run_id": run_id,
             "members": list(members),
+            "device_members": device_members,
+            "host_members": [m for m in members if m in FUSED_HOST_MEMBERS],
             "plugins": plugins,
             "cfgs": cfgs,
+            "support_hit_cfg": support_hit_cfg,
             "waves": _wave_input_array(waves),
             "lengths": lengths.astype(np.int32),
             "sign": sign,
@@ -378,8 +610,10 @@ class WaveChainFusion:
         import jax.numpy as jnp
 
         members = preps[0]["members"]
+        device_members = preps[0]["device_members"]
         cfgs = preps[0]["cfgs"]
         plugins = preps[0]["plugins"]
+        support_hit_cfg = preps[0]["support_hit_cfg"]
 
         L = max(p["waves"].shape[1] for p in preps)
         total = sum(p["n"] for p in preps)
@@ -436,13 +670,15 @@ class WaveChainFusion:
             # sharded batched program: raw (unpacked) outputs over the mesh,
             # same path the single-run mesh branch of compute() uses
             program, _spec = self._get_program(
-                tuple(members), cfgs, plugins, mesh_info
+                tuple(device_members), cfgs, plugins, mesh_info,
+                support_hit_cfg=support_hit_cfg,
             )
             host_out = self._run_sharded(program, inputs, padded, mesh_info)
             slot_out = None
         else:
             program, spec_cache = self._get_program(
-                tuple(members), cfgs, plugins, None, per_event_overflow=True
+                tuple(device_members), cfgs, plugins, None,
+                per_event_overflow=True, support_hit_cfg=support_hit_cfg,
             )
             dev_in = tuple(jnp.asarray(x) for x in inputs)
             shapes_key = tuple(
@@ -456,65 +692,18 @@ class WaveChainFusion:
         out: Dict[str, Dict[str, Any]] = {}
         for p, off in zip(preps, offsets):
             run_id, n, meta = p["run_id"], p["n"], p["meta"]
-            cfgs_r, plugins_r = p["cfgs"], p["plugins"]
             results: Dict[str, Any] = {}
-            for m in members:
-                if m == "basic_features":
-                    import jax as _jax
-
-                    sub = _jax.tree_util.tree_map(
-                        lambda a: a[off:off + n], host_out[m]
-                    )
-                    pol = np.where(
-                        meta["polarity"] == 0, np.int8(-1), meta["polarity"]
-                    ).astype(np.int8)
-                    results[m] = plugins_r[m].finalize(
-                        cfgs_r[m], sub, p["bf_baselines"], pol,
-                        meta["timestamp"], meta["board"], meta["channel"],
-                    )
-                elif m in ("hit", "hit_threshold"):
-                    if slot_out is None:
-                        import jax as _jax
-
-                        sub = _jax.tree_util.tree_map(
-                            lambda a: a[off:off + n], host_out[m]
-                        )
-                        if m == "hit":
-                            results[m] = plugins_r[m].finalize(
-                                cfgs_r[m], sub, meta, n
-                            )
-                        else:
-                            results[m] = plugins_r[m].finalize(
-                                cfgs_r[m], sub, meta,
-                                p["lengths"].astype(np.int64), n,
-                            )
-                        continue
-                    rows, slots = slot_out[m]
-                    lo = int(np.searchsorted(rows, off))
-                    hi = int(np.searchsorted(rows, off + n))
-                    rows_r = rows[lo:hi] - off
-                    slots_r = {f: c[lo:hi] for f, c in slots.items()}
-                    overflow_r = int(
-                        host_out[m + "__overflow"][off:off + n].sum()
-                    )
-                    if m == "hit":
-                        results[m] = plugins_r[m].finalize_compact(
-                            cfgs_r[m], rows_r, slots_r, overflow_r, meta, n
-                        )
-                    else:
-                        results[m] = plugins_r[m].finalize_compact(
-                            cfgs_r[m], rows_r, slots_r, overflow_r, meta,
-                            p["lengths"].astype(np.int64), n,
-                        )
-                elif m == "waveform_width_integral":
-                    import jax as _jax
-
-                    sub = _jax.tree_util.tree_map(
-                        lambda a: a[off:off + n], host_out[m]
-                    )
-                    results[m] = plugins_r[m].finalize(
-                        cfgs_r[m], sub, meta, n
-                    )
+            for m in p["device_members"]:
+                results[m] = self._finalize_member(
+                    ctx, m, p["plugins"], p["cfgs"], p["support_hit_cfg"],
+                    host_out, slot_out, meta, p["lengths"], n, offset=off,
+                    per_run_lengths=p["lengths"],
+                    bf_baselines=p["bf_baselines"],
+                )
+            self._finalize_host_members(
+                ctx, run_id, p["host_members"], p["plugins"], p["cfgs"],
+                results,
+            )
             out[run_id] = results
         logger.debug(
             "batched fused %s over %d runs / %d waveforms (padded %d) in one "
@@ -536,11 +725,28 @@ class WaveChainFusion:
             WAVEFORM_WIDTH_INTEGRAL_SCHEMA,
         )
 
+        from waveformanalysis_tpu.plugins.builtin.hit_merge import (
+            HIT_MERGE_CLUSTERS_SCHEMA,
+            HIT_MERGED_COMPONENTS_SCHEMA,
+            HIT_MERGED_SCHEMA,
+        )
+        from waveformanalysis_tpu.plugins.builtin.s1_s2_classifier import (
+            S1_S2_CLASSIFIER_SCHEMA,
+        )
+        from waveformanalysis_tpu.plugins.builtin.waveform_width import (
+            WAVEFORM_WIDTH_SCHEMA,
+        )
+
         schemas = {
             "basic_features": BASIC_FEATURES_SCHEMA,
             "hit": HIT_SCHEMA,
             "hit_threshold": THRESHOLD_HIT_SCHEMA,
             "waveform_width_integral": WAVEFORM_WIDTH_INTEGRAL_SCHEMA,
+            "waveform_width": WAVEFORM_WIDTH_SCHEMA,
+            "hit_merged": HIT_MERGED_SCHEMA,
+            "hit_merge_clusters": HIT_MERGE_CLUSTERS_SCHEMA,
+            "hit_merged_components": HIT_MERGED_COMPONENTS_SCHEMA,
+            "s1_s2": S1_S2_CLASSIFIER_SCHEMA,
         }
         return {m: Table.zeros(0, schemas[m]) for m in members}
 
@@ -578,13 +784,17 @@ class WaveChainFusion:
     def _get_program(
         self, members: Tuple[str, ...], cfgs: Dict, plugins: Dict,
         mesh_info=None, per_event_overflow: bool = False,
+        support_hit_cfg: Optional[dict] = None,
     ):
         """jit program cached on (members, device-relevant config values).
 
-        ``per_event_overflow`` emits each slot member's overflow indicator as
-        a per-event (n,) vector instead of a scalar sum — the batched
-        multi-run dispatcher needs per-run overflow counts, which the host
-        recovers by summing run slices.
+        ``members`` here are the DEVICE members only. ``support_hit_cfg``
+        adds an unemitted hit stage feeding waveform_width when hit itself
+        is cache-valid and outside the bundle. ``per_event_overflow`` emits
+        each slot member's overflow indicator as a per-event (n,) vector
+        instead of a scalar sum — the batched multi-run dispatcher needs
+        per-run overflow counts, which the host recovers by summing run
+        slices.
         """
         import jax
 
@@ -593,6 +803,10 @@ class WaveChainFusion:
             key_parts.append(
                 tuple((k, cfgs[m][k]) for k in _DEVICE_CFG_KEYS[m])
             )
+        if support_hit_cfg is not None:
+            key_parts.append(("__hit_support", tuple(
+                (k, support_hit_cfg[k]) for k in _DEVICE_CFG_KEYS["hit"]
+            )))
         if mesh_info is not None:
             mesh, axis = mesh_info
             key_parts.append(("mesh", id(mesh), axis))
@@ -605,9 +819,17 @@ class WaveChainFusion:
 
         stages = {m: type(plugins[m]).device_stage for m in members}
         member_cfgs = {m: dict(cfgs[m]) for m in members}
+        hit_support = None
+        if support_hit_cfg is not None:
+            from waveformanalysis_tpu.plugins.builtin.peak_finding import (
+                HitFinderPlugin,
+            )
+
+            hit_support = (HitFinderPlugin.device_stage, dict(support_hit_cfg))
 
         def program(waves_d, lengths_d, sign_d, baselines_d, thresholds_d):
             out = {}
+            peaks_stage = None
             for m in members:
                 if m == "basic_features":
                     out[m] = stages[m](member_cfgs[m], waves_d, lengths_d)
@@ -615,6 +837,7 @@ class WaveChainFusion:
                     out[m] = stages[m](
                         member_cfgs[m], waves_d, lengths_d, sign_d, baselines_d
                     )
+                    peaks_stage = out[m]
                 elif m == "hit_threshold":
                     out[m] = stages[m](
                         member_cfgs[m], waves_d, lengths_d, sign_d,
@@ -625,6 +848,13 @@ class WaveChainFusion:
                         member_cfgs[m], waves_d, lengths_d, sign_d,
                         baselines_d,
                     )
+                elif m == "waveform_width":
+                    if peaks_stage is None:
+                        fn, s_cfg = hit_support
+                        peaks_stage = fn(
+                            s_cfg, waves_d, lengths_d, sign_d, baselines_d
+                        )
+                    out[m] = stages[m](member_cfgs[m], waves_d, peaks_stage)
             return out
 
         if mesh_info is not None:
@@ -671,7 +901,6 @@ class WaveChainFusion:
                     continue
                 stage = out[m]
                 fields = _SLOT_FIELDS[m]
-                count_key, cap_key = _SLOT_OVERFLOW[m]
                 mat, count = _compact_slots(stage, fields)
                 slot_mats.append(mat)
                 counts.append(count)
@@ -679,12 +908,14 @@ class WaveChainFusion:
                     (m, fields,
                      tuple(str(stage[f].dtype) for f in fields))
                 )
-                over = (
-                    stage[count_key] > member_cfgs[m][cap_key]
-                ).astype(jnp.int32)
-                dense_out[m + "__overflow"] = (
-                    over if per_event_overflow else jnp.sum(over)
-                )
+                if m in _SLOT_OVERFLOW:
+                    count_key, cap_key = _SLOT_OVERFLOW[m]
+                    over = (
+                        stage[count_key] > member_cfgs[m][cap_key]
+                    ).astype(jnp.int32)
+                    dense_out[m + "__overflow"] = (
+                        over if per_event_overflow else jnp.sum(over)
+                    )
             flat, spec = _pack_leaves(dense_out)
             spec_cache[shapes_key] = (spec, slot_specs)
             return flat, tuple(slot_mats), jnp.stack(counts) if counts \

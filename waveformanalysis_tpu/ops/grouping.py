@@ -306,14 +306,92 @@ def group_hit_windows(
     )
 
 
+def _flat_cells(col: Any, dtype=np.float64):
+    """Ragged per-event cells -> (flat values, offsets, counts).
+
+    int64 for ps timestamps: f64 would drop ULPs past 2**53."""
+    vals = col.to_list() if hasattr(col, "to_list") else list(col)
+    try:
+        counts = np.fromiter((len(v) for v in vals), dtype=np.int64,
+                             count=len(vals))
+        # one concatenate over the raw per-event arrays, one cast —
+        # a per-item asarray loop here costs ~3 us/event
+        flat = np.concatenate(vals) if len(vals) else np.zeros(0, dtype)
+    except (TypeError, ValueError):
+        # tolerant path for None/scalar cells (treated as empty, like
+        # the reference's get_val NaN fallback)
+        cleaned = [
+            np.atleast_1d(np.asarray(v))
+            if hasattr(v, "__len__") and not isinstance(v, (str, bytes))
+            else np.zeros(0, dtype)
+            for v in vals
+        ]
+        counts = np.fromiter((len(v) for v in cleaned), dtype=np.int64,
+                             count=len(cleaned))
+        flat = np.concatenate(cleaned) if cleaned else np.zeros(0, dtype)
+    if flat.dtype != dtype:
+        flat = flat.astype(dtype)
+    offsets = np.zeros(len(vals), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    return flat, offsets, counts
+
+
+def _pair_events_device_path(
+    df_events: Any,
+    time_window_ns: float,
+    n_channels: int,
+    start_channel: int,
+) -> Any:
+    """Device pairing: one jitted gather kernel over the flat event layout,
+    host-filtered by the keep mask (host path is the parity oracle)."""
+    from waveformanalysis_tpu.ops import grouping_device as GD
+
+    n = len(df_events)
+    if n == 0:
+        return df_events[df_events["dt/ns"] <= time_window_ns].copy()
+
+    areas_key = "areas" if "areas" in df_events.columns else "charges"
+    heights_key = "heights" if "heights" in df_events.columns else "peaks"
+    out = GD.pair_events_device(
+        _flat_cells(df_events["timestamps"], dtype=np.int64),
+        _flat_cells(df_events[areas_key]),
+        _flat_cells(df_events[heights_key]),
+        np.asarray(df_events["dt/ns"], dtype=np.float64),
+        time_window_ns,
+        n_channels=n_channels,
+    )
+    keep = out["keep"]
+    df_paired = df_events[keep].copy()
+    if df_paired.empty:
+        return df_paired
+    if "delta_t" not in df_paired.columns:
+        df_paired["delta_t"] = out["delta_t"][keep]
+    for i in range(n_channels):
+        df_paired[f"area_ch{start_channel + i}"] = out["area_ch"][keep, i]
+        df_paired[f"height_ch{start_channel + i}"] = out["height_ch"][keep, i]
+    return df_paired
+
+
 def pair_events(
     df_events: Any,
     time_window_ns: float,
     n_channels: int,
     start_channel: int = 0,
+    backend: str = "auto",
 ) -> Any:
     """Filter events whose span fits the window; add per-channel columns
-    (reference: processing/analyzer.py:66-150)."""
+    (reference: processing/analyzer.py:66-150).
+
+    backend=device runs the per-event gathers (delta_t, area_ch*/height_ch*)
+    as one jitted kernel over the flat (values, offsets, counts) layout
+    (ops/grouping_device.pair_events_device); host is the parity oracle.
+    Like the sibling grouping kernels, auto picks host below
+    DEVICE_BACKEND_MIN_ROWS (dispatch dominates tiny tables on axon).
+    """
+    if _resolve_backend(backend, len(df_events)) == "device":
+        return _pair_events_device_path(
+            df_events, time_window_ns, n_channels, start_channel
+        )
     df_paired = df_events[df_events["dt/ns"] <= time_window_ns].copy()
     if df_paired.empty:
         return df_paired
@@ -322,32 +400,7 @@ def pair_events(
     # once + an offset table, then every derived column is a single gather.
     # The pandas .apply formulation this replaces cost ~5-10 us/row for
     # EACH of the 1 + 2*n_channels columns.
-    def _flat(col: Any, dtype=np.float64):
-        # int64 for ps timestamps: f64 would drop ULPs past 2**53
-        vals = col.to_list()
-        try:
-            counts = np.fromiter((len(v) for v in vals), dtype=np.int64,
-                                 count=len(vals))
-            # one concatenate over the raw per-event arrays, one cast —
-            # a per-item asarray loop here costs ~3 us/event
-            flat = np.concatenate(vals) if len(vals) else np.zeros(0, dtype)
-        except (TypeError, ValueError):
-            # tolerant path for None/scalar cells (treated as empty, like
-            # the reference's get_val NaN fallback)
-            cleaned = [
-                np.atleast_1d(np.asarray(v))
-                if hasattr(v, "__len__") and not isinstance(v, (str, bytes))
-                else np.zeros(0, dtype)
-                for v in vals
-            ]
-            counts = np.fromiter((len(v) for v in cleaned), dtype=np.int64,
-                                 count=len(cleaned))
-            flat = np.concatenate(cleaned) if cleaned else np.zeros(0, dtype)
-        if flat.dtype != dtype:
-            flat = flat.astype(dtype)
-        offsets = np.zeros(len(vals), dtype=np.int64)
-        np.cumsum(counts[:-1], out=offsets[1:])
-        return flat, offsets, counts
+    _flat = _flat_cells
 
     def _take(flat, offsets, counts, idx):
         """value[idx] per event, NaN where the array is shorter."""

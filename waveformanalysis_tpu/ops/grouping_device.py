@@ -191,6 +191,106 @@ def segment_aggregates(
     }
 
 
+@partial(jax.jit, static_argnames=("n_channels",))
+def _pair_events_impl(
+    ts_flat: jax.Array,
+    ts_offsets: jax.Array,
+    ts_counts: jax.Array,
+    a_flat: jax.Array,
+    a_offsets: jax.Array,
+    a_counts: jax.Array,
+    h_flat: jax.Array,
+    h_offsets: jax.Array,
+    h_counts: jax.Array,
+    span_ns: jax.Array,
+    window_ns: jax.Array,
+    n_channels: int,
+) -> Dict[str, jax.Array]:
+    """Pairing columns for EVERY event (trace under x64); the host applies
+    the keep mask (dynamic shape) after the fetch.
+
+    Per-event cells live in the flat hit layout (values + offsets + counts)
+    — the columnar representation the device grouping pass produces — so
+    every derived column is one vectorized gather instead of the reference's
+    per-row .apply (reference: processing/analyzer.py:66-150).
+    """
+    n_events = ts_offsets.shape[0]
+    keep = span_ns <= window_ns
+
+    def gather(flat, idx, ok):
+        safe = jnp.clip(idx, 0, jnp.maximum(flat.shape[0] - 1, 0))
+        vals = flat[safe].astype(jnp.float64)
+        return jnp.where(ok & (flat.shape[0] > 0), vals, jnp.nan)
+
+    # delta stays in integer ps on device: XLA rewrites /1000.0 into a
+    # multiply-by-reciprocal, which differs from the host oracle by ULPs —
+    # the host performs the final ns division instead
+    has = ts_counts > 0
+    hi = jnp.maximum(ts_flat.shape[0] - 1, 0)
+    f_ts = ts_flat[jnp.clip(ts_offsets, 0, hi)]
+    l_ts = ts_flat[jnp.clip(ts_offsets + ts_counts - 1, 0, hi)]
+    delta_ps = jnp.where(has, l_ts - f_ts, 0)
+
+    area_ch = []
+    height_ch = []
+    for i in range(n_channels):
+        area_ch.append(gather(a_flat, a_offsets + i, a_counts > i))
+        height_ch.append(gather(h_flat, h_offsets + i, h_counts > i))
+    return {
+        "keep": keep,
+        "has_ts": has,
+        "delta_ps": delta_ps,
+        "area_ch": jnp.stack(area_ch, axis=1) if n_channels else
+        jnp.zeros((n_events, 0), jnp.float64),
+        "height_ch": jnp.stack(height_ch, axis=1) if n_channels else
+        jnp.zeros((n_events, 0), jnp.float64),
+    }
+
+
+def pair_events_device(
+    ts: tuple,
+    areas: tuple,
+    heights: tuple,
+    span_ns: np.ndarray,
+    time_window_ns: float,
+    n_channels: int,
+) -> Dict[str, np.ndarray]:
+    """Device pairing pass over the flat (values, offsets, counts) event
+    layout — ``ts``/``areas``/``heights`` are each such a triple. Returns
+    host arrays: keep mask, delta_t, (n_events, n_channels) area/height
+    matrices — NaN where an event has fewer hits than the channel index,
+    matching the host oracle bit-for-bit."""
+    n_events = int(np.shape(ts[1])[0])
+    if n_events == 0:
+        return {
+            "keep": np.zeros(0, bool),
+            "delta_t": np.zeros(0, np.float64),
+            "area_ch": np.zeros((0, n_channels), np.float64),
+            "height_ch": np.zeros((0, n_channels), np.float64),
+        }
+    # fetch once; the ns division runs on host (bit-parity with the oracle)
+    with jax.enable_x64(True):
+        out = _pair_events_impl(
+            jnp.asarray(np.asarray(ts[0], np.int64)),
+            jnp.asarray(np.asarray(ts[1], np.int64)),
+            jnp.asarray(np.asarray(ts[2], np.int64)),
+            jnp.asarray(np.asarray(areas[0], np.float64)),
+            jnp.asarray(np.asarray(areas[1], np.int64)),
+            jnp.asarray(np.asarray(areas[2], np.int64)),
+            jnp.asarray(np.asarray(heights[0], np.float64)),
+            jnp.asarray(np.asarray(heights[1], np.int64)),
+            jnp.asarray(np.asarray(heights[2], np.int64)),
+            jnp.asarray(np.asarray(span_ns, np.float64)),
+            jnp.asarray(float(time_window_ns), jnp.float64),
+            n_channels=int(n_channels),
+        )
+    res = {k: np.asarray(v) for k, v in out.items()}
+    res["delta_t"] = np.where(
+        res.pop("has_ts"), res.pop("delta_ps") / 1000.0, np.nan
+    )
+    return res
+
+
 def group_events_device(
     timestamps: np.ndarray,
     channels: np.ndarray,

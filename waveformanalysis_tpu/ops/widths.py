@@ -30,32 +30,25 @@ KERNEL_VERSION = "widths-v1"
 _BASELINE_SAMPLES = 50
 
 
-@partial(jax.jit, static_argnames=("interpolation",))
-def width_from_peaks(
-    waves: jax.Array,
-    peak_positions: jax.Array,
-    rise_low: float = 0.1,
-    rise_high: float = 0.9,
-    fall_high: float = 0.9,
-    fall_low: float = 0.1,
-    interpolation: bool = True,
+def _width_for_positions(
+    corr: jax.Array,
+    p: jax.Array,
+    rise_low: float,
+    rise_high: float,
+    fall_high: float,
+    fall_low: float,
+    interpolation: bool,
 ) -> Dict[str, jax.Array]:
-    """Rise/fall/total widths for one peak per row.
+    """Crossing widths for one peak position per row of ``corr``.
 
-    waves: (h, L) — the waveform each hit points at (already gathered);
-    peak_positions: (h,) sample index of the peak within each row.
-
-    Returns (h,) arrays: rise_samples, fall_samples, total_samples,
-    peak_height, valid.
+    Shared core of :func:`width_from_peaks` (gathered per-hit rows) and
+    :func:`width_from_peak_slots` (fixed-capacity slot tables): both paths
+    run EXACTLY these ops per (row, position), so outputs are bit-identical.
     """
-    w = waves.astype(jnp.float32)
-    h, L = w.shape
+    h, L = corr.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    p = peak_positions.astype(jnp.int32)
+    p = p.astype(jnp.int32)
 
-    nb = min(_BASELINE_SAMPLES, L)
-    baseline = jnp.mean(w[:, :nb], axis=1)
-    corr = w - baseline[:, None]
     p_safe = jnp.clip(p, 0, L - 1)
     peak_value = jnp.take_along_axis(corr, p_safe[:, None], axis=1)[:, 0]
     valid = (p >= 0) & (p < L) & (peak_value > 0)
@@ -119,6 +112,84 @@ def width_from_peaks(
         "peak_height": peak_value,
         "valid": valid,
     }
+
+
+@partial(jax.jit, static_argnames=("interpolation",))
+def width_from_peaks(
+    waves: jax.Array,
+    peak_positions: jax.Array,
+    rise_low: float = 0.1,
+    rise_high: float = 0.9,
+    fall_high: float = 0.9,
+    fall_low: float = 0.1,
+    interpolation: bool = True,
+) -> Dict[str, jax.Array]:
+    """Rise/fall/total widths for one peak per row.
+
+    waves: (h, L) — the waveform each hit points at (already gathered);
+    peak_positions: (h,) sample index of the peak within each row.
+
+    Returns (h,) arrays: rise_samples, fall_samples, total_samples,
+    peak_height, valid.
+    """
+    w = waves.astype(jnp.float32)
+    h, L = w.shape
+    nb = min(_BASELINE_SAMPLES, L)
+    baseline = jnp.mean(w[:, :nb], axis=1)
+    corr = w - baseline[:, None]
+    return _width_for_positions(
+        corr, peak_positions, rise_low, rise_high, fall_high, fall_low,
+        interpolation,
+    )
+
+
+def width_from_peak_slots(
+    waves: jax.Array,
+    positions: jax.Array,
+    slot_valid: jax.Array,
+    rise_low: float = 0.1,
+    rise_high: float = 0.9,
+    fall_high: float = 0.9,
+    fall_low: float = 0.1,
+    interpolation: bool = True,
+) -> Dict[str, jax.Array]:
+    """Widths for FIXED-CAPACITY peak slot tables, inside a fused program.
+
+    waves: (n, L); positions / slot_valid: (n, K) from the peak kernel.
+    Returns (n, K) arrays matching :func:`width_from_peaks` per slot, plus
+    ``valid`` = the INPUT slot mask (so device compaction aligns width rows
+    1:1 with the emitted hit table) and ``width_valid`` = the width kernel's
+    own validity (positive corrected peak, in-range position) that the host
+    filter applies exactly like the standalone plugin.
+
+    The baseline/corrected signal is computed ONCE per event and shared by
+    all K slots — the per-(row, position) arithmetic is `_width_for_positions`
+    verbatim, so values are bit-identical to the gathered-row path.
+    """
+    w = waves.astype(jnp.float32)
+    n, L = w.shape
+    K = positions.shape[1]
+    nb = min(_BASELINE_SAMPLES, L)
+    baseline = jnp.mean(w[:, :nb], axis=1)
+    corr = w - baseline[:, None]
+
+    outs = []
+    for k in range(K):
+        outs.append(_width_for_positions(
+            corr, positions[:, k], rise_low, rise_high, fall_high, fall_low,
+            interpolation,
+        ))
+    stacked = {
+        key: jnp.stack([o[key] for o in outs], axis=1)
+        for key in ("rise_samples", "fall_samples", "total_samples",
+                    "peak_height")
+    }
+    stacked["width_valid"] = jnp.stack(
+        [o["valid"] for o in outs], axis=1
+    ).astype(jnp.int32)
+    stacked["valid"] = slot_valid
+    stacked["position"] = positions.astype(jnp.int32)
+    return stacked
 
 
 @jax.jit

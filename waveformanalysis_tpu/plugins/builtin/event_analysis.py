@@ -108,16 +108,25 @@ class PairedEventsPlugin(Plugin):
             default=float(FeatureDefaults.TIME_WINDOW_NS), type=float,
             help="Maximum event span (ns) for pairing",
         ),
+        "grouping_backend": Option(
+            default="auto", type=str, track=False,
+            choices=("auto", "host", "device"),
+            help="auto|host|device: device runs the per-event gathers "
+                 "(delta_t, area_ch*/height_ch*) as one jitted kernel "
+                 "(ops/grouping_device.pair_events_device)",
+        ),
     }
 
     def compute(self, context: Any, run_id: str, **kwargs: Any):
         df_events = context.get_data(run_id, "df_events")
         tw = float(context.get_config(self, "time_window_ns"))
+        backend = context.get_config(self, "grouping_backend")
         analyzer = EventAnalyzer(
             n_channels=context.config.get("n_channels", 2),
             start_channel_slice=context.config.get("start_channel", 0),
         )
-        return analyzer.pair_events(df_events, time_window_ns=tw)
+        return analyzer.pair_events(df_events, time_window_ns=tw,
+                                    backend=backend)
 
 
 def _as_columns(data: Any) -> Dict[str, np.ndarray]:

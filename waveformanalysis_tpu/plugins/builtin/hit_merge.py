@@ -76,19 +76,63 @@ def _hits_as_columns(hits: Any) -> Dict[str, np.ndarray]:
     raise ValueError("hit_merge expects hit_threshold as a Table or structured array")
 
 
-def _run_merge(context: Any, plugin: Plugin, run_id: str):
-    hits = context.get_data(run_id, "hit_threshold")
-    cols = _hits_as_columns(hits)
-    merge_gap_ns = float(context.get_config(plugin, "merge_gap_ns"))
-    max_width_ns = float(context.get_config(plugin, "max_total_width_ns"))
-    explicit_dt = context.get_config(plugin, "dt")
+def merge_kernel_config(context: Any, plugin: Plugin) -> dict:
+    """Resolved merge options (shared with the fused subgraph executor)."""
+    return {
+        "merge_gap_ns": float(context.get_config(plugin, "merge_gap_ns")),
+        "max_total_width_ns": float(
+            context.get_config(plugin, "max_total_width_ns")
+        ),
+        "dt": context.get_config(plugin, "dt"),
+    }
+
+
+def merge_from_table(cfg: dict, hits: Any):
+    """(merged, clusters, components) from a materialized hit_threshold
+    table — the standalone computes and the fused executor both call this,
+    so fused outputs are bit-identical by construction."""
     return HM.merge_hits(
-        cols, merge_gap_ns=merge_gap_ns, max_total_width_ns=max_width_ns,
-        explicit_dt=explicit_dt,
+        _hits_as_columns(hits),
+        merge_gap_ns=cfg["merge_gap_ns"],
+        max_total_width_ns=cfg["max_total_width_ns"],
+        explicit_dt=cfg["dt"],
     )
 
 
-class HitMergePlugin(Plugin):
+def _run_merge(context: Any, plugin: Plugin, run_id: str):
+    hits = context.get_data(run_id, "hit_threshold")
+    return merge_from_table(merge_kernel_config(context, plugin), hits)
+
+
+class _MergeFamilyPlugin(Plugin):
+    """Shared fused-executor phase structure for the merge family."""
+
+    def kernel_config(self, context: Any) -> dict:
+        return merge_kernel_config(context, self)
+
+
+def merged_table(triple) -> Table:
+    merged, _clusters, _components = triple
+    return Table(merged, schema=HIT_MERGED_SCHEMA)
+
+
+def clusters_table(triple) -> Table:
+    _merged, clusters, _components = triple
+    return Table(
+        {"cluster_index": clusters[:, 0], "hit_index": clusters[:, 1]},
+        schema=HIT_MERGE_CLUSTERS_SCHEMA,
+    )
+
+
+def components_table(triple) -> Table:
+    _merged, _clusters, components = triple
+    return Table(
+        {"merged_index": components[:, 0], "hit_index": components[:, 1]},
+        schema=HIT_MERGED_COMPONENTS_SCHEMA,
+    )
+
+
+class HitMergePlugin(_MergeFamilyPlugin):
     """Merged hit windows per hardware channel."""
 
     provides = "hit_merged"
@@ -101,11 +145,10 @@ class HitMergePlugin(Plugin):
     options = _merge_options()
 
     def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
-        merged, _clusters, _components = _run_merge(context, self, run_id)
-        return Table(merged, schema=HIT_MERGED_SCHEMA)
+        return merged_table(_run_merge(context, self, run_id))
 
 
-class HitMergeClustersPlugin(Plugin):
+class HitMergeClustersPlugin(_MergeFamilyPlugin):
     """(cluster_index, hit_index) membership rows."""
 
     provides = "hit_merge_clusters"
@@ -120,17 +163,10 @@ class HitMergeClustersPlugin(Plugin):
     options = _merge_options()
 
     def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
-        _merged, clusters, _components = _run_merge(context, self, run_id)
-        return Table(
-            {
-                "cluster_index": clusters[:, 0],
-                "hit_index": clusters[:, 1],
-            },
-            schema=HIT_MERGE_CLUSTERS_SCHEMA,
-        )
+        return clusters_table(_run_merge(context, self, run_id))
 
 
-class HitMergedComponentsPlugin(Plugin):
+class HitMergedComponentsPlugin(_MergeFamilyPlugin):
     """(merged_index, hit_index) component rows aligned with hit_merged."""
 
     provides = "hit_merged_components"
@@ -143,11 +179,4 @@ class HitMergedComponentsPlugin(Plugin):
     options = _merge_options()
 
     def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
-        _merged, _clusters, components = _run_merge(context, self, run_id)
-        return Table(
-            {
-                "merged_index": components[:, 0],
-                "hit_index": components[:, 1],
-            },
-            schema=HIT_MERGED_COMPONENTS_SCHEMA,
-        )
+        return components_table(_run_merge(context, self, run_id))

@@ -96,24 +96,52 @@ class S1S2ClassifierPlugin(Plugin):
     def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
         widths = context.get_data(run_id, "waveform_width")
         features = context.get_data(run_id, "basic_features")
+        return self.classify(self.kernel_config(context), widths, features)
+
+    # -- two-phase structure (shared with the fused subgraph executor) -------
+
+    def kernel_config(self, context: Any) -> dict:
+        """Resolve + validate every option the classification depends on."""
+        return {
+            "width_unit": context.get_config(self, "width_unit"),
+            "s1_width_range": _normalize_range(
+                context.get_config(self, "s1_width_range")),
+            "s2_width_range": _normalize_range(
+                context.get_config(self, "s2_width_range")),
+            "s1_area_range": _normalize_range(
+                context.get_config(self, "s1_area_range")),
+            "s2_area_range": _normalize_range(
+                context.get_config(self, "s2_area_range")),
+            "s1_height_range": _normalize_range(
+                context.get_config(self, "s1_height_range")),
+            "s2_height_range": _normalize_range(
+                context.get_config(self, "s2_height_range")),
+            "conflict_policy": context.get_config(self, "conflict_policy"),
+            "strict": bool(context.get_config(self, "strict")),
+        }
+
+    @staticmethod
+    def classify(cfg: dict, widths: Any, features: Any) -> Table:
+        """Pure classification from materialized width/feature tables.
+
+        The standalone compute and the fused executor both call this, so
+        fused outputs are bit-identical by construction (hits are orders of
+        magnitude fewer than samples — this stays a host pass).
+        """
         if not isinstance(widths, Table):
             widths = Table.from_numpy(widths)
         if not isinstance(features, Table):
             features = Table.from_numpy(features)
 
-        width_unit = context.get_config(self, "width_unit")
-        s1_w = _normalize_range(context.get_config(self, "s1_width_range"))
-        s2_w = _normalize_range(context.get_config(self, "s2_width_range"))
-        s1_a = _normalize_range(context.get_config(self, "s1_area_range"))
-        s2_a = _normalize_range(context.get_config(self, "s2_area_range"))
-        s1_h = _normalize_range(context.get_config(self, "s1_height_range"))
-        s2_h = _normalize_range(context.get_config(self, "s2_height_range"))
-        conflict_policy = context.get_config(self, "conflict_policy")
-        strict = context.get_config(self, "strict")
+        width_unit = cfg["width_unit"]
+        s1_w, s2_w = cfg["s1_width_range"], cfg["s2_width_range"]
+        s1_a, s2_a = cfg["s1_area_range"], cfg["s2_area_range"]
+        s1_h, s2_h = cfg["s1_height_range"], cfg["s2_height_range"]
+        conflict_policy = cfg["conflict_policy"]
 
         s1_enabled = any(r is not None for r in (s1_w, s1_a, s1_h))
         s2_enabled = any(r is not None for r in (s2_w, s2_a, s2_h))
-        if strict and not s1_enabled and not s2_enabled:
+        if cfg["strict"] and not s1_enabled and not s2_enabled:
             raise ValueError(
                 "No S1/S2 criteria configured; set ranges or disable strict."
             )

@@ -65,46 +65,70 @@ class SignalPeaksStreamPlugin(StreamingPlugin):
         data = context.get_data(run_id, deps[0])
         yield from data_to_chunks(data, run_id=run_id, data_type=deps[0], cfg=cfg)
 
-    def compute_chunk(self, context: Any, run_id: str, chunk: Chunk) -> Table:
+    # -- device-parallel chunk hooks (plugins/streaming.py _compute_device):
+    # the SAME three phases back compute_chunk, so the host serial/thread
+    # paths and the mesh-sharded path are numerically identical per row.
+    device_parallel = True
+
+    def device_stream_config(self, context: Any) -> dict:
+        return {
+            "height": float(context.get_config(self, "height")),
+            "distance": int(context.get_config(self, "distance")),
+            "prominence": float(context.get_config(self, "prominence")),
+            "width": float(context.get_config(self, "width")),
+        }
+
+    def device_chunk_inputs(
+        self, context: Any, run_id: str, chunk: Chunk
+    ) -> dict:
         data = chunk.data
-        n = len(data)
-        if n == 0:
-            return Table.zeros(0, HIT_SCHEMA)
         if not isinstance(data, Table):
             data = Table.from_numpy(data)
-
-        height = float(context.get_config(self, "height"))
-        distance = int(context.get_config(self, "distance"))
-        prominence = float(context.get_config(self, "prominence"))
-        width = float(context.get_config(self, "width"))
-        dt_cfg = context.get_config(self, "dt")
-
+        n = len(data)
         waves = np.asarray(data["wave"]).astype(np.float32)
-        baselines = np.asarray(data["baseline"], dtype=np.float64) \
-            if "baseline" in data else np.zeros(n)
         pol = np.asarray(data["polarity"], dtype=np.int8) \
             if "polarity" in data else np.full(n, -1, np.int8)
-        sign = np.where(pol > 0, 1.0, -1.0).astype(np.float32)
         lengths = np.asarray(data["event_length"], dtype=np.int64) \
             if "event_length" in data else np.full(n, waves.shape[1], np.int64)
+        return {
+            "waves": waves,
+            "sign": np.where(pol > 0, 1.0, -1.0).astype(np.float32),
+            "lengths": lengths.astype(np.int32),
+        }
 
-        det = sign[:, None] * np.diff(waves, axis=1)
-        results = PK.find_peaks_batch(
-            jnp.asarray(det), height=height, prominence=prominence,
-            width=width, distance=distance,
-            valid_length=jnp.asarray((lengths - 1).astype(np.int32)),
-        )
-        heights = PK.peak_heights_batch(
-            jnp.asarray(waves), results["left_ips"], results["right_ips"],
+    @staticmethod
+    def device_chunk_stage(cfg: dict, inputs: dict) -> dict:
+        """Pure jit-composable per-chunk device program (rows independent,
+        so outputs per row do not depend on the batch shape)."""
+        waves = inputs["waves"]
+        sign = inputs["sign"]
+        det = sign[:, None] * (waves[:, 1:] - waves[:, :-1])
+        results = dict(PK.find_peaks_batch(
+            det, height=cfg["height"], prominence=cfg["prominence"],
+            width=cfg["width"], distance=cfg["distance"],
+            valid_length=jnp.maximum(inputs["lengths"] - 1, 0),
+        ))
+        results["peak_heights"] = PK.peak_heights_batch(
+            waves, results["left_ips"], results["right_ips"],
             results["valid"],
         )
-        results = {k: np.asarray(v) for k, v in results.items()}
+        return results
 
+    def device_chunk_finalize(
+        self, context: Any, run_id: str, chunk: Chunk, stage_out: dict
+    ) -> Table:
+        data = chunk.data
+        if not isinstance(data, Table):
+            data = Table.from_numpy(data)
+        n = len(data)
+        results = {k: np.asarray(v) for k, v in stage_out.items()}
+        heights = results.pop("peak_heights")
         dt = np.asarray(data["dt"], dtype=np.int64) if "dt" in data else None
         if dt is None:
+            dt_cfg = context.get_config(self, "dt")
             dt = np.full(n, int(dt_cfg or 2), dtype=np.int64)
         cols = PK.compact_hits(
-            results, np.asarray(heights),
+            results, heights,
             timestamps=np.asarray(data["timestamp"], np.int64)
             if "timestamp" in data else np.zeros(n, np.int64),
             boards=np.asarray(data["board"], np.int16)
@@ -116,3 +140,14 @@ class SignalPeaksStreamPlugin(StreamingPlugin):
             dt_ns=dt,
         )
         return Table(cols, schema=HIT_SCHEMA)
+
+    def compute_chunk(self, context: Any, run_id: str, chunk: Chunk) -> Table:
+        n = len(chunk.data)
+        if n == 0:
+            return Table.zeros(0, HIT_SCHEMA)
+        cfg = self.device_stream_config(context)
+        inputs = self.device_chunk_inputs(context, run_id, chunk)
+        out = type(self).device_chunk_stage(
+            cfg, {k: jnp.asarray(v) for k, v in inputs.items()}
+        )
+        return self.device_chunk_finalize(context, run_id, chunk, out)

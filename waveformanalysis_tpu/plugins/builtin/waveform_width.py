@@ -72,6 +72,112 @@ class WaveformWidthPlugin(Plugin):
             return ["hit", "filtered_waveforms"]
         return ["hit", "st_waveforms"]
 
+    # -- three-phase structure (shared with the fused subgraph executor) ----
+
+    def kernel_config(self, context: Any) -> dict:
+        return {
+            "use_filtered": bool(context.get_config(self, "use_filtered")),
+            "sampling_rate": float(
+                context.get_config(self, "sampling_rate") or 0.5
+            ),
+            "rise_low": float(context.get_config(self, "rise_low")),
+            "rise_high": float(context.get_config(self, "rise_high")),
+            "fall_high": float(context.get_config(self, "fall_high")),
+            "fall_low": float(context.get_config(self, "fall_low")),
+            "interpolation": bool(context.get_config(self, "interpolation")),
+        }
+
+    def expected_wave_source(self, context: Any) -> str:
+        """Wave source this plugin's crossings read (fusion planning)."""
+        return ("filtered_waveforms"
+                if context.get_config(self, "use_filtered") else "st_waveforms")
+
+    @staticmethod
+    def device_stage(cfg: dict, waves_d: Any, peaks_stage: dict) -> dict:
+        """Pure jit-composable device program: peak slots -> width slots.
+
+        ``peaks_stage`` is the hit plugin's device_stage output over the SAME
+        wave matrix; widths are computed for every fixed-capacity peak slot so
+        the fused executor never round-trips the hit table to host between
+        the two kernels (the standalone path re-uploads the full wave matrix
+        after joining hits on host).
+        """
+        return WD.width_from_peak_slots(
+            waves_d.astype(jnp.float32),
+            peaks_stage["position"],
+            peaks_stage["valid"],
+            rise_low=cfg["rise_low"], rise_high=cfg["rise_high"],
+            fall_high=cfg["fall_high"], fall_low=cfg["fall_low"],
+            interpolation=cfg["interpolation"],
+        )
+
+    # slot fields the finalize step consumes, in the order the fused
+    # executor's device compaction packs them (fusion.py _SLOT_FIELDS)
+    COMPACT_SLOT_FIELDS = (
+        "position", "rise_samples", "fall_samples", "total_samples",
+        "peak_height", "width_valid",
+    )
+    # config keys the device program depends on (jit/program cache key)
+    DEVICE_CFG_KEYS = (
+        "rise_low", "rise_high", "fall_high", "fall_low", "interpolation",
+    )
+
+    def finalize_compact(
+        self, cfg: dict, rows: np.ndarray, slots: dict, meta: dict,
+        dt_ns: np.ndarray,
+    ) -> Table:
+        """Finalize from device-compacted width slots (fused path).
+
+        ``rows``/``slots`` are aligned 1:1 with the emitted hit table
+        (compacted with the hit valid mask in row-major order); the
+        ``width_valid`` filter reproduces the standalone plugin's ``keep``
+        mask, and the hit-column values (timestamp/board/channel/record_id)
+        are recomputed from meta with the exact arithmetic of
+        ops/peaks.hit_columns_from_flat — bit-identical to joining against
+        the materialized hit table.
+        """
+        keep = np.flatnonzero(slots["width_valid"] != 0)
+        rows_k = rows[keep]
+        pos = slots["position"][keep].astype(np.int64)
+        dt = np.asarray(dt_ns, dtype=np.int64)[rows_k]
+        rate = float(cfg["sampling_rate"])
+        rs = slots["rise_samples"][keep]
+        fs = slots["fall_samples"][keep]
+        ts_ = slots["total_samples"][keep]
+        return Table(
+            {
+                "rise_time": (rs / rate).astype(np.float32),
+                "fall_time": (fs / rate).astype(np.float32),
+                "total_width": (ts_ / rate).astype(np.float32),
+                "rise_time_samples": rs.astype(np.float32),
+                "fall_time_samples": fs.astype(np.float32),
+                "total_width_samples": ts_.astype(np.float32),
+                "peak_position": pos,
+                "peak_height": slots["peak_height"][keep].astype(np.float32),
+                "timestamp": np.asarray(meta["timestamp"], np.int64)[rows_k]
+                + pos * dt * 1000,
+                "board": np.asarray(meta["board"], np.int16)[rows_k],
+                "channel": np.asarray(meta["channel"], np.int16)[rows_k],
+                "record_id": np.asarray(meta["record_id"], np.int64)[rows_k],
+            },
+            schema=WAVEFORM_WIDTH_SCHEMA,
+        )
+
+    def finalize(self, cfg: dict, out: dict, meta: dict,
+                 dt_ns: np.ndarray) -> Table:
+        """Finalize from raw (n, K) slot arrays (sharded/unpacked path)."""
+        out = {k: np.asarray(v) for k, v in out.items()}
+        hit_valid = out["valid"].reshape(-1)
+        rows_all = np.repeat(
+            np.arange(out["valid"].shape[0], dtype=np.int64),
+            out["valid"].shape[1],
+        )
+        sel = np.flatnonzero(hit_valid)
+        slots = {
+            f: out[f].reshape(-1)[sel] for f in self.COMPACT_SLOT_FIELDS
+        }
+        return self.finalize_compact(cfg, rows_all[sel], slots, meta, dt_ns)
+
     def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
         use_filtered = context.get_config(self, "use_filtered")
         sampling_rate = context.get_config(self, "sampling_rate") or 0.5

@@ -97,6 +97,14 @@ class StreamingPlugin(Plugin):
 
     output_kind = "stream"
     is_stateful: bool = False
+    # device-parallel chunk execution opt-in: subclasses implementing the
+    # device_stream_config / device_chunk_inputs / device_chunk_stage /
+    # device_chunk_finalize hooks can run streaming_config
+    # executor_type="device" — chunks become shards of a jax Mesh and every
+    # group of n_shards chunks dispatches as ONE shard_map program (the
+    # TPU-native analog of the reference's chunk thread pool,
+    # reference: waveform_analysis/core/plugins/core/streaming.py:740-880)
+    device_parallel: bool = False
     options = {
         "streaming_config": Option(
             default=None, type=dict, track=False,
@@ -134,10 +142,19 @@ class StreamingPlugin(Plugin):
         cfg = StreamingConfig.resolve(context, self)
         chunks = self.input_stream(context, run_id, cfg)
 
-        if self.is_stateful and cfg.parallel:
+        if self.is_stateful and (cfg.parallel or cfg.executor_type == "device"):
             logger.warning(
                 "%s is stateful; forcing serial streaming execution", self.provides
             )
+        if cfg.executor_type == "device":
+            if self.device_parallel and not self.is_stateful:
+                return self._compute_device(context, run_id, chunks, cfg)
+            if not self.is_stateful:
+                logger.warning(
+                    "%s has no device-parallel hooks; falling back to %s",
+                    self.provides, "thread pool" if cfg.parallel else "serial",
+                )
+            cfg.executor_type = "thread"
         if cfg.parallel and not self.is_stateful:
             return self._compute_parallel(context, run_id, chunks, cfg)
         return self._compute_serial(context, run_id, chunks, cfg)
@@ -203,6 +220,142 @@ class StreamingPlugin(Plugin):
                     if out is not None:
                         self._validate_chunk(out)
                         yield out
+
+    # -- device-parallel chunk execution -------------------------------------------
+
+    # subclass hooks (see device_parallel). device_chunk_stage must be a
+    # STATIC, jit-composable function: rows are independent, so per-row
+    # outputs cannot depend on the batch shape — the parity contract the
+    # chunk-invariance tests enforce.
+    def device_stream_config(self, context: Any) -> dict:  # pragma: no cover
+        raise NotImplementedError
+
+    def device_chunk_inputs(
+        self, context: Any, run_id: str, chunk: Chunk
+    ) -> Dict[str, Any]:  # pragma: no cover
+        raise NotImplementedError
+
+    @staticmethod
+    def device_chunk_stage(cfg: dict, inputs: Dict[str, Any]) -> Dict[str, Any]:
+        raise NotImplementedError  # pragma: no cover
+
+    def device_chunk_finalize(
+        self, context: Any, run_id: str, chunk: Chunk, stage_out: Dict[str, Any]
+    ) -> Any:  # pragma: no cover
+        raise NotImplementedError
+
+    _device_programs: Dict[Any, Any] = {}
+
+    def _compute_device(
+        self, context: Any, run_id: str, chunks: Iterator[Chunk],
+        cfg: StreamingConfig,
+    ) -> Generator:
+        """Mesh-sharded chunk executor: each group of n_shards chunks runs as
+        ONE shard_map program, one chunk per device.
+
+        This is the production device path for the chunked streaming runtime
+        (reference thread-pool analog: streaming.py:740-880): chunk windows,
+        halo rows, break segmentation, main-window clipping and boundary
+        validation are EXACTLY the host engine's (chunks come from the same
+        data_to_chunks), only the per-chunk compute fans out over the mesh.
+        Chunk row counts are padded to a shared bucket so repeated groups
+        reuse one compiled program; padding rows are never read back.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        mesh_info = getattr(context, "mesh", None)
+        if mesh_info is not None:
+            mesh, axis = mesh_info
+        else:
+            from waveformanalysis_tpu.parallel.mesh import make_mesh
+
+            mesh, axis = make_mesh(), "data"
+        n_shards = int(mesh.shape[axis])
+        kernel_cfg = self.device_stream_config(context)
+
+        chunk_iter = iter(chunks)
+        while True:
+            group: List[Chunk] = []
+            for chunk in chunk_iter:
+                group.append(chunk)
+                if len(group) >= n_shards:
+                    break
+            if not group:
+                return
+            inputs = [
+                self.device_chunk_inputs(context, run_id, c) for c in group
+            ]
+            keys = sorted(inputs[0])
+            rows = [int(np.asarray(d[keys[0]]).shape[0]) for d in inputs]
+            # bucket the per-chunk row capacity (bounds recompilation)
+            cap = max(512, 1 << int(np.ceil(np.log2(max(max(rows), 1)))))
+            stacked: Dict[str, np.ndarray] = {}
+            for k in keys:
+                a0 = np.asarray(inputs[0][k])
+                out = np.zeros((n_shards * cap,) + a0.shape[1:], a0.dtype)
+                for i, d in enumerate(inputs):
+                    a = np.asarray(d[k])
+                    out[i * cap: i * cap + a.shape[0]] = a
+                stacked[k] = out
+
+            program = self._device_program(
+                mesh, axis, kernel_cfg,
+                tuple((k, stacked[k].shape[1:], str(stacked[k].dtype))
+                      for k in keys),
+            )
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dev_in = {
+                k: jax.device_put(
+                    v, NamedSharding(
+                        mesh, P(axis, *([None] * (v.ndim - 1)))
+                    )
+                )
+                for k, v in stacked.items()
+            }
+            host_out = jax.device_get(program(dev_in))
+            for i, (chunk, r) in enumerate(zip(group, rows)):
+                sub = jax.tree_util.tree_map(
+                    lambda a: a[i * cap: i * cap + r], host_out
+                )
+                result = self.device_chunk_finalize(context, run_id, chunk, sub)
+                out = self._postprocess_result(chunk, result, cfg)
+                if out is not None:
+                    self._validate_chunk(out)
+                    yield out
+
+    def _device_program(self, mesh, axis: str, kernel_cfg: dict, input_spec):
+        """jitted shard_map over device_chunk_stage, cached per (class, cfg,
+        input shapes, mesh)."""
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        key = (
+            type(self), tuple(sorted(kernel_cfg.items())), input_spec,
+            id(mesh), axis,
+        )
+        prog = StreamingPlugin._device_programs.get(key)
+        if prog is not None:
+            return prog
+
+        stage = type(self).device_chunk_stage
+        cfg_c = dict(kernel_cfg)
+
+        def local(inputs):
+            return stage(cfg_c, inputs)
+
+        sharded = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=({k: P(axis) for k, _s, _d in input_spec},),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+        prog = jax.jit(sharded)
+        StreamingPlugin._device_programs[key] = prog
+        return prog
 
     # -- post-processing -----------------------------------------------------------
 

@@ -37,11 +37,14 @@ class EventAnalyzer:
             n_processes=n_processes, backend=backend,
         )
 
-    def pair_events(self, df_events: Any, time_window_ns: Optional[float] = None) -> Any:
+    def pair_events(
+        self, df_events: Any, time_window_ns: Optional[float] = None,
+        backend: str = "auto",
+    ) -> Any:
         tw = time_window_ns if time_window_ns is not None else self.time_window_ns
         return pair_events(
             df_events, tw, n_channels=self.n_channels,
-            start_channel=self.start_channel_slice,
+            start_channel=self.start_channel_slice, backend=backend,
         )
 
     def pair_events_with(
