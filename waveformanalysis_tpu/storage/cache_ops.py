@@ -108,6 +108,41 @@ class CacheAnalyzer:
             "oldest_age_s": max((e.age_s or 0) for e in entries) if entries else 0,
         }
 
+    def statistics(self, run_id: Optional[str] = None) -> "CacheStatsSnapshot":
+        """Reference-shaped cache statistics snapshot
+        (reference: cache_statistics.py CacheStatsCollector.collect):
+        totals, per-run and per-data-name breakdowns, largest/oldest/newest
+        entries, compression counts."""
+        entries = self.scan(run_id)
+        by_run: Dict[str, Dict[str, Any]] = {}
+        by_data: Dict[str, Dict[str, Any]] = {}
+        compressed = 0
+        for e in entries:
+            rid = e.run_id or ""
+            r = by_run.setdefault(rid, {"entries": 0, "bytes": 0})
+            r["entries"] += 1
+            r["bytes"] += e.size_bytes
+            name = _data_name_from_key(e.key, rid)
+            d = by_data.setdefault(name, {"entries": 0, "bytes": 0})
+            d["entries"] += 1
+            d["bytes"] += e.size_bytes
+            if e.data_format and "compress" in str(e.data_format):
+                compressed += 1
+        total = sum(e.size_bytes for e in entries)
+        aged = [e for e in entries if e.age_s is not None]
+        return CacheStatsSnapshot(
+            total_runs=len(by_run),
+            total_entries=len(entries),
+            total_size_bytes=total,
+            compressed_entries=compressed,
+            avg_entry_size_bytes=(total / len(entries)) if entries else 0.0,
+            largest_entry=max(entries, key=lambda e: e.size_bytes, default=None),
+            oldest_entry=max(aged, key=lambda e: e.age_s, default=None),
+            newest_entry=min(aged, key=lambda e: e.age_s, default=None),
+            by_run=by_run,
+            by_data_type=by_data,
+        )
+
     def report(self, run_id: Optional[str] = None) -> str:
         entries = sorted(self.scan(run_id), key=lambda e: -e.size_bytes)
         s = self.summary(run_id)
@@ -122,6 +157,73 @@ class CacheAnalyzer:
                 f"{e.size_bytes / 1e6:>8.2f} {str(e.n_rows or ''):>8} {age_h:>8.2f}"
             )
         return "\n".join(lines)
+
+
+def _data_name_from_key(key: str, run_id: str) -> str:
+    """Data name from a ``{run_id}-{data_name}-{hash8}`` cache key
+    (cache-domain contract, context/cache_domain key_for)."""
+    stem = key
+    if run_id and stem.startswith(f"{run_id}-"):
+        stem = stem[len(run_id) + 1:]
+    # strip the trailing -hash8 (legacy multi-channel keys keep their
+    # _ch{i} suffix inside the hash part and fall away with it)
+    parts = stem.rsplit("-", 1)
+    name = parts[0] if len(parts) == 2 else stem
+    return name or stem
+
+
+def human_size(n_bytes: float) -> str:
+    val = float(n_bytes)
+    for unit in ("B", "KB", "MB", "GB", "TB"):
+        if val < 1024.0 or unit == "TB":
+            return f"{val:.1f} {unit}"
+        val /= 1024.0
+    return f"{val:.1f} TB"
+
+
+@dataclass
+class CacheStatsSnapshot:
+    """Point-in-time cache statistics
+    (reference: cache_statistics.py CacheStatistics dataclass)."""
+
+    total_runs: int
+    total_entries: int
+    total_size_bytes: int
+    compressed_entries: int
+    avg_entry_size_bytes: float
+    largest_entry: Optional[CacheEntry]
+    oldest_entry: Optional[CacheEntry]
+    newest_entry: Optional[CacheEntry]
+    by_run: Dict[str, Dict[str, Any]]
+    by_data_type: Dict[str, Dict[str, Any]]
+
+    @property
+    def total_size_human(self) -> str:
+        return human_size(self.total_size_bytes)
+
+    @property
+    def compression_ratio(self) -> float:
+        return (self.compressed_entries / self.total_entries
+                if self.total_entries else 0.0)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "total_runs": self.total_runs,
+            "total_entries": self.total_entries,
+            "total_size_bytes": self.total_size_bytes,
+            "total_size_human": self.total_size_human,
+            "compressed_entries": self.compressed_entries,
+            "compression_ratio": self.compression_ratio,
+            "avg_entry_size_bytes": self.avg_entry_size_bytes,
+            "largest_entry": self.largest_entry.to_dict()
+            if self.largest_entry else None,
+            "oldest_entry": self.oldest_entry.to_dict()
+            if self.oldest_entry else None,
+            "newest_entry": self.newest_entry.to_dict()
+            if self.newest_entry else None,
+            "by_run": self.by_run,
+            "by_data_type": self.by_data_type,
+        }
 
 
 @dataclass

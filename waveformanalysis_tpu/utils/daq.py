@@ -133,6 +133,63 @@ class DAQRun:
         cols = self.adapter.extract_columns(raw)
         return self.adapter.normalize_timestamp_to_ps(cols["timestamp"])
 
+    # -- acquisition-window analysis -------------------------------------------
+
+    def compute_acquisition_times(
+        self, force_reparse: bool = False
+    ) -> Dict[int, Dict[str, Any]]:
+        """Per-channel acquisition analysis: first/last timetag, duration,
+        sampled event rate (reference: daq_run.py:321)."""
+        out: Dict[int, Dict[str, Any]] = {}
+        for ch, st in self.channel_stats(force=force_reparse).items():
+            duration = st.acquisition_window_s
+            rate = (
+                st.n_events_sampled / duration
+                if duration and st.n_events_sampled else None
+            )
+            out[ch] = {
+                "first_timetag_ps": st.first_timetag_ps,
+                "last_timetag_ps": st.last_timetag_ps,
+                "duration_s": duration,
+                "n_events_sampled": st.n_events_sampled,
+                "sampled_event_rate_hz": rate,
+                "n_files": st.n_files,
+                "total_bytes": st.total_bytes,
+            }
+        return out
+
+    def get_run_acquisition_window(
+        self,
+    ) -> tuple[Optional[int], Optional[int]]:
+        """(earliest first-timetag, latest last-timetag) across channels in
+        ps (reference: daq_run.py:413)."""
+        stats = self.channel_stats()
+        firsts = [s.first_timetag_ps for s in stats.values()
+                  if s.first_timetag_ps is not None]
+        lasts = [s.last_timetag_ps for s in stats.values()
+                 if s.last_timetag_ps is not None]
+        return (min(firsts) if firsts else None,
+                max(lasts) if lasts else None)
+
+    def get_channel_file_details(
+        self, channel: int
+    ) -> Optional[List[Dict[str, Any]]]:
+        """Per-file name/path/size/index rows for one channel
+        (reference: daq_run.py:424)."""
+        groups = self.scan()
+        if channel not in groups:
+            return None
+        out = []
+        for i, f in enumerate(groups[channel]):
+            p = Path(str(f["path"]))
+            out.append({
+                "index": f.get("index", i),
+                "name": p.name,
+                "path": str(p),
+                "size": int(f.get("size", 0)),
+            })
+        return out
+
     # -- reporting ------------------------------------------------------------
 
     def overview(self) -> str:
@@ -170,6 +227,50 @@ class DAQRun:
             json.dump(self.to_dict(), fh, indent=2)
 
 
+def format_size(bytes_val: int) -> str:
+    """Human size (reference: daq_analyzer.py:83)."""
+    val = float(bytes_val)
+    for unit in ("B", "KB", "MB", "GB", "TB"):
+        if val < 1024.0 or unit == "TB":
+            return f"{val:.1f} {unit}" if unit != "B" else f"{int(val)} B"
+        val /= 1024.0
+    return f"{val:.1f} TB"
+
+
+def format_time_ps(ps_val: Optional[int]) -> str:
+    """Human time from a ps timetag (reference: daq_run.py:74)."""
+    if ps_val is None:
+        return "-"
+    s = ps_val / 1e12
+    if s < 1e-6:
+        return f"{ps_val / 1e3:.1f} ns"
+    if s < 1e-3:
+        return f"{ps_val / 1e6:.1f} us"
+    if s < 1.0:
+        return f"{ps_val / 1e9:.1f} ms"
+    if s < 120:
+        return f"{s:.3f} s"
+    return f"{s / 60:.2f} min"
+
+
+_ANSI = {"green": "\x1b[32m", "yellow": "\x1b[33m", "red": "\x1b[31m",
+         "cyan": "\x1b[36m", "bold": "\x1b[1m", "reset": "\x1b[0m"}
+
+
+def _ansi(text: str, color: str, enable: bool) -> str:
+    if not enable or color not in _ANSI:
+        return text
+    return f"{_ANSI[color]}{text}{_ANSI['reset']}"
+
+
+def _size_color(size_bytes: int) -> str:
+    if size_bytes >= 1 << 30:
+        return "red"
+    if size_bytes >= 100 << 20:
+        return "yellow"
+    return "green"
+
+
 class DAQAnalyzer:
     """Multi-run comparisons over a data root
     (reference analog: utils/daq/daq_analyzer.py:43)."""
@@ -177,6 +278,99 @@ class DAQAnalyzer:
     def __init__(self, data_root: str, adapter_name: str = "vx2730") -> None:
         self.data_root = str(data_root)
         self.adapter_name = adapter_name
+        self._runs: Dict[str, DAQRun] = {}
+
+    # -- scanning -------------------------------------------------------------
+
+    def scan_all_runs(self) -> "DAQAnalyzer":
+        """Scan every run under the data root (chainable;
+        reference: daq_analyzer.py:150)."""
+        for name in self.list_runs():
+            run = self.get_run(name)
+            run.scan()
+            self._runs[name] = run
+        return self
+
+    def get_all_runs(self) -> List[DAQRun]:
+        if not self._runs:
+            self.scan_all_runs()
+        return [self._runs[k] for k in sorted(self._runs)]
+
+    # -- display --------------------------------------------------------------
+
+    def display_overview(self, color: bool = True, html: bool = False) -> str:
+        """Colored multi-run overview table: per run, channel count, file
+        count, total size, acquisition window
+        (reference: daq_analyzer.py:276 display_overview — ANSI in
+        terminals, HTML table for notebooks)."""
+        rows = []
+        for run in self.get_all_runs():
+            stats = run.channel_stats()
+            total = sum(s.total_bytes for s in stats.values())
+            n_files = sum(s.n_files for s in stats.values())
+            windows = [s.acquisition_window_s for s in stats.values()
+                       if s.acquisition_window_s is not None]
+            window = max(windows) if windows else None
+            rows.append((run.run_name, len(stats), n_files, total, window))
+
+        if html:
+            parts = ["<table><thead><tr>"]
+            for h in ("run", "channels", "files", "size", "window (s)"):
+                parts.append(f"<th>{h}</th>")
+            parts.append("</tr></thead><tbody>")
+            for name, n_ch, n_files, total, window in rows:
+                wtxt = f"{window:.3f}" if window is not None else "-"
+                parts.append(
+                    f"<tr><td>{name}</td><td>{n_ch}</td><td>{n_files}</td>"
+                    f"<td style='color:{_size_color(total)}'>"
+                    f"{format_size(total)}</td><td>{wtxt}</td></tr>"
+                )
+            parts.append("</tbody></table>")
+            return "".join(parts)
+
+        header = (f"{'run':<24} {'ch':>4} {'files':>6} {'size':>10} "
+                  f"{'window(s)':>10}")
+        lines = [
+            _ansi(f"Data root: {self.data_root}", "bold", color),
+            _ansi(header, "cyan", color),
+        ]
+        for name, n_ch, n_files, total, window in rows:
+            wtxt = f"{window:>10.3f}" if window is not None else f"{'-':>10}"
+            lines.append(
+                f"{name:<24} {n_ch:>4} {n_files:>6} "
+                f"{_ansi(f'{format_size(total):>10}', _size_color(total), color)} "
+                f"{wtxt}"
+            )
+        return "\n".join(lines)
+
+    def display_run_channel_details(
+        self, run_name: str, show_files: bool = False, color: bool = True,
+    ) -> "DAQAnalyzer":
+        """Print per-channel detail for one run; chainable
+        (reference: daq_analyzer.py:427)."""
+        run = self._runs.get(run_name) or self.get_run(run_name)
+        stats = run.channel_stats()
+        print(_ansi(f"Run {run_name} ({len(stats)} channels)", "bold", color))
+        print(f"{'ch':>4} {'files':>6} {'size':>10} {'first tag':>14} "
+              f"{'last tag':>14} {'window':>10}")
+        for ch in sorted(stats):
+            st = stats[ch]
+            print(
+                f"{ch:>4} {st.n_files:>6} "
+                f"{_ansi(f'{format_size(st.total_bytes):>10}', _size_color(st.total_bytes), color)} "
+                f"{format_time_ps(st.first_timetag_ps):>14} "
+                f"{format_time_ps(st.last_timetag_ps):>14} "
+                f"{st.acquisition_window_s if st.acquisition_window_s is not None else float('nan'):>10.3f}"
+            )
+            if show_files:
+                for info in run.get_channel_file_details(ch) or []:
+                    print(f"       {info['name']:<40} "
+                          f"{format_size(info['size']):>10}")
+        return self
+
+    def save_to_json(self, path: str) -> None:
+        with open(path, "w") as fh:
+            json.dump(self.to_dict(), fh, indent=2)
 
     def list_runs(self) -> List[str]:
         root = Path(self.data_root)
