@@ -224,3 +224,54 @@ def test_sharded_chain_scan_multidevice():
     assert out["n_s2"] == np.sum(single["label"] == 2)
     np.testing.assert_allclose(out["total_area"], single["area"].sum(),
                                rtol=1e-5)
+
+
+class TestKSpecialization:
+    """Per-block occupancy-specialized pass variants (roofline probe,
+    BENCHMARKS.md r3): a block whose pass-1 maxima fit K_SMALL slots runs
+    slot loops compiled at K_SMALL. Outputs must be bit-identical to the
+    unspecialized kernel on both low- and high-occupancy data."""
+
+    def _run(self, monkeypatch, k_small, waves, el, bl, pol, cfg):
+        monkeypatch.setenv("WFA_CHAIN_K_SMALL", str(k_small))
+        return chain_scan_pallas(
+            jnp.asarray(waves), jnp.asarray(el), jnp.asarray(bl),
+            jnp.asarray(pol), cfg, interpret=True,
+        )
+
+    def test_specialized_matches_unspecialized(self, monkeypatch):
+        n, L = 96, 64
+        cfg = ChainConfig(use_derivative=False, peak_height=80.0,
+                          peak_prominence=50.0, peak_width=2.0)
+        # one clean pulse per event -> low occupancy (K_SMALL branch)
+        waves = _mixed_waves(n, L, seed=11)
+        el = np.full(n, L, np.int32)
+        bl = np.full(n, 1000.0, np.float32)
+        pol = np.full(n, 1, np.int8)
+        base = self._run(monkeypatch, 0, waves, el, bl, pol, cfg)
+        spec = self._run(monkeypatch, 2, waves, el, bl, pol, cfg)
+        for k in base:
+            np.testing.assert_array_equal(
+                np.asarray(base[k]), np.asarray(spec[k]), err_msg=k
+            )
+
+    def test_high_occupancy_takes_full_branch(self, monkeypatch):
+        n, L = 64, 64
+        cfg = ChainConfig(use_derivative=False, peak_height=10.0,
+                          peak_prominence=1.0, peak_width=1.0,
+                          hit_threshold=5.0, max_peaks=8, max_hits=8)
+        # dense noise: many candidates/runs per event (> K_SMALL)
+        rng = np.random.default_rng(5)
+        waves = np.round(
+            1000 + 60 * rng.standard_normal((n, L))
+        ).astype(np.int16)
+        el = np.full(n, L, np.int32)
+        bl = np.full(n, 1000.0, np.float32)
+        pol = np.full(n, 1, np.int8)
+        base = self._run(monkeypatch, 0, waves, el, bl, pol, cfg)
+        spec = self._run(monkeypatch, 2, waves, el, bl, pol, cfg)
+        assert int(np.asarray(spec["n_peaks"]).sum()) > n  # busy data
+        for k in base:
+            np.testing.assert_array_equal(
+                np.asarray(base[k]), np.asarray(spec[k]), err_msg=k
+            )

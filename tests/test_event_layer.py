@@ -330,3 +330,110 @@ class TestProfiles:
         assert len(get_profile("tpu")) == len(get_profile("cpu"))
         with pytest.raises(KeyError):
             get_profile("bogus")
+
+
+class TestColumnarEvents:
+    """Columnar events representation (events table + flat hits + offsets):
+    the device-friendly alternative to df_events' object cells
+    (ops/grouping.group_events_columnar + the events/event_hits plugins)."""
+
+    def _df(self, n=200, seed=3):
+        rng = np.random.default_rng(seed)
+        ts = np.sort(rng.integers(0, 10**9, n)).astype(np.int64)
+        return pd.DataFrame({
+            "timestamp": ts,
+            "channel": rng.integers(0, 3, n).astype(np.int16),
+            "area": rng.normal(100, 10, n),
+            "height": rng.normal(10, 1, n),
+        })
+
+    def test_columnar_matches_df_events_cells(self):
+        df = self._df()
+        ev_df = G.group_multi_channel_hits(df, time_window_ns=250)
+        cols = G.group_events_columnar(df, time_window_ns=250)
+        assert len(ev_df) == len(cols["event_id"])
+        np.testing.assert_array_equal(ev_df["t_min"], cols["t_min"])
+        np.testing.assert_array_equal(ev_df["t_max"], cols["t_max"])
+        np.testing.assert_array_equal(ev_df["n_hits"], cols["n_hits"])
+        np.testing.assert_array_equal(ev_df["dt/ns"], cols["dt_ns"])
+        # flat hits slice back into exactly the df_events cells
+        off = cols["hit_offset"]
+        for i in range(len(ev_df)):
+            lo, hi = int(off[i]), int(off[i]) + int(cols["n_hits"][i])
+            np.testing.assert_array_equal(
+                cols["hit_channel"][lo:hi], ev_df["channels"].iloc[i])
+            np.testing.assert_array_equal(
+                cols["hit_area"][lo:hi], ev_df["areas"].iloc[i])
+            np.testing.assert_array_equal(
+                cols["hit_timestamp"][lo:hi], ev_df["timestamps"].iloc[i])
+            np.testing.assert_array_equal(
+                cols["hit_event_id"][lo:hi], np.full(hi - lo, i))
+
+    def test_columnar_device_backend_matches_host(self):
+        df = self._df(seed=9)
+        host = G.group_events_columnar(df, time_window_ns=250, backend="host")
+        dev = G.group_events_columnar(df, time_window_ns=250, backend="device")
+        for k in host:
+            np.testing.assert_array_equal(host[k], dev[k], err_msg=k)
+
+    def test_columnar_empty(self):
+        empty = pd.DataFrame({"timestamp": [], "channel": [], "area": [],
+                              "height": []})
+        cols = G.group_events_columnar(empty, time_window_ns=100)
+        assert len(cols["event_id"]) == 0 and len(cols["hit_area"]) == 0
+
+    def test_pair_events_columnar_matches_pandas_path(self):
+        df = self._df(seed=5)
+        ev_df = G.group_multi_channel_hits(df, time_window_ns=250)
+        cols = G.group_events_columnar(df, time_window_ns=250)
+        ref = G.pair_events(ev_df, time_window_ns=400, n_channels=3)
+        for backend in ("host", "device"):
+            got = G.pair_events_columnar(
+                cols, cols, time_window_ns=400, n_channels=3,
+                backend=backend,
+            )
+            assert len(got) == len(ref), backend
+            for col in ("event_id", "t_min", "t_max", "dt/ns", "n_hits",
+                        "delta_t", "area_ch0", "area_ch1", "area_ch2",
+                        "height_ch0", "height_ch1", "height_ch2"):
+                np.testing.assert_array_equal(
+                    np.asarray(ref[col]), np.asarray(got[col]),
+                    err_msg=f"{backend}:{col}",
+                )
+
+    def test_plugins_through_context(self, event_ctx):
+        from waveformanalysis_tpu.plugins.builtin.event_analysis import (
+            EventHitsPlugin,
+            EventsPlugin,
+        )
+
+        event_ctx.register(EventsPlugin(), EventHitsPlugin())
+        ev = event_ctx.get_data("test_run", "events")
+        hits = event_ctx.get_data("test_run", "event_hits")
+        ev_df = event_ctx.get_data("test_run", "df_events")
+        assert len(ev) == len(ev_df) == 6
+        np.testing.assert_array_equal(np.asarray(ev["t_min"]),
+                                      ev_df["t_min"].to_numpy())
+        assert len(hits) == int(np.asarray(ev["n_hits"]).sum()) == 12
+
+    def test_df_paired_columnar_source(self, event_ctx):
+        from waveformanalysis_tpu.plugins.builtin.event_analysis import (
+            EventHitsPlugin,
+            EventsPlugin,
+        )
+
+        event_ctx.register(EventsPlugin(), EventHitsPlugin())
+        ref = event_ctx.get_data("test_run", "df_paired")
+
+        ctx2 = event_ctx.clone()
+        ctx2.set_config({"df_paired": {"events_source": "columnar"}})
+        got = ctx2.get_data("test_run", "df_paired")
+        assert len(got) == len(ref) > 0
+        for col in ("event_id", "t_min", "t_max", "n_hits", "delta_t",
+                    "area_ch0", "area_ch1", "height_ch0", "height_ch1"):
+            np.testing.assert_array_equal(
+                np.asarray(ref[col]), np.asarray(got[col]), err_msg=col
+            )
+        # lineage differs: events_source is a tracked option
+        assert ctx2.key_for("test_run", "df_paired") != \
+            event_ctx.key_for("test_run", "df_paired")

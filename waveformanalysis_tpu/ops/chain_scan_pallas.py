@@ -115,6 +115,7 @@ def _chain_scan_kernel(
     s2_width_min: float,
     baseline_samples: int,
     unrolled: bool = True,
+    k_small: int = 2,
 ):
     S = (_SUB, _LANE)
     f32 = jnp.float32
@@ -227,7 +228,8 @@ def _chain_scan_kernel(
     max_runs_s = jnp.max(jnp.minimum(n_runs, K_hits))
 
     # ======================= pass 1h: hit-run slots =========================
-    def p1h(t, c):
+    def make_p1h(kh_eff):
+      def p1h(t, c):
         prev_on_i, run_idx = c
         prev_on = prev_on_i > 0
         w_t = wv(t)
@@ -238,7 +240,7 @@ def _chain_scan_kernel(
         is_start = on & ~prev_on
         ended_prev = prev_on & ~on   # run's exclusive end = t
 
-        for k in range(K_hits):
+        for k in range(kh_eff):
             def close_slot(k=k):
                 started_k = hseg_sc[2 * K_hits + k, :, :] > 0
                 ended_k = hseg_sc[3 * K_hits + k, :, :] > 0
@@ -262,7 +264,7 @@ def _chain_scan_kernel(
             w_b = w_ref[jnp.maximum(t - back, 0), :, :].astype(f32)
             sp_b = jnp.maximum(sign * (w_b - bl), 0.0)
             retro = retro + _sel((zi + t - back) >= 0, sp_b, 0.0)
-        for k in range(K_hits):
+        for k in range(kh_eff):
             def open_slot(k=k, retro=retro):
                 open_k = is_start & (run_idx == k)
                 hseg_sc[k, :, :] = _sel(
@@ -279,7 +281,7 @@ def _chain_scan_kernel(
             open_slot()
 
         run_idx = run_idx + (is_start & (run_idx < K_hits)).astype(i32)
-        for k in range(K_hits):
+        for k in range(kh_eff):
             def accum_slot(k=k):
                 started_k = hseg_sc[2 * K_hits + k, :, :] > 0
                 ended_k = hseg_sc[3 * K_hits + k, :, :] > 0
@@ -290,10 +292,25 @@ def _chain_scan_kernel(
                                         hacc_sc[k, :, :])
             accum_slot()
         return (on.astype(i32), run_idx)
+      return p1h
 
-    def run_p1h():
-        _scan_steps(L, p1h, (zi, zi), unrolled)
-    pl.when(max_runs_s > 0)(run_p1h)
+    # per-BLOCK occupancy SPECIALIZATION (roofline probe, BENCHMARKS.md r3):
+    # ~80% of per-sample ops are K-indexed slot work; blocks whose pass-1
+    # maxima fit K_SMALL slots run a variant compiled with the slot loops at
+    # K_SMALL. Block-scalar pl.when branches — NOT the per-slot per-sample
+    # gates r2 measured 40% slower. Slots >= K_SMALL keep their init values,
+    # which downstream combines mask out (cand_valid / started_k are False
+    # for every event in such a block).
+    def _run_p1h(kh_eff):
+        def run():
+            _scan_steps(L, make_p1h(kh_eff), (zi, zi), unrolled)
+        return run
+
+    if k_small and k_small < K_hits:
+        pl.when((max_runs_s > 0) & (max_runs_s <= k_small))(_run_p1h(k_small))
+        pl.when(max_runs_s > k_small)(_run_p1h(K_hits))
+    else:
+        pl.when(max_runs_s > 0)(_run_p1h(K_hits))
 
     # a started run is always valid: it was either closed during the scan or
     # stays open to the wave end (integral then covers [seg_s, L))
@@ -371,10 +388,11 @@ def _chain_scan_kernel(
         prm_sc[3 * K + k, :, :] = jnp.full(S, float(L), f32)
         prm_sc[4 * K + k, :, :] = zf
 
-    def p2(t, c):
+    def make_p2(k_eff):
+      def p2(t, c):
         x_t = x_at(t)
         in_det_t = (zi + t) < det_len
-        for k in range(K):
+        for k in range(k_eff):
             def prom_slot(k=k, x_t=x_t, in_det_t=in_det_t):
                 p = pos_s[k]
                 v = val_s[k]
@@ -399,10 +417,23 @@ def _chain_scan_kernel(
                 prm_sc[K + k, :, :] = _sel(updr, x_t, prm_sc[K + k, :, :])
             prom_slot()
         return c
+      return p2
 
-    def run_p2():
-        _scan_steps(L, p2, 0, unrolled)
-    pl.when(max_cands_s > 0)(run_p2)
+    def _gated_cand_pass(make_body):
+        def runner(k_eff):
+            def run():
+                _scan_steps(L, make_body(k_eff), 0, unrolled)
+            return run
+
+        if k_small and k_small < K:
+            pl.when((max_cands_s > 0) & (max_cands_s <= k_small))(
+                runner(k_small)
+            )
+            pl.when(max_cands_s > k_small)(runner(K))
+        else:
+            pl.when(max_cands_s > 0)(runner(K))
+
+    _gated_cand_pass(make_p2)
 
     if _DEBUG_PASSES <= 2:
         _write_minimal()
@@ -429,12 +460,13 @@ def _chain_scan_kernel(
         crs_sc[5 * K + k, :, :] = jnp.full(S, _NEG, f32)
         crs_sc[6 * K + k, :, :] = zf
 
-    def p3(t, c):
+    def make_p3(k_eff):
+      def p3(t, c):
         x_t = x_at(t)
         x_p = x_at(jnp.maximum(t - 1, 0))
         in_det_t = (zi + t) < det_len
         tf = (zi + t).astype(f32)
-        for k in range(K):
+        for k in range(k_eff):
             def cross_slot(k=k, x_t=x_t, x_p=x_p, in_det_t=in_det_t, tf=tf):
                 p = pos_s[k]
                 arm = crs_sc[6 * K + k, :, :] > 0
@@ -458,10 +490,9 @@ def _chain_scan_kernel(
                                                crs_sc[5 * K + k, :, :])
             cross_slot()
         return c
+      return p3
 
-    def run_p3():
-        _scan_steps(L, p3, 0, unrolled)
-    pl.when(max_cands_s > 0)(run_p3)
+    _gated_cand_pass(make_p3)
 
     lips, rips, final_valid = [], [], []
     for k in range(K):
@@ -509,9 +540,10 @@ def _chain_scan_kernel(
         ph_sc[k, :, :] = jnp.full(S, -_INF, f32)
         ph_sc[K + k, :, :] = jnp.full(S, _INF, f32)
 
-    def p4(t, c):
+    def make_p4(k_eff):
+      def p4(t, c):
         w_t = wv(t)
-        for k in range(K):
+        for k in range(k_eff):
             def height_slot(k=k, w_t=w_t):
                 inw = ((zi + t) >= ws[k]) & ((zi + t) < we[k])
                 ph_sc[k, :, :] = _sel(inw, jnp.maximum(ph_sc[k, :, :], w_t),
@@ -522,10 +554,9 @@ def _chain_scan_kernel(
                 )
             height_slot()
         return c
+      return p4
 
-    def run_p4():
-        _scan_steps(L, p4, 0, unrolled)
-    pl.when(max_cands_s > 0)(run_p4)
+    _gated_cand_pass(make_p4)
     pheights = [
         _sel(final_valid[k] & (ws[k] < we[k]),
              ph_sc[k, :, :] - ph_sc[K + k, :, :], 0.0)
@@ -661,6 +692,23 @@ def _chain_scan_kernel(
     nruns_ref[:] = n_runs
 
 
+def _k_small_setting(interpret: bool) -> int:
+    """Occupancy-specialization width (0 disables; roofline probe,
+    BENCHMARKS.md r3). Env WFA_CHAIN_K_SMALL overrides for A/B runs.
+    Interpret mode (CPU tests) defaults OFF: the extra per-pass variants
+    double trace time, which dominates there; a dedicated parity test sets
+    the env var explicitly."""
+    import os
+
+    raw = os.environ.get("WFA_CHAIN_K_SMALL")
+    if raw is None:
+        return 0 if interpret else 2
+    try:
+        return int(raw)
+    except ValueError:
+        return 0 if interpret else 2
+
+
 def chain_scan_pallas(
     waves: jax.Array,
     event_length: jax.Array,
@@ -713,6 +761,7 @@ def chain_scan_pallas(
         s2_width_min=float(cfg.s2_width_min),
         baseline_samples=50,
         unrolled=not interpret,
+        k_small=_k_small_setting(interpret),
     )
 
     grid = (n_pad // BLOCK_EVENTS,)
@@ -916,10 +965,11 @@ def _peaks_scan_kernel(
         prm_sc[3 * K + k, :, :] = jnp.full(S, float(L), f32)
         prm_sc[4 * K + k, :, :] = zf
 
-    def p2(t, c):
+    def make_p2(k_eff):
+      def p2(t, c):
         x_t = x_at(t)
         in_det_t = (zi + t) < det_len
-        for k in range(K):
+        for k in range(k_eff):
             def prom_slot(k=k, x_t=x_t, in_det_t=in_det_t):
                 p = pos_s[k]
                 v = val_s[k]
@@ -944,10 +994,23 @@ def _peaks_scan_kernel(
                 prm_sc[K + k, :, :] = _sel(updr, x_t, prm_sc[K + k, :, :])
             prom_slot()
         return c
+      return p2
 
-    def run_p2():
-        _scan_steps(L, p2, 0, unrolled)
-    pl.when(max_cands_s > 0)(run_p2)
+    def _gated_cand_pass(make_body):
+        def runner(k_eff):
+            def run():
+                _scan_steps(L, make_body(k_eff), 0, unrolled)
+            return run
+
+        if k_small and k_small < K:
+            pl.when((max_cands_s > 0) & (max_cands_s <= k_small))(
+                runner(k_small)
+            )
+            pl.when(max_cands_s > k_small)(runner(K))
+        else:
+            pl.when(max_cands_s > 0)(runner(K))
+
+    _gated_cand_pass(make_p2)
 
     lbase = [prm_sc[2 * K + k, :, :].astype(i32) for k in range(K)]
     rbase = [prm_sc[3 * K + k, :, :].astype(i32) for k in range(K)]
@@ -969,12 +1032,13 @@ def _peaks_scan_kernel(
         crs_sc[5 * K + k, :, :] = jnp.full(S, _NEG, f32)
         crs_sc[6 * K + k, :, :] = zf
 
-    def p3(t, c):
+    def make_p3(k_eff):
+      def p3(t, c):
         x_t = x_at(t)
         x_p = x_at(jnp.maximum(t - 1, 0))
         in_det_t = (zi + t) < det_len
         tf = (zi + t).astype(f32)
-        for k in range(K):
+        for k in range(k_eff):
             def cross_slot(k=k, x_t=x_t, x_p=x_p, in_det_t=in_det_t, tf=tf):
                 p = pos_s[k]
                 arm = crs_sc[6 * K + k, :, :] > 0
@@ -998,10 +1062,9 @@ def _peaks_scan_kernel(
                                                crs_sc[5 * K + k, :, :])
             cross_slot()
         return c
+      return p3
 
-    def run_p3():
-        _scan_steps(L, p3, 0, unrolled)
-    pl.when(max_cands_s > 0)(run_p3)
+    _gated_cand_pass(make_p3)
 
     for k in range(K):
         jl_k = crs_sc[k, :, :]
@@ -1230,7 +1293,7 @@ def _hits_scan_kernel(
                     )
             open_slot()
         run_idx = run_idx + (is_start & (run_idx < K_hits)).astype(i32)
-        for k in range(K_hits):
+        for k in range(kh_eff):
             def accum_slot(k=k):
                 started_k = hseg_sc[2 * K_hits + k, :, :] > 0
                 ended_k = hseg_sc[3 * K_hits + k, :, :] > 0

@@ -79,6 +79,55 @@ def chained_gap_cluster_ids(
     return np.concatenate([[0], np.cumsum(new)]).astype(np.int64)
 
 
+def _group_events_core(
+    df: Any, time_window_ns: float, backend: str
+) -> Optional[Dict[str, np.ndarray]]:
+    """Shared grouping core: sort, cluster, channel-sort within clusters.
+
+    Returns flat columns in EVENT-MAJOR, CHANNEL-SORTED-WITHIN-EVENT order
+    (the exact order the df_events cells carry) plus boundaries and
+    per-event t_min/t_max; None for an empty input.
+    """
+    time_window_ps = time_window_ns * 1e3
+    df_sorted = df.sort_values("timestamp").reset_index(drop=True)
+
+    ts_all = df_sorted["timestamp"].to_numpy()
+    ch_all = df_sorted["channel"].to_numpy()
+    area_col = "area" if "area" in df_sorted.columns else "charge"
+    height_col = "height" if "height" in df_sorted.columns else "peak"
+    if area_col not in df_sorted.columns or height_col not in df_sorted.columns:
+        raise KeyError("df must contain area/height (or charge/peak) columns")
+
+    n = len(df_sorted)
+    if n == 0:
+        return None
+
+    if _resolve_backend(backend, n) == "device":
+        from waveformanalysis_tpu.ops import grouping_device as GD
+
+        eid = GD.anchor_window_event_ids(ts_all.astype(np.int64), time_window_ps)
+        boundaries = GD.boundaries_from_event_ids(np.asarray(eid))
+    else:
+        boundaries = anchor_window_boundaries(ts_all.astype(np.int64), time_window_ps)
+    n_events = len(boundaries) - 1
+    event_of = np.repeat(np.arange(n_events), np.diff(boundaries))
+
+    # channel-sort inside clusters with ONE global lexsort
+    order = np.lexsort((ch_all, event_of))
+    return {
+        "boundaries": boundaries,
+        "n_events": n_events,
+        "event_of": event_of,  # already non-decreasing; order preserves it
+        "ts_sorted": ts_all,  # time-sorted (for reduceat aggregates)
+        "ts": ts_all[order],
+        "channel": ch_all[order],
+        "area": df_sorted[area_col].to_numpy()[order],
+        "height": df_sorted[height_col].to_numpy()[order],
+        "t_min": np.minimum.reduceat(ts_all, boundaries[:-1]),
+        "t_max": np.maximum.reduceat(ts_all, boundaries[:-1]),
+    }
+
+
 def group_multi_channel_hits(
     df: Any,
     time_window_ns: float,
@@ -93,50 +142,19 @@ def group_multi_channel_hits(
     """
     import pandas as pd
 
-    time_window_ps = time_window_ns * 1e3
-    df_sorted = df.sort_values("timestamp").reset_index(drop=True)
+    core = _group_events_core(df, time_window_ns, backend)
+    if core is None:
+        return pd.DataFrame(columns=[
+            "event_id", "t_min", "t_max", "dt/ns", "n_hits",
+            "channels", "areas", "heights", "timestamps",
+        ])
 
-    ts_all = df_sorted["timestamp"].to_numpy()
-    ch_all = df_sorted["channel"].to_numpy()
-    area_col = "area" if "area" in df_sorted.columns else "charge"
-    height_col = "height" if "height" in df_sorted.columns else "peak"
-    if area_col not in df_sorted.columns or height_col not in df_sorted.columns:
-        raise KeyError("df must contain area/height (or charge/peak) columns")
-    area_all = df_sorted[area_col].to_numpy()
-    height_all = df_sorted[height_col].to_numpy()
-
-    empty_cols = ["event_id", "t_min", "t_max", "dt/ns", "n_hits",
-                  "channels", "areas", "heights", "timestamps"]
-    n = len(df_sorted)
-    if n == 0:
-        return pd.DataFrame(columns=empty_cols)
-
-    if _resolve_backend(backend, n) == "device":
-        from waveformanalysis_tpu.ops import grouping_device as GD
-
-        eid = GD.anchor_window_event_ids(ts_all.astype(np.int64), time_window_ps)
-        boundaries = GD.boundaries_from_event_ids(np.asarray(eid))
-    else:
-        boundaries = anchor_window_boundaries(ts_all.astype(np.int64), time_window_ps)
-    n_events = len(boundaries) - 1
-    event_of = np.repeat(np.arange(n_events), np.diff(boundaries))
-
-    # channel-sort inside clusters with ONE global lexsort
-    order = np.lexsort((ch_all, event_of))
-    ts_s, ch_s = ts_all[order], ch_all[order]
-    area_s, height_s = area_all[order], height_all[order]
-
+    boundaries = core["boundaries"]
+    n_events = core["n_events"]
     # direct view slicing: np.split's swapaxes path costs ~25 us per piece
     bl = boundaries.tolist()
     pairs = list(zip(bl[:-1], bl[1:]))
-    channels_list = [ch_s[lo:hi] for lo, hi in pairs]
-    areas_list = [area_s[lo:hi] for lo, hi in pairs]
-    heights_list = [height_s[lo:hi] for lo, hi in pairs]
-    ts_list = [ts_s[lo:hi] for lo, hi in pairs]
-
-    # t_min/t_max per cluster (vectorized via reduceat on the time-sorted view)
-    t_mins = np.minimum.reduceat(ts_all, boundaries[:-1])
-    t_maxs = np.maximum.reduceat(ts_all, boundaries[:-1])
+    t_mins, t_maxs = core["t_min"], core["t_max"]
 
     return pd.DataFrame(
         {
@@ -145,12 +163,57 @@ def group_multi_channel_hits(
             "t_max": t_maxs.astype(np.int64),
             "dt/ns": (t_maxs - t_mins) / 1e3,
             "n_hits": np.diff(boundaries).astype(np.int32),
-            "channels": channels_list,
-            "areas": areas_list,
-            "heights": heights_list,
-            "timestamps": ts_list,
+            "channels": [core["channel"][lo:hi] for lo, hi in pairs],
+            "areas": [core["area"][lo:hi] for lo, hi in pairs],
+            "heights": [core["height"][lo:hi] for lo, hi in pairs],
+            "timestamps": [core["ts"][lo:hi] for lo, hi in pairs],
         }
     )
+
+
+def group_events_columnar(
+    df: Any,
+    time_window_ns: float,
+    backend: str = "auto",
+) -> Dict[str, np.ndarray]:
+    """Columnar event grouping: events table + flat hits + offsets.
+
+    The TPU-native alternative to df_events' per-event object cells (the
+    reference's pandas contract, event_grouping.py:99-270): the SAME
+    clustering emits two flat column sets the device kernels consume
+    directly — no ragged python lists, no per-event DataFrame cell build.
+
+    Returns:
+      events: event_id, t_min, t_max, dt_ns, n_hits, hit_offset
+      hits:   hit_event_id, hit_channel, hit_area, hit_height, hit_timestamp
+              (event-major, channel-sorted within each event — bit-identical
+              values/order to the df_events cells)
+    """
+    core = _group_events_core(df, time_window_ns, backend)
+    if core is None:
+        z = np.zeros(0, np.int64)
+        return {
+            "event_id": z, "t_min": z, "t_max": z,
+            "dt_ns": np.zeros(0, np.float64),
+            "n_hits": np.zeros(0, np.int32), "hit_offset": z,
+            "hit_event_id": z, "hit_channel": np.zeros(0, np.int16),
+            "hit_area": np.zeros(0, np.float64),
+            "hit_height": np.zeros(0, np.float64), "hit_timestamp": z,
+        }
+    boundaries = core["boundaries"]
+    return {
+        "event_id": np.arange(core["n_events"], dtype=np.int64),
+        "t_min": core["t_min"].astype(np.int64),
+        "t_max": core["t_max"].astype(np.int64),
+        "dt_ns": (core["t_max"] - core["t_min"]) / 1e3,
+        "n_hits": np.diff(boundaries).astype(np.int32),
+        "hit_offset": boundaries[:-1].astype(np.int64),
+        "hit_event_id": core["event_of"].astype(np.int64),
+        "hit_channel": core["channel"].astype(np.int16),
+        "hit_area": core["area"].astype(np.float64),
+        "hit_height": core["height"].astype(np.float64),
+        "hit_timestamp": core["ts"].astype(np.int64),
+    }
 
 
 def group_hit_windows(
@@ -370,6 +433,86 @@ def _pair_events_device_path(
         df_paired[f"area_ch{start_channel + i}"] = out["area_ch"][keep, i]
         df_paired[f"height_ch{start_channel + i}"] = out["height_ch"][keep, i]
     return df_paired
+
+
+def pair_events_columnar(
+    events: Any,
+    event_hits: Any,
+    time_window_ns: float,
+    n_channels: int,
+    start_channel: int = 0,
+    backend: str = "auto",
+) -> Any:
+    """Pairing over the columnar (events + flat hits) representation.
+
+    Same filter + derived columns as :func:`pair_events`, but consuming the
+    flat layout directly — the per-event object cells never exist, so the
+    returned DataFrame carries SCALAR columns only (event_id, t_min, t_max,
+    dt/ns, n_hits, delta_t, area_ch*/height_ch*). The flat gathers run on
+    device for backend=device (ops/grouping_device.pair_events_device).
+    """
+    import pandas as pd
+
+    ev = {k: np.asarray(events[k]) for k in
+          ("event_id", "t_min", "t_max", "dt_ns", "n_hits", "hit_offset")}
+    hits = {k: np.asarray(event_hits[k]) for k in
+            ("hit_timestamp", "hit_area", "hit_height")}
+    n_events = len(ev["event_id"])
+    offsets = ev["hit_offset"].astype(np.int64)
+    counts = ev["n_hits"].astype(np.int64)
+    span = ev["dt_ns"].astype(np.float64)
+
+    if n_events and _resolve_backend(backend, n_events) == "device":
+        from waveformanalysis_tpu.ops import grouping_device as GD
+
+        out = GD.pair_events_device(
+            (hits["hit_timestamp"], offsets, counts),
+            (hits["hit_area"], offsets, counts),
+            (hits["hit_height"], offsets, counts),
+            span, time_window_ns, n_channels=n_channels,
+        )
+        keep = out["keep"]
+        delta_t = out["delta_t"]
+        area_ch = out["area_ch"]
+        height_ch = out["height_ch"]
+    else:
+        keep = span <= time_window_ns
+        has = counts > 0
+        hi = max(len(hits["hit_timestamp"]) - 1, 0)
+        ts_f = hits["hit_timestamp"]
+        first = ts_f[np.clip(offsets, 0, hi)] if len(ts_f) else \
+            np.zeros(n_events, np.int64)
+        last = ts_f[np.clip(offsets + counts - 1, 0, hi)] if len(ts_f) else \
+            np.zeros(n_events, np.int64)
+        delta_t = np.where(has, (last - first) / 1000.0, np.nan)
+
+        def take(flat, idx):
+            ok = counts > idx
+            pos = np.minimum(offsets + idx, max(len(flat) - 1, 0))
+            out_col = np.full(n_events, np.nan)
+            if len(flat):
+                out_col[ok] = flat[pos[ok]]
+            return out_col
+
+        area_ch = np.stack(
+            [take(hits["hit_area"], i) for i in range(n_channels)], axis=1
+        ) if n_channels else np.zeros((n_events, 0))
+        height_ch = np.stack(
+            [take(hits["hit_height"], i) for i in range(n_channels)], axis=1
+        ) if n_channels else np.zeros((n_events, 0))
+
+    cols = {
+        "event_id": ev["event_id"][keep],
+        "t_min": ev["t_min"][keep],
+        "t_max": ev["t_max"][keep],
+        "dt/ns": span[keep],
+        "n_hits": ev["n_hits"][keep],
+        "delta_t": delta_t[keep],
+    }
+    for i in range(n_channels):
+        cols[f"area_ch{start_channel + i}"] = area_ch[keep, i]
+        cols[f"height_ch{start_channel + i}"] = height_ch[keep, i]
+    return pd.DataFrame(cols)
 
 
 def pair_events(

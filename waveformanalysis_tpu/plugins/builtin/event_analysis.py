@@ -13,6 +13,7 @@ from typing import Any, Dict
 
 import numpy as np
 
+from waveformanalysis_tpu.dtypes.schema import Field, Schema
 from waveformanalysis_tpu.dtypes.table import Table
 from waveformanalysis_tpu.foundation.constants import FeatureDefaults
 from waveformanalysis_tpu.ops import grouping as G
@@ -56,6 +57,103 @@ class GroupedEventsPlugin(Plugin):
         return analyzer.group_events(df, time_window_ns=tw, backend=backend)
 
 
+EVENTS_SCHEMA = Schema(
+    "events",
+    (
+        Field("event_id", "i8"),
+        Field("t_min", "i8", unit="ps"),
+        Field("t_max", "i8", unit="ps"),
+        Field("dt_ns", "f8", unit="ns", doc="event span"),
+        Field("n_hits", "i4"),
+        Field("hit_offset", "i8", doc="row offset into event_hits"),
+    ),
+)
+EVENTS_DTYPE = EVENTS_SCHEMA.numpy_dtype()
+
+EVENT_HITS_SCHEMA = Schema(
+    "event_hits",
+    (
+        Field("hit_event_id", "i8"),
+        Field("hit_channel", "i2"),
+        Field("hit_area", "f8"),
+        Field("hit_height", "f8"),
+        Field("hit_timestamp", "i8", unit="ps"),
+    ),
+)
+EVENT_HITS_DTYPE = EVENT_HITS_SCHEMA.numpy_dtype()
+
+
+def _grouping_options() -> Dict[str, Option]:
+    return {
+        "time_window_ns": Option(
+            default=float(FeatureDefaults.TIME_WINDOW_NS), type=float,
+            help="Clustering time window (ns)",
+        ),
+        "grouping_backend": Option(
+            default="auto", type=str, track=False,
+            choices=("auto", "host", "device"),
+            help="auto|host|device clustering kernels",
+        ),
+    }
+
+
+class EventsPlugin(Plugin):
+    """Columnar per-event aggregates (events table + offsets).
+
+    The TPU-native alternative to df_events' per-event object cells: the
+    same clustering, but the outputs are flat device-consumable columns —
+    pair with ``event_hits`` for the hit-level values. Values/order are
+    bit-identical to the df_events cells (tests/test_event_layer.py).
+    """
+
+    provides = "events"
+    depends_on = ["df"]
+    description = "Columnar per-event aggregates with hit offsets."
+    version = "1.0.0"
+    kernel_version = G.KERNEL_VERSION
+    save_when = "always"
+    output_dtype = EVENTS_SCHEMA
+    options = _grouping_options()
+
+    def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
+        cols = G.group_events_columnar(
+            context.get_data(run_id, "df"),
+            float(context.get_config(self, "time_window_ns")),
+            backend=context.get_config(self, "grouping_backend"),
+        )
+        return Table(
+            {k: cols[k] for k in
+             ("event_id", "t_min", "t_max", "dt_ns", "n_hits", "hit_offset")},
+            schema=EVENTS_SCHEMA,
+        )
+
+
+class EventHitsPlugin(Plugin):
+    """Flat hit-level rows in event-major, channel-sorted order."""
+
+    provides = "event_hits"
+    depends_on = ["df"]
+    description = "Flat event-member hits aligned with the events table."
+    version = "1.0.0"
+    kernel_version = G.KERNEL_VERSION
+    save_when = "always"
+    output_dtype = EVENT_HITS_SCHEMA
+    options = _grouping_options()
+
+    def compute(self, context: Any, run_id: str, **kwargs: Any) -> Table:
+        cols = G.group_events_columnar(
+            context.get_data(run_id, "df"),
+            float(context.get_config(self, "time_window_ns")),
+            backend=context.get_config(self, "grouping_backend"),
+        )
+        return Table(
+            {k: cols[k] for k in
+             ("hit_event_id", "hit_channel", "hit_area", "hit_height",
+              "hit_timestamp")},
+            schema=EVENT_HITS_SCHEMA,
+        )
+
+
 class HitGroupedPlugin(Plugin):
     """Absolute-window coincidence grouping of merged hits."""
 
@@ -97,7 +195,7 @@ class PairedEventsPlugin(Plugin):
     """Cross-channel pairing of grouped events."""
 
     provides = "df_paired"
-    depends_on = ["df_events"]
+    depends_on = []  # dynamic (events_source)
     description = "Filter grouped events into cross-channel pairs."
     version = "1.1.0"
     kernel_version = G.KERNEL_VERSION
@@ -115,15 +213,37 @@ class PairedEventsPlugin(Plugin):
                  "(delta_t, area_ch*/height_ch*) as one jitted kernel "
                  "(ops/grouping_device.pair_events_device)",
         ),
+        "events_source": Option(
+            default="df_events", type=str,
+            choices=("df_events", "columnar"),
+            help="df_events keeps the reference's pandas contract "
+                 "(object cells carried through); columnar pairs over the "
+                 "flat events+event_hits tables and emits scalar columns "
+                 "only — the device-friendly path",
+        ),
     }
 
+    def resolve_depends_on(self, context: Any, run_id=None):
+        if context.get_config(self, "events_source") == "columnar":
+            return ["events", "event_hits"]
+        return ["df_events"]
+
     def compute(self, context: Any, run_id: str, **kwargs: Any):
-        df_events = context.get_data(run_id, "df_events")
         tw = float(context.get_config(self, "time_window_ns"))
         backend = context.get_config(self, "grouping_backend")
+        n_channels = context.config.get("n_channels", 2)
+        start = context.config.get("start_channel", 0)
+        if context.get_config(self, "events_source") == "columnar":
+            return G.pair_events_columnar(
+                context.get_data(run_id, "events"),
+                context.get_data(run_id, "event_hits"),
+                tw, n_channels=n_channels, start_channel=start,
+                backend=backend,
+            )
+        df_events = context.get_data(run_id, "df_events")
         analyzer = EventAnalyzer(
-            n_channels=context.config.get("n_channels", 2),
-            start_channel_slice=context.config.get("start_channel", 0),
+            n_channels=n_channels,
+            start_channel_slice=start,
         )
         return analyzer.pair_events(df_events, time_window_ns=tw,
                                     backend=backend)

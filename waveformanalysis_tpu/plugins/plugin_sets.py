@@ -77,12 +77,15 @@ def plugins_tabular() -> List[Any]:
 
 def plugins_events() -> List[Any]:
     from waveformanalysis_tpu.plugins.builtin.event_analysis import (
+        EventHitsPlugin,
+        EventsPlugin,
         GroupedEventsPlugin,
         HitGroupedPlugin,
         PairedEventsPlugin,
     )
 
-    return [GroupedEventsPlugin(), HitGroupedPlugin(), PairedEventsPlugin()]
+    return [GroupedEventsPlugin(), EventsPlugin(), EventHitsPlugin(),
+            HitGroupedPlugin(), PairedEventsPlugin()]
 
 
 PLUGIN_SETS: Dict[str, Callable[[], List[Any]]] = {
