@@ -258,3 +258,76 @@ class TestBuildInvariance:
                 np.asarray(h_ref[k]), np.asarray(h_got[k]), err_msg=k
             )
         np.testing.assert_array_equal(ref.wave_pool, got.wave_pool)
+
+
+class TestDeviceSortOrder:
+    """Device records sort order (records_builder.records_sort_order_device):
+    multi-operand lax.sort vs the host lexsort oracle — exact permutation
+    equality including stability under duplicate keys."""
+
+    def _bundle(self, n=500, seed=4):
+        from waveformanalysis_tpu.dtypes.schema import Field, Schema
+        from waveformanalysis_tpu.dtypes.table import Table as T
+        from waveformanalysis_tpu.plugins.builtin.records import RECORDS_SCHEMA
+
+        rng = np.random.default_rng(seed)
+        # duplicate-heavy keys to stress stability
+        cols = {
+            "timestamp": rng.integers(0, 50, n).astype(np.int64) * 1_000_000,
+            "pid": rng.integers(0, 3, n).astype(np.int32),
+            "board": rng.integers(0, 2, n).astype(np.int16),
+            "channel": rng.integers(0, 2, n).astype(np.int16),
+        }
+        t = T.zeros(n, RECORDS_SCHEMA)
+        return t.with_columns(**cols)
+
+    def test_matches_host_oracle_with_duplicates(self):
+        from waveformanalysis_tpu.processing import records_builder as RB
+
+        recs = self._bundle()
+        np.testing.assert_array_equal(
+            RB.records_sort_order(recs),
+            RB.records_sort_order_device(recs),
+        )
+
+    def test_empty(self):
+        from waveformanalysis_tpu.processing import records_builder as RB
+
+        recs = self._bundle(n=0)
+        assert len(RB.records_sort_order_device(recs)) == 0
+
+    def test_backend_resolution_and_env_override(self, monkeypatch):
+        from waveformanalysis_tpu.processing.records_builder import (
+            resolve_records_sort_backend,
+        )
+
+        assert resolve_records_sort_backend("auto") == "host"
+        assert resolve_records_sort_backend("device") == "device"
+        monkeypatch.setenv("WFA_RECORDS_SORT_BACKEND", "device")
+        assert resolve_records_sort_backend("auto") == "device"
+        monkeypatch.delenv("WFA_RECORDS_SORT_BACKEND")
+        with pytest.raises(ValueError):
+            resolve_records_sort_backend("nope")
+
+    def test_sort_bundle_device_backend_bit_identical(self):
+        from waveformanalysis_tpu.processing import records_builder as RB
+
+        recs = self._bundle(n=300, seed=8)
+        lengths = np.full(300, 8, np.int32)
+        offsets = (np.arange(300, dtype=np.int64) * 8)
+        recs = recs.with_columns(event_length=lengths, wave_offset=offsets)
+        pool = np.arange(300 * 8, dtype=np.uint16)
+        host = RB.sort_bundle(
+            RB.RecordsBundle(records=recs, wave_pool=pool.copy()),
+            sort_backend="host",
+        )
+        dev = RB.sort_bundle(
+            RB.RecordsBundle(records=recs, wave_pool=pool.copy()),
+            sort_backend="device",
+        )
+        for f in host.records.field_names:
+            np.testing.assert_array_equal(
+                np.asarray(host.records[f]), np.asarray(dev.records[f]),
+                err_msg=f,
+            )
+        np.testing.assert_array_equal(host.wave_pool, dev.wave_pool)

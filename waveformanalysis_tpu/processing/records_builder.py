@@ -81,6 +81,62 @@ def records_sort_order(records: Table) -> np.ndarray:
     )
 
 
+def records_sort_order_device(records: Table) -> np.ndarray:
+    """``records_sort_order`` computed ON DEVICE (multi-operand lax.sort).
+
+    The CSV cold path's residual cost is the host lexsort (~250 ns/row,
+    BENCHMARKS.md r2 config 2); the TPU's sort machinery (the same primitive
+    ops/compact.py builds on) can absorb it. Key order matches the host
+    oracle exactly: timestamp, pid, board, channel, then input order —
+    carried as an explicit int32 sequence operand so the device sort is
+    deterministic and stable like np.lexsort.
+
+    Status: parity-tested on CPU; the config-2 A/B on the real chip decides
+    auto (ledger entry pending the tunnel, BENCHMARKS.md r3).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = len(records)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    with jax.enable_x64(True):
+        seq = jnp.arange(n, dtype=jnp.int32)
+        ops = jax.lax.sort(
+            (
+                jnp.asarray(np.asarray(records["timestamp"], np.int64)),
+                jnp.asarray(np.asarray(records["pid"], np.int32)),
+                jnp.asarray(np.asarray(records["board"], np.int32)),
+                jnp.asarray(np.asarray(records["channel"], np.int32)),
+                seq,
+                seq,
+            ),
+            dimension=0,
+            num_keys=5,
+        )
+    return np.asarray(ops[-1]).astype(np.int64)
+
+
+def resolve_records_sort_backend(backend: str = "auto") -> str:
+    """auto|host|device -> host|device for the records global sort.
+
+    ``auto`` currently resolves to host: the device order computation is
+    built and parity-tested, but the A/B on the real chip (config 2) has
+    not landed yet — flip here when the ledger says device wins.
+    Env WFA_RECORDS_SORT_BACKEND overrides for A/B runs.
+    """
+    import os
+
+    env = os.environ.get("WFA_RECORDS_SORT_BACKEND")
+    if env in ("host", "device"):
+        return env
+    if backend in ("host", "device"):
+        return backend
+    if backend != "auto":
+        raise ValueError(f"unknown records sort backend {backend!r}")
+    return "host"
+
+
 def gather_pool(
     pool: np.ndarray, offsets: np.ndarray, lengths: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -114,12 +170,16 @@ def gather_pool(
     return pool[src_index], new_offsets.astype(np.int64)
 
 
-def sort_bundle(bundle: RecordsBundle) -> RecordsBundle:
+def sort_bundle(bundle: RecordsBundle, sort_backend: str = "auto"
+                ) -> RecordsBundle:
     """Globally sort a bundle and rebuild its wave_pool contiguously."""
     n = len(bundle.records)
     if n == 0:
         return bundle
-    order = records_sort_order(bundle.records)
+    if resolve_records_sort_backend(sort_backend) == "device":
+        order = records_sort_order_device(bundle.records)
+    else:
+        order = records_sort_order(bundle.records)
     records = bundle.records[order]
     new_pool, new_offsets = gather_pool(
         bundle.wave_pool,
