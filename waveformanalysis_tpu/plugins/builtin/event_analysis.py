@@ -27,7 +27,7 @@ class GroupedEventsPlugin(Plugin):
     provides = "df_events"
     depends_on = ["df"]
     description = "Group single-channel events into multi-channel events."
-    version = "1.2.0"
+    version = "1.2.1"
     kernel_version = G.KERNEL_VERSION
     save_when = "always"
     output_dtype = "DataFrame"
@@ -160,7 +160,7 @@ class HitGroupedPlugin(Plugin):
     provides = "hit_grouped"
     depends_on = ["hit_merged", "hit_merged_components", "hit_threshold"]
     description = "Group merged hits into coincidence events by absolute windows."
-    version = "0.3.0"
+    version = "0.3.1"
     kernel_version = G.KERNEL_VERSION
     save_when = "always"
     output_dtype = "DataFrame"
@@ -197,7 +197,7 @@ class PairedEventsPlugin(Plugin):
     provides = "df_paired"
     depends_on = []  # dynamic (events_source)
     description = "Filter grouped events into cross-channel pairs."
-    version = "1.1.0"
+    version = "1.2.0"
     kernel_version = G.KERNEL_VERSION
     save_when = "always"
     output_dtype = "DataFrame"

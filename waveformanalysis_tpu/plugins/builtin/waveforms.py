@@ -168,7 +168,7 @@ class WaveformsPlugin(Plugin):
         "Parse raw DAQ files and structure them into flat waveform records "
         "with baseline, timestamps (ps), and channel identity."
     )
-    version = "3.0.0"
+    version = "3.0.1"
     save_when = "always"
     output_dtype = ST_WAVEFORM_SCHEMA
     options = {
