@@ -326,6 +326,7 @@ class ExecutionDomain:
                 return result
 
             self._validate_plugin_config(plugin)
+            self._validate_plugin_inputs(plugin, run_id)
             if precomputed is not None and name in precomputed:
                 # produced by a fused device program this run; still flows
                 # through the full contract/dtype/save pipeline below
@@ -373,6 +374,30 @@ class ExecutionDomain:
     def _validate_plugin_config(self, plugin: Any) -> None:
         # get_config performs Option validation + unit conversion
         plugin.validate_config(self.ctx)
+
+    def _validate_plugin_inputs(self, plugin: Any, run_id: str) -> None:
+        """Declared input_dtype fields must exist on the actual inputs
+        (reference: context_execution.py:293 validates config then input
+        dtypes before compute). Cheap: only plugins declaring input_dtype,
+        and inputs are loaded through the normal cached get_data path."""
+        if not getattr(plugin, "input_dtype", None):
+            return
+        ctx = self.ctx
+        # materialize declared inputs so the check sees them (they would be
+        # loaded by compute anyway)
+        for dep in plugin.input_dtype:
+            if ctx._get_data_from_memory(run_id, dep) is None:
+                try:
+                    ctx.get_data(run_id, dep)
+                except Exception:
+                    # missing/failing deps surface from compute's own
+                    # get_data with full context; don't pre-empt here
+                    return
+        from waveformanalysis_tpu.execution.validation import (
+            ValidationManager,
+        )
+
+        ValidationManager(ctx).validate_input_dtypes(plugin, run_id)
 
     def _compute_with_timeout(self, plugin: Any, run_id: str, **kwargs: Any) -> Any:
         timeout = getattr(plugin, "timeout", None)

@@ -74,6 +74,11 @@ class ValidationManager:
 def _field_names(dtype_like: Any) -> List[str]:
     if isinstance(dtype_like, Schema):
         return list(dtype_like.field_names)
+    if isinstance(dtype_like, (list, tuple)) and all(
+        isinstance(f, str) for f in dtype_like
+    ):
+        # plain field-name list: the lightweight way to declare input_dtype
+        return list(dtype_like)
     try:
         dt = np.dtype(dtype_like)
         return list(dt.names or ())
