@@ -412,3 +412,69 @@ class TestDeviceChunkExecutor:
             chunks = list(ctx.get_data("test_run", "doubled_stream"))
         assert sum(len(c) for c in chunks) == 20
         assert any("device-parallel" in r.message for r in caplog.records)
+
+
+@pytest.mark.multidevice
+class TestDeviceChunkExecutorEdges:
+    def test_large_chunks_grow_bucket(self, tmp_path):
+        """Chunk rows above the 512 floor bucket to the next power of two
+        and still match the host stream."""
+        import jax
+
+        from waveformanalysis_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 virtual devices")
+        st = make_fake_st_waveforms(n_events=1400, wave_length=32,
+                                    pulse_start=10, pulse_width=3,
+                                    pulse_height=300)
+        def run(sub, cfg, mesh=None):
+            ctx = make_tiny_context(tmp_path / sub, st_waveforms=st)
+            ctx.register(SignalPeaksStreamPlugin())
+            ctx.set_config({"signal_peaks_stream": {
+                "height": 50.0, "prominence": 10.0, "width": 1,
+                "streaming_config": cfg,
+            }})
+            if mesh is not None:
+                ctx.attach_mesh(mesh)
+            return list(ctx.get_data("test_run", "signal_peaks_stream"))
+
+        host = run("h", {"chunk_size": 700})
+        dev = run("d", {"chunk_size": 700, "executor_type": "device"},
+                  mesh=make_mesh(2))
+        assert len(host) == len(dev) == 2
+        for hc, dc in zip(host, dev):
+            np.testing.assert_array_equal(
+                np.asarray(hc.data["position"]),
+                np.asarray(dc.data["position"]),
+            )
+
+    def test_program_cache_reused_across_groups(self, tmp_path):
+        """Same (cfg, shapes, mesh) -> one compiled program for all groups."""
+        import jax
+
+        from waveformanalysis_tpu.parallel.mesh import make_mesh
+        from waveformanalysis_tpu.plugins.streaming import StreamingPlugin
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 virtual devices")
+        st = make_fake_st_waveforms(n_events=64, wave_length=32,
+                                    pulse_start=10, pulse_width=3,
+                                    pulse_height=300)
+        ctx = make_tiny_context(tmp_path, st_waveforms=st)
+        ctx.register(SignalPeaksStreamPlugin())
+        ctx.set_config({"signal_peaks_stream": {
+            "height": 50.0, "prominence": 10.0, "width": 1,
+            "streaming_config": {"chunk_size": 8, "executor_type": "device"},
+        }})
+        ctx.attach_mesh(make_mesh(2))
+        saved = dict(StreamingPlugin._device_programs)
+        StreamingPlugin._device_programs.clear()
+        try:
+            chunks = list(ctx.get_data("test_run", "signal_peaks_stream"))
+            assert len(chunks) == 8  # 4 groups of 2 shards
+            # one program served every group (keys exclude leading row
+            # counts — jit retraces per shape, the cache entry is shared)
+            assert len(StreamingPlugin._device_programs) == 1
+        finally:
+            StreamingPlugin._device_programs.update(saved)

@@ -332,9 +332,16 @@ class StreamingPlugin(Plugin):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
+        # stable mesh identity: id() can collide after GC; device objects
+        # are process singletons so their names identify the mesh layout
+        mesh_key = (
+            tuple(mesh.axis_names),
+            tuple(mesh.shape.values()),
+            tuple(str(d) for d in mesh.devices.flat),
+        )
         key = (
             type(self), tuple(sorted(kernel_cfg.items())), input_spec,
-            id(mesh), axis,
+            mesh_key, axis,
         )
         prog = StreamingPlugin._device_programs.get(key)
         if prog is not None:
