@@ -240,7 +240,7 @@ class TestKSpecialization:
         )
 
     def test_specialized_matches_unspecialized(self, monkeypatch):
-        n, L = 96, 64
+        n, L = 96, 128  # _mixed_waves needs L >= 101 (centers in [50, L-50))
         cfg = ChainConfig(use_derivative=False, peak_height=80.0,
                           peak_prominence=50.0, peak_width=2.0)
         # one clean pulse per event -> low occupancy (K_SMALL branch)

@@ -15,6 +15,13 @@ from typing import Dict, List, Optional, Tuple
 _GLOBAL_SCOPE = "__global__"
 
 
+def get_current_version() -> str:
+    """Package version used for deprecation-expiry checks."""
+    from waveformanalysis_tpu import __version__
+
+    return __version__
+
+
 def _parse_version(version: str) -> Tuple[int, ...]:
     parts = []
     for piece in version.split("."):
@@ -94,9 +101,25 @@ class CompatManager:
         return self._deprecations.get(name)
 
     def warn_deprecation(self, name: str, plugin_name: str = "") -> None:
+        """Warn on a deprecated name; raise once the deprecation expires.
+
+        Matches the reference (core/config/compat.py:220-246): current
+        version < removed_in -> DeprecationWarning (once per scope);
+        current version >= removed_in -> ValueError.
+        """
         info = self._deprecations.get(name)
         if info is None:
             return
+        if (
+            info.removed_in
+            and info.removed_in != "?"
+            and compare_versions(get_current_version(), info.removed_in) >= 0
+        ):
+            prefix = f"[{plugin_name}] " if plugin_name else ""
+            raise ValueError(
+                f"{prefix}'{name}' was removed in version {info.removed_in}. "
+                f"Use '{info.new_name}' instead."
+            )
         warn_key = (plugin_name, name)
         if warn_key in self._warned:
             return

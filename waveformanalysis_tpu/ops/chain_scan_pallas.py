@@ -693,20 +693,22 @@ def _chain_scan_kernel(
 
 
 def _k_small_setting(interpret: bool) -> int:
-    """Occupancy-specialization width (0 disables; roofline probe,
-    BENCHMARKS.md r3). Env WFA_CHAIN_K_SMALL overrides for A/B runs.
-    Interpret mode (CPU tests) defaults OFF: the extra per-pass variants
-    double trace time, which dominates there; a dedicated parity test sets
-    the env var explicitly."""
+    """Occupancy-specialization width (0 disables). Default OFF everywhere:
+    the 2026-08-18 interleaved A/B on the real chip measured the K=2
+    specialized variant within noise of the plain kernel (median 9.27 vs
+    9.80 ms, best 9.02 vs 9.11 ms @ 65536x256; full-bench runs swung the
+    other way) — the roofline's ~2x prediction was refuted, so the extra
+    per-pass variants only grow the Mosaic executable (BENCHMARKS.md r3).
+    Env WFA_CHAIN_K_SMALL overrides for A/B runs and the parity test."""
     import os
 
     raw = os.environ.get("WFA_CHAIN_K_SMALL")
     if raw is None:
-        return 0 if interpret else 2
+        return 0
     try:
         return int(raw)
     except ValueError:
-        return 0 if interpret else 2
+        return 0
 
 
 def chain_scan_pallas(
@@ -1293,7 +1295,7 @@ def _hits_scan_kernel(
                     )
             open_slot()
         run_idx = run_idx + (is_start & (run_idx < K_hits)).astype(i32)
-        for k in range(kh_eff):
+        for k in range(K_hits):
             def accum_slot(k=k):
                 started_k = hseg_sc[2 * K_hits + k, :, :] > 0
                 ended_k = hseg_sc[3 * K_hits + k, :, :] > 0

@@ -91,8 +91,11 @@ def records_sort_order_device(records: Table) -> np.ndarray:
     carried as an explicit int32 sequence operand so the device sort is
     deterministic and stable like np.lexsort.
 
-    Status: parity-tested on CPU; the config-2 A/B on the real chip decides
-    auto (ledger entry pending the tunnel, BENCHMARKS.md r3).
+    Status: parity-tested; A/B'd on the real chip 2026-08-18 and LOST at
+    production scale (host lexsort 15.5 ms vs device 62.8 ms @ 100k rows,
+    242 vs 406 ms @ 1M; parity only at ~4M — the axon upload + x64
+    emulation swamp the sort). ``auto`` therefore resolves to host; kept
+    as the explicit-override backend (BENCHMARKS.md r3 ledger).
     """
     import jax
     import jax.numpy as jnp
@@ -120,10 +123,11 @@ def records_sort_order_device(records: Table) -> np.ndarray:
 def resolve_records_sort_backend(backend: str = "auto") -> str:
     """auto|host|device -> host|device for the records global sort.
 
-    ``auto`` currently resolves to host: the device order computation is
-    built and parity-tested, but the A/B on the real chip (config 2) has
-    not landed yet — flip here when the ledger says device wins.
-    Env WFA_RECORDS_SORT_BACKEND overrides for A/B runs.
+    ``auto`` resolves to host: the 2026-08-18 real-chip A/B measured the
+    device order computation 4x slower at 100k rows and 1.7x at 1M
+    (upload + x64-emulated int64 keys through the axon tunnel; crossover
+    ~4M rows — above any single config-2-shaped build). Env
+    WFA_RECORDS_SORT_BACKEND overrides for A/B runs.
     """
     import os
 
