@@ -260,8 +260,26 @@ class CacheCleaner:
         max_total_bytes: Optional[int] = None,
         storage_version: Optional[str] = None,
         failed_integrity: bool = False,
+        data_name: Optional[str] = None,
+        strategy: str = "oldest",
+        keep_recent_s: Optional[float] = None,
     ) -> CleanPlan:
+        """Build a deletion plan.
+
+        strategy orders size-budget eviction: "oldest" (default) evicts
+        oldest-first, "largest" evicts biggest-first (reference
+        cache_cleaner.py strategies LRU/LARGEST). data_name restricts the
+        whole plan to one data type; keep_recent_s protects entries younger
+        than the window from every criterion (reference keep_recent_days).
+        """
+        if strategy not in ("oldest", "largest"):
+            raise ValueError(f"unknown cleanup strategy {strategy!r}")
         entries = self.analyzer.scan(run_id)
+        if data_name is not None:
+            entries = [
+                e for e in entries
+                if _data_name_from_key(e.key, e.run_id or "") == data_name
+            ]
         plan = CleanPlan()
         selected = set()
 
@@ -270,6 +288,14 @@ class CacheCleaner:
                 if e.age_s is not None and e.age_s > max_age_s:
                     selected.add(e.key)
                     plan.reasons[e.key] = f"age {e.age_s / 3600:.1f}h > limit"
+
+        if data_name is not None and max_age_s is None and \
+                max_total_bytes is None and storage_version is None and \
+                not failed_integrity:
+            # pure data-type cleanup: everything of that type goes
+            for e in entries:
+                selected.add(e.key)
+                plan.reasons[e.key] = f"data type '{data_name}'"
 
         if storage_version is not None:
             for e in entries:
@@ -290,15 +316,26 @@ class CacheCleaner:
         if max_total_bytes is not None:
             total = sum(e.size_bytes for e in entries)
             if total > max_total_bytes:
-                # evict oldest first until under budget
                 remaining = [e for e in entries if e.key not in selected]
-                remaining.sort(key=lambda e: -(e.age_s or 0))
+                if strategy == "largest":
+                    remaining.sort(key=lambda e: -e.size_bytes)
+                else:  # oldest first
+                    remaining.sort(key=lambda e: -(e.age_s or 0))
                 for e in remaining:
                     if total <= max_total_bytes:
                         break
                     selected.add(e.key)
-                    plan.reasons[e.key] = "size budget eviction"
+                    plan.reasons[e.key] = f"size budget eviction ({strategy})"
                     total -= e.size_bytes
+
+        if keep_recent_s is not None:
+            protected = {
+                e.key for e in entries
+                if e.age_s is not None and e.age_s < keep_recent_s
+            }
+            for key in protected & selected:
+                selected.discard(key)
+                plan.reasons.pop(key, None)
 
         plan.to_delete = [e for e in entries if e.key in selected]
         return plan

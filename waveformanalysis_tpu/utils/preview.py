@@ -179,3 +179,152 @@ class WaveformPreviewer:
                 ax.axis("off")
         fig.tight_layout()
         return fig
+
+
+def _resolve_records_view(source: Any, run_id: Optional[str] = None) -> Any:
+    """RecordsView passes through; a Context-like source loads records +
+    wave_pool for run_id (reference: utils/preview.py:970)."""
+    from waveformanalysis_tpu.data.records_view import RecordsView
+
+    if isinstance(source, RecordsView):
+        return source
+    if hasattr(source, "get_data"):
+        if run_id is None:
+            raise ValueError("run_id is required when source is a Context")
+        records = source.get_data(run_id, "records")
+        wave_pool = source.get_data(run_id, "wave_pool")
+        return RecordsView(records, wave_pool)
+    raise TypeError(
+        f"source must be a RecordsView or Context-like, got {type(source).__name__}"
+    )
+
+
+def plot_records_waveforms(
+    source: Any,
+    run_id: Optional[str] = None,
+    record_ids: Any = None,
+    board: Optional[int] = None,
+    channel: Optional[int] = None,
+    timestamp_range: Optional[tuple] = None,
+    height_range: Optional[tuple] = None,
+    area_range: Optional[tuple] = None,
+    sample_start: int = 0,
+    sample_end: Optional[int] = None,
+    limit: Optional[int] = 9,
+    ncols: int = 2,
+    figsize_per_plot: tuple = (6, 4),
+    dt: Optional[float] = None,
+    title: Optional[str] = None,
+    show_baseline: bool = True,
+    show_peak: bool = True,
+    save_path: Optional[str] = None,
+) -> Any:
+    """Select records by id or by filters and plot their waveforms.
+
+    Behavioral analog of the reference plot_records_waveforms
+    (reference: utils/preview.py:912-1060): source is a RecordsView or a
+    Context (then run_id is required); records filter by explicit ids
+    (preserving the given order) or by board/channel/timestamp_range plus
+    height/area ranges computed on the [sample_start, sample_end) window;
+    each selected record renders in its own subplot with optional baseline
+    line and peak marker; dt defaults to records.dt. Returns the Figure.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    rv = _resolve_records_view(source, run_id=run_id)
+    records = rv.records
+    rid_col = np.asarray(records["record_id"], dtype=np.int64)
+
+    if record_ids is not None:
+        if np.isscalar(record_ids):
+            selected = [int(record_ids)]
+        else:
+            selected = [int(r) for r in record_ids]
+        known = set(rid_col.tolist())
+        missing = [r for r in selected if r not in known]
+        if missing:
+            raise KeyError(f"record_ids not found: {missing}")
+    else:
+        mask = np.ones(len(records), dtype=bool)
+        if board is not None and "board" in records:
+            mask &= np.asarray(records["board"]) == board
+        if channel is not None and "channel" in records:
+            mask &= np.asarray(records["channel"]) == channel
+        if timestamp_range is not None:
+            ts = np.asarray(records["timestamp"], dtype=np.int64)
+            mask &= (ts >= timestamp_range[0]) & (ts <= timestamp_range[1])
+        selected = [int(r) for r in rid_col[mask]]
+
+    window = (sample_start, sample_end) if (
+        sample_start or sample_end is not None) else None
+    metrics = {}
+    kept = []
+    for r in selected:
+        sig = rv.signals(r, window=window)
+        if sig.size == 0:
+            continue
+        height = float(sig.max())
+        area = float(sig.sum())
+        if height_range is not None and not (
+                height_range[0] <= height <= height_range[1]):
+            continue
+        if area_range is not None and not (
+                area_range[0] <= area <= area_range[1]):
+            continue
+        metrics[r] = {"height": height, "area": area,
+                      "peak_idx": int(np.argmax(sig))}
+        kept.append(r)
+    if limit is not None:
+        kept = kept[:limit]
+
+    n = len(kept)
+    if n == 0:
+        fig, ax = plt.subplots(figsize=figsize_per_plot)
+        ax.text(0.5, 0.5, "no records matched", ha="center", va="center")
+        ax.axis("off")
+    else:
+        nrows = (n + ncols - 1) // ncols
+        fig, axes = plt.subplots(
+            nrows, ncols,
+            figsize=(figsize_per_plot[0] * ncols, figsize_per_plot[1] * nrows),
+            squeeze=False,
+        )
+        dt_col = (np.asarray(records["dt"], dtype=np.float64)
+                  if "dt" in records else None)
+        for i in range(nrows * ncols):
+            ax = axes[i // ncols][i % ncols]
+            if i >= n:
+                ax.axis("off")
+                continue
+            r = kept[i]
+            wave = rv.waves(r, window=window).astype(np.float64)
+            row = rv._row(r)
+            step = dt if dt is not None else (
+                float(dt_col[row]) if dt_col is not None and dt_col[row] > 0
+                else 1.0)
+            t = (sample_start + np.arange(len(wave))) * step
+            ax.plot(t, wave, lw=0.9)
+            if show_baseline:
+                ax.axhline(rv.baseline(r), ls="--", lw=0.8, alpha=0.7,
+                           label=f"baseline {rv.baseline(r):.1f}")
+            if show_peak:
+                pk = metrics[r]["peak_idx"]
+                ax.plot(t[pk], wave[pk], "v", ms=6,
+                        label=f"peak h={metrics[r]['height']:.1f}")
+            ax.set_title(
+                f"record {r} (h={metrics[r]['height']:.1f}, "
+                f"a={metrics[r]['area']:.1f})", fontsize=9)
+            ax.set_xlabel("time" if (dt is not None or dt_col is not None)
+                          else "sample")
+            ax.set_ylabel("ADC")
+            if show_baseline or show_peak:
+                ax.legend(fontsize=7, loc="best")
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path)
+    return fig
