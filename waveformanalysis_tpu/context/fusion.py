@@ -522,7 +522,8 @@ class WaveChainFusion:
         groups: Dict[Tuple, List[dict]] = {}
         for run_id, members in run_members:
             ctx.config_domain.prepare_request(run_id)
-            prep = self._prep_run(ctx, run_id, members)
+            with ctx.profiler.time("fusion.batched.prep_run"):
+                prep = self._prep_run(ctx, run_id, members)
             if prep is None:  # empty run: finalize immediately
                 out[run_id] = self._empty_results(members)
                 continue
@@ -676,35 +677,44 @@ class WaveChainFusion:
             host_out = self._run_sharded(program, inputs, padded, mesh_info)
             slot_out = None
         else:
-            program, spec_cache = self._get_program(
-                tuple(device_members), cfgs, plugins, None,
-                per_event_overflow=True, support_hit_cfg=support_hit_cfg,
-            )
-            dev_in = tuple(jnp.asarray(x) for x in inputs)
+            with ctx.profiler.time("fusion.batched.get_program"):
+                program, spec_cache = self._get_program(
+                    tuple(device_members), cfgs, plugins, None,
+                    per_event_overflow=True, support_hit_cfg=support_hit_cfg,
+                )
+            with ctx.profiler.time("fusion.batched.upload"):
+                dev_in = tuple(jnp.asarray(x) for x in inputs)
+                jax.block_until_ready(dev_in)
             shapes_key = tuple(
                 (tuple(x.shape), str(x.dtype)) for x in dev_in
             )
-            flat_d, slot_mats_d, counts_d = program(*dev_in)
-            host_out, slot_out = _fetch_packed_outputs(
-                flat_d, slot_mats_d, counts_d, spec_cache[shapes_key]
-            )
+            with ctx.profiler.time("fusion.batched.device_program"):
+                flat_d, slot_mats_d, counts_d = program(*dev_in)
+                jax.block_until_ready(counts_d)
+            with ctx.profiler.time("fusion.batched.fetch"):
+                host_out, slot_out = _fetch_packed_outputs(
+                    flat_d, slot_mats_d, counts_d, spec_cache[shapes_key]
+                )
 
         out: Dict[str, Dict[str, Any]] = {}
-        for p, off in zip(preps, offsets):
-            run_id, n, meta = p["run_id"], p["n"], p["meta"]
-            results: Dict[str, Any] = {}
-            for m in p["device_members"]:
-                results[m] = self._finalize_member(
-                    ctx, m, p["plugins"], p["cfgs"], p["support_hit_cfg"],
-                    host_out, slot_out, meta, p["lengths"], n, offset=off,
-                    per_run_lengths=p["lengths"],
-                    bf_baselines=p["bf_baselines"],
+        with ctx.profiler.time("fusion.batched.finalize"):
+            for p, off in zip(preps, offsets):
+                run_id, n, meta = p["run_id"], p["n"], p["meta"]
+                results: Dict[str, Any] = {}
+                for m in p["device_members"]:
+                    results[m] = self._finalize_member(
+                        ctx, m, p["plugins"], p["cfgs"],
+                        p["support_hit_cfg"],
+                        host_out, slot_out, meta, p["lengths"], n,
+                        offset=off,
+                        per_run_lengths=p["lengths"],
+                        bf_baselines=p["bf_baselines"],
+                    )
+                self._finalize_host_members(
+                    ctx, run_id, p["host_members"], p["plugins"], p["cfgs"],
+                    results,
                 )
-            self._finalize_host_members(
-                ctx, run_id, p["host_members"], p["plugins"], p["cfgs"],
-                results,
-            )
-            out[run_id] = results
+                out[run_id] = results
         logger.debug(
             "batched fused %s over %d runs / %d waveforms (padded %d) in one "
             "device program", members, len(preps), total, padded,
