@@ -885,6 +885,7 @@ def _peaks_scan_kernel(
     K: int,
     rel_height: float,
     unrolled: bool = True,
+    k_small: int = 0,
 ):
     """Standalone scipy-parity find_peaks as 3 time-major scan passes.
 
@@ -1148,6 +1149,7 @@ def find_peaks_scan(
         L=L, height=float(height), prominence=float(prominence),
         width=float(width), distance=int(distance), K=K,
         rel_height=float(rel_height), unrolled=not interpret,
+        k_small=_k_small_setting(interpret),
     )
     f32, i32 = jnp.float32, jnp.int32
     evt_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
