@@ -103,3 +103,74 @@ class TestFeaturesAndPlots:
         import matplotlib.pyplot as plt
 
         plt.close("all")
+
+
+class TestOneStopPreview:
+    """Module-level preview_waveforms (reference: utils/preview.py:830)."""
+
+    @pytest.fixture
+    def run_root(self, tmp_path):
+        make_synthetic_vx2730_run(
+            str(tmp_path), run_name="onestop", n_channels=1,
+            n_files_per_channel=1, n_rows=12, n_samples=48,
+            pulse_height=180, dt_between_ps=4_000_000,
+        )
+        return str(tmp_path)
+
+    def test_event_range_overlay(self, run_root):
+        from waveformanalysis_tpu.utils.preview import preview_waveforms
+
+        fig = preview_waveforms("onestop", 0, event_range=(0, 6),
+                                data_root=run_root)
+        assert fig is not None
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
+
+    def test_timestamp_range_grid_saves(self, run_root, tmp_path):
+        from waveformanalysis_tpu.utils.preview import preview_waveforms
+
+        out = tmp_path / "preview.png"
+        fig = preview_waveforms(
+            "onestop", 0, timestamp_range=(0, 10**12), plot_mode="grid",
+            save_path=str(out), data_root=run_root)
+        assert fig is not None and out.stat().st_size > 1000
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
+
+    def test_requires_exactly_one_range(self, run_root):
+        from waveformanalysis_tpu.utils.preview import preview_waveforms
+
+        with pytest.raises(ValueError):
+            preview_waveforms("onestop", 0, data_root=run_root)
+        with pytest.raises(ValueError):
+            preview_waveforms("onestop", 0, event_range=(0, 2),
+                              timestamp_range=(0, 1), data_root=run_root)
+
+    def test_invalid_plot_mode(self, run_root):
+        from waveformanalysis_tpu.utils.preview import preview_waveforms
+
+        with pytest.raises(ValueError):
+            preview_waveforms("onestop", 0, event_range=(0, 2),
+                              plot_mode="3d", data_root=run_root)
+
+    def test_annotate_adds_peak_markers(self, preview):
+        table = preview.load_events(0, 0, 6)
+        ax_plain = preview.plot_overlay(table, annotate=False)
+        n_plain = len(ax_plain.lines)
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
+        ax_annot = preview.plot_overlay(table, annotate=True)
+        assert len(ax_annot.lines) > n_plain
+        assert "height" in ax_annot.get_title()
+        plt.close("all")
+
+    def test_annotate_grid_titles(self, preview):
+        table = preview.load_events(0, 0, 4)
+        fig = preview.plot_grid(table, annotate=True)
+        assert any("h=" in a.get_title() for a in fig.axes)
+        import matplotlib.pyplot as plt
+
+        plt.close("all")

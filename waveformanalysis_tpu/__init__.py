@@ -84,6 +84,14 @@ _LAZY_API = {
     "DAQAnalyzer": ("waveformanalysis_tpu.utils.daq", "DAQAnalyzer"),
     "parse_and_stack_files": ("waveformanalysis_tpu.utils.io", "parse_and_stack_files"),
     "WaveformPreviewer": ("waveformanalysis_tpu.utils.preview", "WaveformPreviewer"),
+    "preview_waveforms": ("waveformanalysis_tpu.utils.preview", "preview_waveforms"),
+    "plot_records_waveforms": ("waveformanalysis_tpu.utils.preview", "plot_records_waveforms"),
+    # visualization (reference: utils/visualization/ public surface)
+    "plot_lineage_labview": ("waveformanalysis_tpu.utils.visualization", "plot_lineage_labview"),
+    "plot_lineage_plotly": ("waveformanalysis_tpu.utils.visualization", "plot_lineage_plotly"),
+    "plot_waveforms": ("waveformanalysis_tpu.utils.visualization", "plot_waveforms"),
+    "create_interactive_browser": ("waveformanalysis_tpu.utils.visualization", "create_interactive_browser"),
+    "LineageStyle": ("waveformanalysis_tpu.utils.visualization", "LineageStyle"),
     # adapters
     "register_adapter": ("waveformanalysis_tpu.formats.adapter", "register_adapter"),
     "get_adapter": ("waveformanalysis_tpu.formats.adapter", "get_adapter"),

@@ -752,10 +752,12 @@ class Context:
             )
         return "\n".join(lines)
 
-    def plot_lineage(self, data_name: str, renderer: str = "labview"):
+    def plot_lineage(self, data_name: str, renderer: str = "labview",
+                     **kwargs: Any):
         """Render the dependency/lineage graph for a data name
         (reference: context.py:1189). renderer: 'labview' (matplotlib) or
-        'plotly'."""
+        'plotly'. Extra kwargs (verbose, style, interactive,
+        analysis_result, highlight_*) pass through to the renderer."""
         from waveformanalysis_tpu.utils.visualization import (
             plot_lineage_labview,
             plot_lineage_plotly,
@@ -763,9 +765,11 @@ class Context:
 
         lineage = self.get_lineage(data_name)
         if renderer == "plotly":
-            return plot_lineage_plotly(lineage, data_name)
+            return plot_lineage_plotly(lineage, data_name, context=self,
+                                       **kwargs)
         if renderer == "labview":
-            return plot_lineage_labview(lineage, data_name)
+            return plot_lineage_labview(lineage, data_name, context=self,
+                                        **kwargs)
         raise ValueError(f"unknown renderer {renderer!r}; use labview|plotly")
 
     def quickstart(self) -> str:

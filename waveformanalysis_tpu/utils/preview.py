@@ -142,7 +142,8 @@ class WaveformPreviewer:
     # -- plotting ---------------------------------------------------------------------
 
     def plot_overlay(self, table: Table, max_events: int = 32,
-                     ax: Any = None, **kwargs: Any) -> Any:
+                     annotate: bool = False, ax: Any = None,
+                     **kwargs: Any) -> Any:
         import matplotlib
 
         matplotlib.use("Agg", force=False)
@@ -153,18 +154,30 @@ class WaveformPreviewer:
         waves = np.asarray(table["wave"])[:max_events]
         for w in waves:
             ax.plot(w, alpha=0.4, lw=0.8, **kwargs)
+        title = f"{self.run_name}: {len(waves)} waveforms"
+        if annotate and len(waves):
+            feats = self.preview_features(table)
+            title += (f" | height {feats['height'][:max_events].mean():.1f}"
+                      f" | area {feats['area'][:max_events].mean():.1f}")
+            baseline = np.asarray(table["baseline"])[:max_events]
+            peak_idx = np.argmax(baseline[:, None] - waves, axis=1)
+            ax.plot(peak_idx, waves[np.arange(len(waves)), peak_idx],
+                    "v", ms=4, color="crimson", alpha=0.7, lw=0)
         ax.set_xlabel("sample")
         ax.set_ylabel("ADC")
-        ax.set_title(f"{self.run_name}: {len(waves)} waveforms")
+        ax.set_title(title)
         return ax
 
-    def plot_grid(self, table: Table, n_cols: int = 4, max_events: int = 16) -> Any:
+    def plot_grid(self, table: Table, n_cols: int = 4, max_events: int = 16,
+                  annotate: bool = False) -> Any:
         import matplotlib
 
         matplotlib.use("Agg", force=False)
         import matplotlib.pyplot as plt
 
         waves = np.asarray(table["wave"])[:max_events]
+        feats = self.preview_features(table) if annotate and len(waves) \
+            else None
         n = len(waves)
         n_rows = (n + n_cols - 1) // n_cols
         fig, axes = plt.subplots(n_rows, n_cols,
@@ -174,11 +187,58 @@ class WaveformPreviewer:
             ax = axes[i // n_cols][i % n_cols]
             if i < n:
                 ax.plot(waves[i], lw=0.8)
-                ax.set_title(f"evt {i}", fontsize=8)
+                label = f"evt {i}"
+                if feats is not None:
+                    label += (f" h={feats['height'][i]:.0f}"
+                              f" a={feats['area'][i]:.0f}")
+                ax.set_title(label, fontsize=8)
             else:
                 ax.axis("off")
         fig.tight_layout()
         return fig
+
+
+def preview_waveforms(
+    run_name: str,
+    channel: int,
+    event_range: Optional[tuple] = None,
+    timestamp_range: Optional[tuple] = None,
+    plot_mode: str = "overlay",
+    annotate: bool = True,
+    save_path: Optional[str] = None,
+    data_root: str = "DAQ",
+    daq_adapter: str = "vx2730",
+    **kwargs: Any,
+) -> Any:
+    """One-stop preview: load a slice of one channel and plot it
+    (reference: utils/preview.py:830 preview_waveforms). Exactly one of
+    event_range / timestamp_range selects events; plot_mode is
+    'overlay' or 'grid'; returns the Figure (saved when save_path given).
+    """
+    if (event_range is None) == (timestamp_range is None):
+        raise ValueError(
+            "specify exactly one of event_range or timestamp_range")
+    previewer = WaveformPreviewer(data_root=data_root, run_name=run_name,
+                                  daq_adapter=daq_adapter)
+    if event_range is not None:
+        start, end = event_range
+        table = previewer.load_events(channel, start=start,
+                                      n_events=end - start)
+    else:
+        start_ps, end_ps = timestamp_range
+        table = previewer.load_by_timestamp(channel, start_ps, end_ps)
+    if plot_mode == "overlay":
+        ax = previewer.plot_overlay(table, annotate=annotate, **kwargs)
+        fig = ax.figure
+    elif plot_mode == "grid":
+        fig = previewer.plot_grid(table, annotate=annotate, **kwargs)
+    else:
+        raise ValueError(
+            f"invalid plot_mode {plot_mode!r}: use 'overlay' or 'grid'")
+    if save_path is not None:
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+        logger.info("preview figure saved to %s", save_path)
+    return fig
 
 
 def _resolve_records_view(source: Any, run_id: Optional[str] = None) -> Any:
