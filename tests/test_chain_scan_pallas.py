@@ -275,3 +275,68 @@ class TestKSpecialization:
             np.testing.assert_array_equal(
                 np.asarray(base[k]), np.asarray(spec[k]), err_msg=k
             )
+
+
+class TestP1QuadReadSharing:
+    """Pass-1 quad read-sharing (roofline probe, BENCHMARKS.md r3): the
+    quad runner reads+converts 5 samples per 4 unrolled steps instead of
+    ~4 dynamic re-reads per step. Applies only to the non-derivative
+    detection grid with L % 4 == 0; outputs must be bit-identical."""
+
+    def _run(self, monkeypatch, quad, waves, el, bl, pol, cfg):
+        monkeypatch.setenv("WFA_CHAIN_P1_QUAD", "1" if quad else "0")
+        return chain_scan_pallas(
+            jnp.asarray(waves), jnp.asarray(el), jnp.asarray(bl),
+            jnp.asarray(pol), cfg, interpret=True,
+        )
+
+    def test_quad_matches_plain_sparse(self, monkeypatch):
+        n, L = 96, 128
+        cfg = ChainConfig(use_derivative=False, peak_height=80.0,
+                          peak_prominence=50.0, peak_width=2.0)
+        waves = _mixed_waves(n, L, seed=13)
+        el = np.full(n, L, np.int32)
+        el[::7] = L - 21  # ragged lengths exercise the validity masks
+        bl = np.full(n, 1000.0, np.float32)
+        pol = np.full(n, 1, np.int8)
+        base = self._run(monkeypatch, False, waves, el, bl, pol, cfg)
+        quad = self._run(monkeypatch, True, waves, el, bl, pol, cfg)
+        for k in base:
+            np.testing.assert_array_equal(
+                np.asarray(base[k]), np.asarray(quad[k]), err_msg=k
+            )
+
+    def test_quad_matches_plain_dense(self, monkeypatch):
+        n, L = 64, 64
+        cfg = ChainConfig(use_derivative=False, peak_height=10.0,
+                          peak_prominence=1.0, peak_width=1.0,
+                          hit_threshold=5.0, max_peaks=8, max_hits=8)
+        rng = np.random.default_rng(7)
+        waves = np.round(
+            1000 + 60 * rng.standard_normal((n, L))
+        ).astype(np.int16)
+        el = np.full(n, L, np.int32)
+        bl = np.full(n, 1000.0, np.float32)
+        pol = np.full(n, 1, np.int8)
+        base = self._run(monkeypatch, False, waves, el, bl, pol, cfg)
+        quad = self._run(monkeypatch, True, waves, el, bl, pol, cfg)
+        assert int(np.asarray(quad["n_peaks"]).sum()) > n
+        for k in base:
+            np.testing.assert_array_equal(
+                np.asarray(base[k]), np.asarray(quad[k]), err_msg=k
+            )
+
+    def test_quad_noop_on_derivative_grid(self, monkeypatch):
+        # use_derivative=True falls back to the plain runner; still exact
+        n, L = 32, 128
+        cfg = ChainConfig(use_derivative=True)
+        waves = _mixed_waves(n, L, seed=3)
+        el = np.full(n, L, np.int32)
+        bl = np.full(n, 1000.0, np.float32)
+        pol = np.full(n, 1, np.int8)
+        base = self._run(monkeypatch, False, waves, el, bl, pol, cfg)
+        quad = self._run(monkeypatch, True, waves, el, bl, pol, cfg)
+        for k in base:
+            np.testing.assert_array_equal(
+                np.asarray(base[k]), np.asarray(quad[k]), err_msg=k
+            )

@@ -233,6 +233,37 @@ class TestEventFilters:
         out = EF.filter_by_area(df_events, min_total_area=10.0)
         assert list(out["event_id"]) == [0, 2]
 
+    def test_filter_events_by_function_row(self, df_events):
+        out = EF.filter_events_by_function(
+            df_events, lambda row: row["n_hits"] >= 2)
+        assert list(out["event_id"]) == [0, 2]
+
+    def test_filter_events_by_function_column_vectorized(self, df_events):
+        out = EF.filter_events_by_function(
+            df_events, lambda col: col >= 2, column="n_hits")
+        assert list(out["event_id"]) == [0, 2]
+
+    def test_filter_events_by_function_column_scalar_fallback(self, df_events):
+        # predicate only works per element -> vectorized try fails, apply wins
+        out = EF.filter_events_by_function(
+            df_events, lambda v: len(v) == 2, column="channels")
+        assert list(out["event_id"]) == [0]
+
+    def test_filter_coincidence_events_reference_name(self, df_events):
+        out = EF.filter_coincidence_events(df_events, [0, 1])
+        assert list(out["event_id"]) == [0, 2]
+
+    def test_extract_channel_attributes(self, df_events):
+        got = EF.extract_channel_attributes(df_events, [0, 2],
+                                            attribute="areas")
+        assert got[0] == [5.0, 1.0, 10.0]   # first hit on ch0 per event
+        assert got[2] == [10.0]              # only event 2 has ch2
+
+    def test_extract_channel_attributes_timestamps(self, df_events):
+        got = EF.extract_channel_attributes(df_events, [1],
+                                            attribute="timestamps")
+        assert got[1] == [10_000, 100_000]
+
 
 class TestPreview:
     def test_load_and_features(self, tmp_path):

@@ -116,6 +116,7 @@ def _chain_scan_kernel(
     baseline_samples: int,
     unrolled: bool = True,
     k_small: int = 2,
+    p1_quad: bool = False,
 ):
     S = (_SUB, _LANE)
     f32 = jnp.float32
@@ -160,13 +161,16 @@ def _chain_scan_kernel(
     # ======================= pass 1 =========================================
     # Features + candidate emission + run COUNTING only; the per-slot hit
     # bookkeeping moves to pass 1h, gated on this pass's occupancy totals.
-    def p1(t, c):
+    # p1_step takes the CURRENT and PREVIOUS sample values preloaded so the
+    # quad runner below can share one read+convert across the 4 unrolled
+    # steps (the per-step dynamic-index re-reads are pass 1's dominant cost
+    # candidate — see BENCHMARKS.md r3 pass attribution).
+    def p1_step(t, c, w_t, w_p):
         (min_h, max_h, count_h, sum_a, count_a, mad, bl_w_sum,
          prev_on_i, n_runs, prev_rise_i, left_edge, cand_count) = c
         prev_on = prev_on_i > 0
         prev_rise = prev_rise_i > 0  # read-only view; updates stay in int32
 
-        w_t = wv(t)
         valid_t = (zi + t) < el
         sig_t = sign * (w_t - bl)
 
@@ -177,7 +181,6 @@ def _chain_scan_kernel(
         count_h = count_h + in_h.astype(f32)
         sum_a = sum_a + _sel(valid_t, w_t, 0.0)
         count_a = count_a + valid_t.astype(f32)
-        w_p = w_ref[jnp.maximum(t - 1, 0), :, :].astype(f32)
         d_raw = w_t - w_p
         mad = _sel(((zi + t) >= 1) & valid_t,
                    jnp.maximum(mad, jnp.abs(d_raw)), mad)
@@ -192,8 +195,16 @@ def _chain_scan_kernel(
 
         # ---- peak candidate emission (det grid) ----
         i_det = t - 1 if use_derivative else t
-        cur_x = x_at(jnp.maximum(i_det, 0))
-        prev_xv = x_at(jnp.maximum(i_det - 1, 0))
+        if use_derivative:
+            cur_x = x_at(jnp.maximum(i_det, 0))
+            prev_xv = x_at(jnp.maximum(i_det - 1, 0))
+        else:
+            # x_at(t) == masked sig_t and x_at(max(t-1,0)) == masked sig of
+            # w_p — reuse the preloaded values instead of re-reading w_ref
+            cur_x = _sel((zi + t) < det_len, sig_t, f32(_NEG))
+            jp = jnp.maximum(t - 1, 0)
+            prev_xv = _sel((zi + jp) < det_len, sign * (w_p - bl),
+                           f32(_NEG))
         d2 = cur_x - prev_xv
         have = (zi + i_det) >= 1
         emit = have & (d2 < 0) & prev_rise & ((zi + i_det) <= det_len - 1)
@@ -215,9 +226,31 @@ def _chain_scan_kernel(
         return (min_h, max_h, count_h, sum_a, count_a, mad, bl_w_sum,
                 on.astype(i32), n_runs, prev_rise_i, left_edge, cand_count)
 
+    def p1(t, c):
+        return p1_step(t, c, wv(t),
+                       w_ref[jnp.maximum(t - 1, 0), :, :].astype(f32))
+
     carry1 = (jnp.full(S, _INF, f32), jnp.full(S, -_INF, f32), zf, zf, zf,
               zf, zf, zi, zi, zi, zi, zi)
-    out1 = _scan_steps(L, p1, carry1, unrolled)
+    if p1_quad and not use_derivative and L % 4 == 0:
+        # read+convert 5 samples per quad instead of 4 steps x 4 re-reads;
+        # values flow between the inlined steps as registers (NOT loop
+        # carries — carrying samples across iterations breaks Mosaic)
+        def p1_quad_body(i, c):
+            base = 4 * i
+            w_m1 = w_ref[jnp.maximum(base - 1, 0), :, :].astype(f32)
+            w0 = w_ref[base, :, :].astype(f32)
+            w1 = w_ref[base + 1, :, :].astype(f32)
+            w2 = w_ref[base + 2, :, :].astype(f32)
+            w3 = w_ref[base + 3, :, :].astype(f32)
+            c = p1_step(base, c, w0, w_m1)
+            c = p1_step(base + 1, c, w1, w0)
+            c = p1_step(base + 2, c, w2, w1)
+            return p1_step(base + 3, c, w3, w2)
+
+        out1 = jax.lax.fori_loop(0, L // 4, p1_quad_body, carry1)
+    else:
+        out1 = _scan_steps(L, p1, carry1, unrolled)
     (min_h, max_h, count_h, sum_a, count_a, mad, bl_w_sum,
      _, n_runs, _, _, cand_count) = out1
 
@@ -692,6 +725,18 @@ def _chain_scan_kernel(
     nruns_ref[:] = n_runs
 
 
+def _p1_quad_setting() -> bool:
+    """Pass-1 quad read-sharing (A/B probe): read+convert each sample once
+    per 4-step quad instead of ~4 dynamic re-reads per step. Env
+    WFA_CHAIN_P1_QUAD=0/1 overrides; read at trace time."""
+    import os
+
+    raw = os.environ.get("WFA_CHAIN_P1_QUAD")
+    if raw is None:
+        return False
+    return raw not in ("0", "", "false", "off")
+
+
 def _k_small_setting(interpret: bool) -> int:
     """Occupancy-specialization width (0 disables). Default OFF everywhere:
     the 2026-08-18 interleaved A/B on the real chip measured the K=2
@@ -764,6 +809,7 @@ def chain_scan_pallas(
         baseline_samples=50,
         unrolled=not interpret,
         k_small=_k_small_setting(interpret),
+        p1_quad=_p1_quad_setting(),
     )
 
     grid = (n_pad // BLOCK_EVENTS,)

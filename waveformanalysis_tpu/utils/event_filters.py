@@ -67,6 +67,72 @@ def filter_coincidence(
     return df_events[mask].copy()
 
 
+def filter_events_by_function(
+    df_events: Any,
+    filter_func: Any,
+    column: Optional[str] = None,
+    use_vectorized: bool = True,
+) -> Any:
+    """Filter with an arbitrary predicate
+    (reference: event_filters.py:71 filter_events_by_function).
+
+    ``filter_func`` takes either a whole row (column=None) or one column's
+    value. With ``column`` and ``use_vectorized``, the predicate is first
+    tried on the column as a vector (Series/ndarray in, boolean mask out)
+    and falls back to per-element apply when that raises.
+    """
+    if column is not None and use_vectorized:
+        try:
+            mask = filter_func(df_events[column])
+            mask = np.asarray(mask, dtype=bool)
+            if mask.shape == (len(df_events),):
+                return df_events[mask].copy()
+        except Exception:
+            pass
+    if column is not None:
+        mask = df_events[column].apply(filter_func)
+    else:
+        mask = df_events.apply(filter_func, axis=1)
+    return df_events[np.asarray(mask, dtype=bool)].copy()
+
+
+def filter_coincidence_events(
+    df_events: Any,
+    channels: Sequence[int],
+) -> Any:
+    """Keep events containing ALL the given channels
+    (reference: event_filters.py:110 filter_coincidence_events; the
+    reference's numba loop becomes a vectorized membership test over the
+    per-event channel arrays)."""
+    return filter_by_channels(df_events, channels, exact=False)
+
+
+def extract_channel_attributes(
+    df_filtered: Any,
+    channels: Sequence[int],
+    attribute: str = "areas",
+) -> dict:
+    """Per-channel attribute extraction from grouped events
+    (reference: event_filters.py:169): returns
+    ``{channel: [value, ...]}`` taking the FIRST hit on each channel per
+    event, skipping events where the channel is absent."""
+    result: dict = {int(ch): [] for ch in channels}
+    ch_col = df_filtered["channels"].to_numpy() \
+        if hasattr(df_filtered["channels"], "to_numpy") \
+        else np.asarray(df_filtered["channels"], dtype=object)
+    at_col = df_filtered[attribute].to_numpy() \
+        if hasattr(df_filtered[attribute], "to_numpy") \
+        else np.asarray(df_filtered[attribute], dtype=object)
+    for chs, vals in zip(ch_col, at_col):
+        chs = np.asarray(chs, dtype=np.int64)
+        vals = np.asarray(vals)
+        for ch in result:
+            idx = np.flatnonzero(chs == ch)
+            if idx.size:
+                result[ch].append(vals[idx[0]])
+    return result
+
+
 def filter_by_area(
     df_events: Any,
     min_total_area: Optional[float] = None,
