@@ -17,7 +17,26 @@ from __future__ import annotations
 import importlib
 from typing import Any
 
-__version__ = "0.1.0"
+# Re-exported so tests/tools can monkeypatch the metadata source
+# (reference: waveform_analysis/__init__.py version resolution).
+from importlib.metadata import PackageNotFoundError, version as package_version
+
+# Must track pyproject.toml's version (pinned by test_misc_parity):
+# when driven from source the metadata lookup misses and this is the
+# single source of truth.
+_FALLBACK_VERSION = "0.1.0"
+
+
+def _resolve_package_version() -> str:
+    """Installed-distribution version, falling back when the package is
+    driven from source (not pip-installed)."""
+    try:
+        return package_version("waveformanalysis-tpu")
+    except PackageNotFoundError:
+        return _FALLBACK_VERSION
+
+
+__version__ = _resolve_package_version()
 
 # name -> (module, attribute)
 _LAZY_API = {
@@ -89,6 +108,8 @@ _LAZY_API = {
     # visualization (reference: utils/visualization/ public surface)
     "plot_lineage_labview": ("waveformanalysis_tpu.utils.visualization", "plot_lineage_labview"),
     "plot_lineage_plotly": ("waveformanalysis_tpu.utils.visualization", "plot_lineage_plotly"),
+    "LineageGraphModel": ("waveformanalysis_tpu.foundation.model", "LineageGraphModel"),
+    "build_lineage_graph": ("waveformanalysis_tpu.foundation.model", "build_lineage_graph"),
     "plot_waveforms": ("waveformanalysis_tpu.utils.visualization", "plot_waveforms"),
     "create_interactive_browser": ("waveformanalysis_tpu.utils.visualization", "create_interactive_browser"),
     "LineageStyle": ("waveformanalysis_tpu.utils.visualization", "LineageStyle"),

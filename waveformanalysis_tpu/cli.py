@@ -16,12 +16,27 @@ from typing import Any, List, Optional
 
 import numpy as np
 
+# Patchable metadata source, mirroring the package facade
+# (reference: waveform_analysis/cli.py version flag).
+from importlib.metadata import PackageNotFoundError, version as package_version
+
+
+def _pkg_version() -> str:
+    try:
+        return package_version("waveformanalysis-tpu")
+    except PackageNotFoundError:
+        from waveformanalysis_tpu import _FALLBACK_VERSION
+
+        return _FALLBACK_VERSION
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="waveform-process",
         description="TPU-native DAQ waveform processing pipeline",
     )
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {_pkg_version()}")
     p.add_argument("--run-name", required=False, help="Run directory name")
     p.add_argument("--data-root", default="DAQ", help="Data root directory")
     p.add_argument("--storage-dir", default=None,
