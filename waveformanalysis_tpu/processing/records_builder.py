@@ -464,6 +464,45 @@ def build_part_from_raw_array(
     return sort_bundle(RecordsBundle(records=records, wave_pool=pool))
 
 
+def split_by_hardware_channel(st_waveforms: Any) -> List[Tuple[Any, Any]]:
+    """Split rows into per-hardware-channel groups, (board, channel)
+    ascending; same channel number on different boards stays separate.
+
+    Accepts a structured array or a Table; groups are views/row-subsets of
+    the same kind. Reference surface:
+    waveform_analysis/core/processing/records_builder.py:124
+    (split_by_hardware_channel).
+    """
+    if st_waveforms is None or len(st_waveforms) == 0:
+        return []
+    is_table = isinstance(st_waveforms, Table)
+    fields = (st_waveforms.field_names if is_table
+              else (st_waveforms.dtype.names
+                    if isinstance(st_waveforms, np.ndarray) else None))
+    if fields is None:
+        raise ValueError(
+            "st_waveforms must be a structured numpy array or Table")
+    if "board" not in fields or "channel" not in fields:
+        raise ValueError(
+            "st_waveforms missing required 'board'/'channel' fields")
+    groups = group_indices_by_hardware_channel(
+        np.asarray(st_waveforms["board"]),
+        np.asarray(st_waveforms["channel"]))
+    return [(hw, st_waveforms[idx]) for hw, idx in groups.items()]
+
+
+def split_by_channel(st_waveforms: Any) -> List[Tuple[int, Any]]:
+    """Backward-compatible per-channel split for SINGLE-board inputs only
+    (reference: records_builder.py:153 — multi-board data must use
+    split_by_hardware_channel)."""
+    groups = split_by_hardware_channel(st_waveforms)
+    if any(hw.board != 0 for hw, _ in groups):
+        raise ValueError(
+            "split_by_channel no longer supports multi-board data; use "
+            "split_by_hardware_channel instead.")
+    return [(hw.channel, group) for hw, group in groups]
+
+
 def build_records_from_st_waveforms(
     st_waveforms: Any,
     default_dt_ns: int = 1,

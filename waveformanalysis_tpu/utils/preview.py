@@ -141,19 +141,42 @@ class WaveformPreviewer:
 
     # -- plotting ---------------------------------------------------------------------
 
+    @staticmethod
+    def _resolve_dt(dt: Optional[float],
+                    sampling_interval_ns: Optional[float]) -> Optional[float]:
+        """`dt` (ns/sample) scales the x-axis; `sampling_interval_ns` is the
+        deprecated alias (reference: tests/test_preview_dt_alias.py)."""
+        if sampling_interval_ns is not None:
+            import warnings
+
+            warnings.warn(
+                "sampling_interval_ns is deprecated; pass dt= instead",
+                DeprecationWarning, stacklevel=3)
+            if dt is None:
+                dt = sampling_interval_ns
+        return dt
+
     def plot_overlay(self, table: Table, max_events: int = 32,
                      annotate: bool = False, ax: Any = None,
+                     dt: Optional[float] = None,
+                     sampling_interval_ns: Optional[float] = None,
                      **kwargs: Any) -> Any:
         import matplotlib
 
         matplotlib.use("Agg", force=False)
         import matplotlib.pyplot as plt
 
+        dt = self._resolve_dt(dt, sampling_interval_ns)
         if ax is None:
             _fig, ax = plt.subplots(figsize=(10, 5))
         waves = np.asarray(table["wave"])[:max_events]
+        t_axis = (np.arange(waves.shape[1]) * dt
+                  if dt is not None and len(waves) else None)
         for w in waves:
-            ax.plot(w, alpha=0.4, lw=0.8, **kwargs)
+            if t_axis is not None:
+                ax.plot(t_axis, w, alpha=0.4, lw=0.8, **kwargs)
+            else:
+                ax.plot(w, alpha=0.4, lw=0.8, **kwargs)
         title = f"{self.run_name}: {len(waves)} waveforms"
         if annotate and len(waves):
             feats = self.preview_features(table)
@@ -161,23 +184,28 @@ class WaveformPreviewer:
                       f" | area {feats['area'][:max_events].mean():.1f}")
             baseline = np.asarray(table["baseline"])[:max_events]
             peak_idx = np.argmax(baseline[:, None] - waves, axis=1)
-            ax.plot(peak_idx, waves[np.arange(len(waves)), peak_idx],
+            peak_x = peak_idx * dt if dt is not None else peak_idx
+            ax.plot(peak_x, waves[np.arange(len(waves)), peak_idx],
                     "v", ms=4, color="crimson", alpha=0.7, lw=0)
-        ax.set_xlabel("sample")
+        ax.set_xlabel("time (ns)" if dt is not None else "sample")
         ax.set_ylabel("ADC")
         ax.set_title(title)
         return ax
 
     def plot_grid(self, table: Table, n_cols: int = 4, max_events: int = 16,
-                  annotate: bool = False) -> Any:
+                  annotate: bool = False, dt: Optional[float] = None,
+                  sampling_interval_ns: Optional[float] = None) -> Any:
         import matplotlib
 
         matplotlib.use("Agg", force=False)
         import matplotlib.pyplot as plt
 
+        dt = self._resolve_dt(dt, sampling_interval_ns)
         waves = np.asarray(table["wave"])[:max_events]
         feats = self.preview_features(table) if annotate and len(waves) \
             else None
+        t_axis = (np.arange(waves.shape[1]) * dt
+                  if dt is not None and len(waves) else None)
         n = len(waves)
         n_rows = (n + n_cols - 1) // n_cols
         fig, axes = plt.subplots(n_rows, n_cols,
@@ -186,7 +214,10 @@ class WaveformPreviewer:
         for i in range(n_rows * n_cols):
             ax = axes[i // n_cols][i % n_cols]
             if i < n:
-                ax.plot(waves[i], lw=0.8)
+                if t_axis is not None:
+                    ax.plot(t_axis, waves[i], lw=0.8)
+                else:
+                    ax.plot(waves[i], lw=0.8)
                 label = f"evt {i}"
                 if feats is not None:
                     label += (f" h={feats['height'][i]:.0f}"
