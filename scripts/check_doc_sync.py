@@ -4,8 +4,12 @@
 Reference analog: the doc-coverage CI workflow
 (.github/workflows/docs-check.yml) + doc-sync checker scripts — regenerate
 the plugin doc pages for the default profile into a temp dir and diff them
-against the committed pages. Exit 0 when in sync, 1 with a per-file report
-otherwise (run `waveform-docs --out-dir docs/plugins` to refresh).
+against the committed pages. By default BOTH committed variants are
+checked: human pages in docs/plugins/ and agent pages in
+docs/plugins/agent/ (when that directory exists). Exit 0 when in sync, 1
+with a per-file report otherwise (refresh with
+`waveform-docs generate` / `waveform-docs --out-dir docs/plugins/agent
+--variant agent generate`).
 """
 
 from __future__ import annotations
@@ -19,33 +23,20 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
-def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--docs-dir", default="docs/plugins",
-                    help="Committed generated-docs directory")
-    ap.add_argument("--variant", default="human",
-                    choices=["human", "agent", "both"])
-    ap.add_argument("--show-diff", action="store_true",
-                    help="Print unified diffs for drifted pages")
-    args = ap.parse_args(argv)
-
-    from waveformanalysis_tpu.context.context import Context
-    from waveformanalysis_tpu.plugins.plugin_sets import tpu_default
+def check_dir(ctx: object, committed: Path, variant: str,
+              show_diff: bool) -> int:
     from waveformanalysis_tpu.utils.plugin_doc_generator import (
         PluginDocGenerator,
     )
 
-    committed = Path(args.docs_dir)
     if not committed.exists():
         print(f"error: {committed} does not exist; generate docs first",
               file=sys.stderr)
         return 1
 
     with tempfile.TemporaryDirectory() as tmp:
-        ctx = Context(storage_dir=tmp, config={"show_progress": False})
-        ctx.register(*tpu_default())
         fresh_dir = Path(tmp) / "docs"
-        PluginDocGenerator(ctx).generate_all(fresh_dir, variant=args.variant)
+        PluginDocGenerator(ctx).generate_all(fresh_dir, variant=variant)
 
         fresh = {p.name: p.read_text() for p in sorted(fresh_dir.glob("*.md"))}
         old = {p.name: p.read_text() for p in sorted(committed.glob("*.md"))}
@@ -61,12 +52,14 @@ def main(argv=None) -> int:
                 drifted.append((name, "stale page (plugin removed?)"))
 
         if not drifted:
-            print(f"doc-sync OK: {len(fresh)} pages match {committed}")
+            print(f"doc-sync OK [{variant}]: {len(fresh)} pages match "
+                  f"{committed}")
             return 0
-        print(f"doc-sync FAILED: {len(drifted)} page(s) out of date:")
+        print(f"doc-sync FAILED [{variant}] in {committed}: "
+              f"{len(drifted)} page(s) out of date:")
         for name, why in drifted:
             print(f"  {name}: {why}")
-            if args.show_diff and name in old and name in fresh:
+            if show_diff and name in old and name in fresh:
                 diff = difflib.unified_diff(
                     old[name].splitlines(), fresh[name].splitlines(),
                     fromfile=f"committed/{name}", tofile=f"generated/{name}",
@@ -74,9 +67,38 @@ def main(argv=None) -> int:
                 )
                 for line in list(diff)[:60]:
                     print(f"    {line}")
-        print("\nrefresh with: python -m waveformanalysis_tpu.utils.cli_docs generate "
-              f"--out-dir {committed}")
+        print("\nrefresh with: python -m waveformanalysis_tpu.utils.cli_docs "
+              f"--out-dir {committed} --variant {variant} generate")
         return 1
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--docs-dir", default=None,
+                    help="Check ONE directory instead of the default pair")
+    ap.add_argument("--variant", default="human",
+                    choices=["human", "agent"],
+                    help="Variant for --docs-dir single-directory mode")
+    ap.add_argument("--show-diff", action="store_true",
+                    help="Print unified diffs for drifted pages")
+    args = ap.parse_args(argv)
+
+    from waveformanalysis_tpu.context.context import Context
+    from waveformanalysis_tpu.plugins.plugin_sets import tpu_default
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ctx = Context(storage_dir=tmp, config={"show_progress": False})
+        ctx.register(*tpu_default())
+
+        if args.docs_dir is not None:
+            return check_dir(ctx, Path(args.docs_dir), args.variant,
+                             args.show_diff)
+
+        rc = check_dir(ctx, Path("docs/plugins"), "human", args.show_diff)
+        agent_dir = Path("docs/plugins/agent")
+        if agent_dir.exists():
+            rc = check_dir(ctx, agent_dir, "agent", args.show_diff) or rc
+        return rc
 
 
 if __name__ == "__main__":

@@ -94,3 +94,34 @@ class TestPerfRegressionHarness:
                  "basic_features", "--reps", "1")
         assert r.returncode == 0, r.stderr[-500:]
         assert "basic_features" in r.stdout
+
+
+class TestDocSyncCheck:
+    def test_committed_docs_in_sync_both_variants(self):
+        res = _run("check_doc_sync.py")
+        assert res.returncode == 0, res.stdout + res.stderr
+        assert "doc-sync OK [human]" in res.stdout
+        assert "doc-sync OK [agent]" in res.stdout
+
+    def test_detects_drift_in_single_dir_mode(self, tmp_path):
+        import shutil
+
+        drifted = tmp_path / "plugins"
+        shutil.copytree(REPO / "docs" / "plugins", drifted,
+                        ignore=shutil.ignore_patterns("agent"))
+        page = drifted / "hit.md"
+        page.write_text(page.read_text() + "\nhand edit\n")
+        res = _run("check_doc_sync.py", "--docs-dir", str(drifted))
+        assert res.returncode == 1
+        assert "hit.md: content drift" in res.stdout
+
+    def test_detects_missing_page(self, tmp_path):
+        import shutil
+
+        drifted = tmp_path / "agent"
+        shutil.copytree(REPO / "docs" / "plugins" / "agent", drifted)
+        (drifted / "hit.md").unlink()
+        res = _run("check_doc_sync.py", "--docs-dir", str(drifted),
+                   "--variant", "agent")
+        assert res.returncode == 1
+        assert "hit.md: missing from committed docs" in res.stdout
