@@ -73,6 +73,22 @@ _LAZY_API = {
     "StraxContextAdapter": ("waveformanalysis_tpu.plugins.adapters", "StraxContextAdapter"),
     "PluginLoader": ("waveformanalysis_tpu.plugins.loader", "PluginLoader"),
     "enable_hot_reload": ("waveformanalysis_tpu.plugins.hot_reload", "enable_hot_reload"),
+    "PluginHotReloader": ("waveformanalysis_tpu.plugins.hot_reload", "PluginHotReloader"),
+    # reference facade parity (waveform_analysis/__init__.py lazy names)
+    "CacheManager": ("waveformanalysis_tpu.storage.function_cache", "CacheManager"),
+    "CompressionManager": ("waveformanalysis_tpu.storage.compression", "CompressionManager"),
+    "IntegrityChecker": ("waveformanalysis_tpu.storage.integrity", "IntegrityChecker"),
+    "StorageBackend": ("waveformanalysis_tpu.storage.backends", "StorageBackend"),
+    "ErrorContext": ("waveformanalysis_tpu.foundation.exceptions", "ErrorContext"),
+    "EXECUTOR_CONFIGS": ("waveformanalysis_tpu.execution.manager", "EXECUTOR_CONFIGS"),
+    "get_executor": ("waveformanalysis_tpu.execution.manager", "get_executor"),
+    "get_executor_manager": ("waveformanalysis_tpu.execution.manager", "get_executor_manager"),
+    "get_config": ("waveformanalysis_tpu.execution.manager", "get_config"),
+    "register_config": ("waveformanalysis_tpu.execution.manager", "register_config"),
+    "get_timeout_manager": ("waveformanalysis_tpu.execution.timeout", "get_timeout_manager"),
+    "group_multi_channel_hits": ("waveformanalysis_tpu.ops.grouping", "group_multi_channel_hits"),
+    "WaveformStruct": ("waveformanalysis_tpu.plugins.builtin.waveforms", "WaveformStruct"),
+    "WaveformStructConfig": ("waveformanalysis_tpu.plugins.builtin.waveforms", "WaveformStructConfig"),
     "make_fake_st_waveforms": ("waveformanalysis_tpu.testing.fixtures", "make_fake_st_waveforms"),
     "make_tiny_context": ("waveformanalysis_tpu.testing.fixtures", "make_tiny_context"),
     "tpu_default": ("waveformanalysis_tpu.plugins.plugin_sets", "tpu_default"),

@@ -53,6 +53,23 @@ def resolve_executor_config(name: str) -> Dict[str, Any]:
     return cfg
 
 
+def get_config(config_name: str) -> Dict[str, Any]:
+    """Copy of a named executor config, unresolved
+    (reference: core/execution/config.py:64 get_config)."""
+    if config_name not in EXECUTOR_CONFIGS:
+        raise KeyError(
+            f"Unknown executor config {config_name!r}; "
+            f"available: {sorted(EXECUTOR_CONFIGS)}"
+        )
+    return dict(EXECUTOR_CONFIGS[config_name])
+
+
+def register_config(name: str, config: Dict[str, Any]) -> None:
+    """Register/override a named executor config
+    (reference: core/execution/config.py:84 register_config)."""
+    EXECUTOR_CONFIGS[name] = dict(config)
+
+
 @dataclass
 class _PoolEntry:
     executor: Executor
@@ -244,3 +261,9 @@ def is_picklable(obj: Any) -> bool:
         return True
     except Exception:
         return False
+
+
+def get_executor_manager() -> ExecutorManager:
+    """The global executor manager singleton
+    (reference: core/execution/manager.py:389)."""
+    return ExecutorManager.instance()

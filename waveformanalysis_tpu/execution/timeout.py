@@ -119,3 +119,9 @@ def with_timeout(timeout_s: float, task_name: Optional[str] = None):
         return wrapper
 
     return decorator
+
+
+def get_timeout_manager() -> TimeoutManager:
+    """The process-default timeout manager
+    (reference facade: get_timeout_manager)."""
+    return _default_manager

@@ -9,7 +9,8 @@ run, RECOVERABLE lets the scheduler continue / retry).
 from __future__ import annotations
 
 import enum
-from typing import Any, Optional
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
 
 
 class ErrorSeverity(enum.Enum):
@@ -18,6 +19,49 @@ class ErrorSeverity(enum.Enum):
     FATAL = "fatal"
     RECOVERABLE = "recoverable"
     WARNING = "warning"
+
+
+@dataclass
+class ErrorContext:
+    """Structured snapshot attached to plugin failures
+    (reference: foundation/exceptions.py:21 ErrorContext): where the
+    error happened, with what config, against which inputs."""
+
+    run_id: str = ""
+    plugin_name: str = ""
+    plugin_class: str = ""
+    config: Dict[str, Any] = field(default_factory=dict)
+    timestamp: str = ""
+    dependencies_info: Dict[str, Any] = field(default_factory=dict)
+    memory_mb: Optional[float] = None
+
+    @classmethod
+    def from_snapshot(cls, snap: Dict[str, Any],
+                      run_id: str = "") -> "ErrorContext":
+        """Build from an ``ErrorManager.collect_context`` snapshot dict."""
+        import datetime
+
+        return cls(
+            run_id=run_id,
+            plugin_name=str(snap.get("provides", "")),
+            plugin_class=str(snap.get("plugin_class", "")),
+            config=dict(snap.get("config", {}) or {}),
+            timestamp=datetime.datetime.now().isoformat(),
+            dependencies_info=dict(snap.get("inputs", {}) or {})
+            if isinstance(snap.get("inputs"), dict) else
+            {"inputs": snap.get("inputs")} if "inputs" in snap else {},
+        )
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "run_id": self.run_id,
+            "plugin_name": self.plugin_name,
+            "plugin_class": self.plugin_class,
+            "config": self.config,
+            "timestamp": self.timestamp,
+            "dependencies_info": self.dependencies_info,
+            "memory_mb": self.memory_mb,
+        }
 
 
 class WaveformAnalysisError(Exception):

@@ -450,6 +450,49 @@ class WaveformsPlugin(Plugin):
         )
 
 
+class WaveformStructConfig:
+    """Format-decoupled structuring config
+    (reference: waveforms.py WaveformStructConfig; tested by the
+    reference's test_waveform_struct_decoupling): carries the FormatSpec
+    plus optional explicit wave_length / baseline window, with the
+    documented resolution priority wave_length > DEFAULT_WAVE_LENGTH."""
+
+    def __init__(self, format_spec: Any, wave_length: Optional[int] = None,
+                 baseline_samples: Any = None) -> None:
+        self.format_spec = format_spec
+        self.wave_length = wave_length
+        self.baseline_samples = baseline_samples
+
+    @classmethod
+    def default_vx2730(cls) -> "WaveformStructConfig":
+        from waveformanalysis_tpu.formats.vx2730 import VX2730_SPEC
+
+        return cls(format_spec=VX2730_SPEC)
+
+    @classmethod
+    def from_adapter(cls, adapter_name: str) -> "WaveformStructConfig":
+        from waveformanalysis_tpu.formats.adapter import get_adapter
+
+        return cls(format_spec=get_adapter(adapter_name).format_spec)
+
+    def get_wave_length(self) -> int:
+        from waveformanalysis_tpu.dtypes.schema import DEFAULT_WAVE_LENGTH
+
+        return (int(self.wave_length) if self.wave_length is not None
+                else DEFAULT_WAVE_LENGTH)
+
+    def get_record_dtype(self):
+        from waveformanalysis_tpu.dtypes.schema import create_record_dtype
+
+        return create_record_dtype(self.get_wave_length())
+
+    def make_struct(self, waveforms: List[np.ndarray],
+                    dt_ns: int) -> "WaveformStruct":
+        return WaveformStruct(waveforms, self.format_spec, dt_ns,
+                              wave_length=self.wave_length,
+                              baseline_samples=self.baseline_samples)
+
+
 class WaveformStruct:
     """Thin API-parity shim over :func:`structure_channel_array`
     (reference: waveforms.py:591)."""
