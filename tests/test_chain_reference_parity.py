@@ -10,6 +10,8 @@ loop (the reference implementation style, SURVEY §3.1 hot loops) and
 requires the single fused device program to reproduce every output.
 """
 
+import zlib
+
 import numpy as np
 import pytest
 from scipy.signal import find_peaks
@@ -25,8 +27,8 @@ def reference_chain_loop(waves, event_length, baselines, polarity, cfg):
     he = min(he, L)
     out = {k: [] for k in (
         "height", "amp", "area", "max_abs_diff", "peak_position", "n_peaks",
-        "n_hits", "hit_integral", "rise_samples", "fall_samples",
-        "width_samples", "label")}
+        "n_candidates", "n_hits", "hit_integral", "rise_samples",
+        "fall_samples", "width_samples", "label")}
 
     for i in range(n):
         w = waves[i].astype(np.float64)
@@ -55,6 +57,11 @@ def reference_chain_loop(waves, event_length, baselines, polarity, cfg):
             prominence=cfg.peak_prominence, width=cfg.peak_width,
         )
         n_peaks = len(pos)
+        # candidate count = local maxima passing the height filter only —
+        # the quantity the device kernels bound by max_peaks slots (scipy
+        # applies height before distance/prominence/width, so candidates
+        # are a superset of accepted peaks)
+        n_candidates = len(find_peaks(det, height=cfg.peak_height)[0])
 
         # ---- threshold runs with +-extension (hit plugin semantics) ----
         on = (signal >= cfg.hit_threshold) & valid
@@ -133,6 +140,7 @@ def reference_chain_loop(waves, event_length, baselines, polarity, cfg):
         out["max_abs_diff"].append(mad)
         out["peak_position"].append(p)
         out["n_peaks"].append(n_peaks)
+        out["n_candidates"].append(n_candidates)
         out["n_hits"].append(n_hits)
         out["hit_integral"].append(integral)
         out["rise_samples"].append(rise)
@@ -213,7 +221,10 @@ SWEEP_CONFIGS = {
 
 @pytest.mark.parametrize("case", sorted(SWEEP_CONFIGS))
 def test_chain_config_sweep(case):
-    rng = np.random.default_rng(hash(case) % (2**31))
+    # crc32, not hash(): str hashing is salted per process, and a varying
+    # seed made this test flaky (rare draws hit candidate-overflow events
+    # the old `within` filter did not exclude)
+    rng = np.random.default_rng(zlib.crc32(case.encode()) % (2**31))
     n, L = 64, 160
     t = np.arange(L)
     waves = np.full((n, L), 1000.0)
@@ -243,7 +254,12 @@ def test_chain_config_sweep(case):
         jnp.asarray(bl.astype(np.float32)), jnp.asarray(pol), cfg).items()}
     ref = reference_chain_loop(waves, el, bl, pol, cfg)
 
-    within = (ref["n_peaks"] <= cfg.max_peaks) & (ref["n_hits"] <= cfg.max_hits)
+    # capacity applies to CANDIDATES (height-passing local maxima), per the
+    # chain overflow contract (models/full_chain.py n_peak_overflow): an
+    # event with more candidates than slots is best-effort even when its
+    # accepted-peak count fits, so it must be excluded from exact comparison
+    within = (ref["n_candidates"] <= cfg.max_peaks) \
+        & (ref["n_hits"] <= cfg.max_hits)
     assert within.sum() >= n // 2  # the sweep still exercises real events
 
     np.testing.assert_allclose(dev["height"], ref["height"], atol=1e-3)
@@ -267,8 +283,7 @@ def test_chain_config_sweep(case):
     np.testing.assert_allclose(dev["width_samples"][agree],
                                ref["width_samples"][agree], atol=2e-3)
     np.testing.assert_array_equal(dev["label"][agree], ref["label"][agree])
-    # overflow counts CANDIDATES beyond capacity, a superset of events
-    # whose FINAL peak count exceeds it
-    assert int(dev["n_peak_overflow"]) >= int(
-        np.sum(ref["n_peaks"] > cfg.max_peaks)
+    # overflow counts events whose CANDIDATES exceed capacity — exactly
+    assert int(dev["n_peak_overflow"]) == int(
+        np.sum(ref["n_candidates"] > cfg.max_peaks)
     )

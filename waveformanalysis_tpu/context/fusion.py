@@ -284,9 +284,10 @@ class WaveChainFusion:
         load_plugin = (
             plugins[load_via] if load_via is not None else ctx._plugins["hit"]
         )
-        waves, lengths, meta = _load_wave_matrix(
-            ctx, load_plugin, run_id, keep_integer_waves=True
-        )
+        with ctx.profiler.time("fusion.single.load"):
+            waves, lengths, meta = _load_wave_matrix(
+                ctx, load_plugin, run_id, keep_integer_waves=True
+            )
         n = len(lengths)
         if n == 0:
             return self._empty_results(members)
@@ -307,10 +308,11 @@ class WaveChainFusion:
             )
 
         mesh_info = getattr(ctx, "mesh", None)
-        program, spec_cache = self._get_program(
-            tuple(device_members), cfgs, plugins, mesh_info,
-            support_hit_cfg=support_hit_cfg,
-        )
+        with ctx.profiler.time("fusion.single.get_program"):
+            program, spec_cache = self._get_program(
+                tuple(device_members), cfgs, plugins, mesh_info,
+                support_hit_cfg=support_hit_cfg,
+            )
 
         thresholds_np = (
             np.zeros((n,), np.float32) if thresholds is None else thresholds
@@ -326,24 +328,31 @@ class WaveChainFusion:
         if mesh_info is not None:
             host_out = self._run_sharded(program, inputs, n, mesh_info)
         else:
-            dev_in = tuple(jnp.asarray(x) for x in inputs)
+            with ctx.profiler.time("fusion.single.upload"):
+                dev_in = tuple(jnp.asarray(x) for x in inputs)
+                jax.block_until_ready(dev_in)
             shapes_key = tuple(
                 (tuple(x.shape), str(x.dtype)) for x in dev_in
             )
-            flat_d, slot_mats_d, counts_d = program(*dev_in)
-            host_out, slot_out = _fetch_packed_outputs(
-                flat_d, slot_mats_d, counts_d, spec_cache[shapes_key]
-            )
+            with ctx.profiler.time("fusion.single.device_program"):
+                flat_d, slot_mats_d, counts_d = program(*dev_in)
+                jax.block_until_ready(counts_d)
+            with ctx.profiler.time("fusion.single.fetch"):
+                host_out, slot_out = _fetch_packed_outputs(
+                    flat_d, slot_mats_d, counts_d, spec_cache[shapes_key]
+                )
 
         results: Dict[str, Any] = {}
-        for m in device_members:
-            results[m] = self._finalize_member(
-                ctx, m, plugins, cfgs, support_hit_cfg, host_out, slot_out,
-                meta, lengths, n, offset=None, bf_baselines=bf_baselines,
+        with ctx.profiler.time("fusion.single.finalize"):
+            for m in device_members:
+                results[m] = self._finalize_member(
+                    ctx, m, plugins, cfgs, support_hit_cfg, host_out,
+                    slot_out, meta, lengths, n, offset=None,
+                    bf_baselines=bf_baselines,
+                )
+            self._finalize_host_members(
+                ctx, run_id, host_members, plugins, cfgs, results
             )
-        self._finalize_host_members(
-            ctx, run_id, host_members, plugins, cfgs, results
-        )
         logger.debug(
             "fused %s over %d waveforms in one device program", members, n
         )
