@@ -11,6 +11,8 @@ the driver's headline (config 4 at full scale).
   4 S1/S2 peak-finding + classification (fused Pallas chain)
   5 streaming chunked full-run context (dual baseline, breaks, caching)
   6 multi-run batched dispatch vs a per-run loop (dispatch amortization)
+  7 Context-routed full S1/S2 cone at headline scale (ONE fused device
+    program for hit+features+widths+s1_s2; vs_baseline = raw chain kernel)
 
 vs_baseline compares against a single-core reference-style NumPy/SciPy
 implementation of the same semantics, measured in-process.
@@ -330,6 +332,131 @@ def config_6(n_events: Optional[int] = None, L: int = 128, n_runs: int = 8) -> N
     }))
 
 
+def config_7(n: int = 65536, L: int = 256, reps: int = 4) -> None:
+    """Context-routed S1/S2 cone: `ctx.get_data(run, "s1_s2")` compiles the
+    full hit+basic_features+waveform_width(+s1_s2 host finalize) cone into
+    ONE device program (context/fusion.py). Reports warm per-run wall time
+    and phase attribution; vs_baseline = raw chain kernel device time /
+    the Context path's device_program time (1.0 = no fusion-layer loss;
+    the VERDICT r2 criterion is >= 0.5, i.e. within ~2x of the kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    np.asarray(jnp.zeros(8))  # absorb the one-time tunnel warm-up
+
+    from waveformanalysis_tpu.context.context import Context
+    from waveformanalysis_tpu.models.full_chain import ChainConfig
+    from waveformanalysis_tpu.ops.chain_scan_pallas import make_jit_chain_scan
+    from waveformanalysis_tpu.plugins.builtin.basic_features import (
+        BasicFeaturesPlugin,
+    )
+    from waveformanalysis_tpu.plugins.builtin.hit_finder import (
+        ThresholdHitPlugin,
+    )
+    from waveformanalysis_tpu.plugins.builtin.peak_finding import (
+        HitFinderPlugin,
+    )
+    from waveformanalysis_tpu.plugins.builtin.s1_s2_classifier import (
+        S1S2ClassifierPlugin,
+    )
+    from waveformanalysis_tpu.plugins.builtin.waveform_width import (
+        WaveformWidthPlugin,
+    )
+    from waveformanalysis_tpu.testing.fixtures import make_fake_st_waveforms
+
+    def mkrun(i):
+        # unique waves per run: the axon terminal serves repeated
+        # (executable, input) pairs from a results cache
+        st = make_fake_st_waveforms(
+            n_events=n, wave_length=L, pulse_height=300,
+            polarity="positive",
+            seed=int.from_bytes(os.urandom(4), "little"),
+        )
+        st["channel"] = (np.arange(n) % 2).astype(np.int16)
+        return st
+
+    per_run = []
+    with tempfile.TemporaryDirectory() as tmp:
+        ctx = Context(storage_dir=tmp, config={"show_progress": False})
+        ctx.register(BasicFeaturesPlugin(), HitFinderPlugin(),
+                     ThresholdHitPlugin(), WaveformWidthPlugin(),
+                     S1S2ClassifierPlugin())
+        ctx.set_config({
+            "hit": {"use_filtered": False, "use_derivative": False,
+                    "height": 80.0, "prominence": 50.0, "width": 2},
+            "s1_s2": {"s1_width_range": (0.0, 30.0),
+                      "s2_width_range": (40.0, 10000.0)},
+        })
+
+        ctx.inject_data("r0", "st_waveforms", mkrun(0))
+        t0 = time.perf_counter()
+        ctx.get_data("r0", "s1_s2")
+        cold = time.perf_counter() - t0
+
+        for i in range(1, reps + 1):
+            rid = f"r{i}"
+            ctx.inject_data(rid, "st_waveforms", mkrun(i))
+            ctx.profiler.reset()
+            t0 = time.perf_counter()
+            out = ctx.get_data(rid, "s1_s2")
+            per_run.append({
+                "wall": time.perf_counter() - t0,
+                "phases": {
+                    k.split("fusion.single.", 1)[1]: v["total_s"]
+                    for k, v in ctx.profiler.stats().items()
+                    if k.startswith("fusion.single.")
+                },
+            })
+            assert len(out) == n
+        ctx.flush_saves()
+
+    # raw chain kernel on the same shapes (bench.py methodology: shift on
+    # device per iteration, block on all outputs). Pallas kernels need the
+    # real chip; on the CPU backend report the Context numbers alone.
+    kernel_s = None
+    if jax.default_backend() != "cpu":
+        cfg = ChainConfig(use_derivative=False, peak_height=80.0,
+                          peak_prominence=50.0, peak_width=2.0)
+        step = make_jit_chain_scan(cfg)
+        stepk = jax.jit(lambda w, e, b, p, k: step(w + k, e, b + k, p))
+        waves = jnp.asarray(_synth_waves(n, L))
+        el = jnp.asarray(np.full(n, L, np.int32))
+        bl = jnp.asarray(np.full(n, 1000.0, np.float32))
+        pol = jnp.asarray(np.full(n, 1, np.int8))
+        jax.block_until_ready(stepk(waves, el, bl, pol, jnp.int16(0)))
+        outs = []
+        t0 = time.perf_counter()
+        for i in range(6):
+            outs.append(stepk(waves, el, bl, pol, jnp.int16(i + 1)))
+        jax.block_until_ready(outs)
+        kernel_s = (time.perf_counter() - t0) / 6
+
+    walls = sorted(r["wall"] for r in per_run)
+    med_wall = walls[len(walls) // 2]
+    med = {
+        k: sorted(r["phases"].get(k, 0.0) for r in per_run)[reps // 2]
+        for k in per_run[0]["phases"]
+    }
+    dev_s = med.get("device_program", float("nan"))
+    phases_ms = {k: round(v * 1e3, 1) for k, v in sorted(med.items())}
+    kernel_note = (
+        f"; raw kernel {kernel_s * 1e3:.1f} ms" if kernel_s else ""
+    )
+    print(json.dumps({
+        "config": 7,
+        "metric": (
+            f"Context-routed s1_s2 warm wf/s at {n}x{L} "
+            f"(cold {cold:.1f} s; median wall {med_wall * 1e3:.0f} ms; "
+            f"phases ms {phases_ms}{kernel_note})"
+        ),
+        "value": round(n / med_wall, 1),
+        "unit": "waveforms/s",
+        "vs_baseline": (
+            round(kernel_s / dev_s, 2) if kernel_s and dev_s else None
+        ),
+    }))
+
+
 def main() -> None:
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         # env alone does not override the host's axon preset; config does
@@ -337,11 +464,11 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--config", type=int, choices=[1, 2, 3, 4, 5, 6])
+    ap.add_argument("--config", type=int, choices=[1, 2, 3, 4, 5, 6, 7])
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
     configs = {1: config_1, 2: config_2, 3: config_3, 4: config_4,
-               5: config_5, 6: config_6}
+               5: config_5, 6: config_6, 7: config_7}
     if args.all:
         import subprocess
 
