@@ -37,6 +37,8 @@ EXPECTED_KINDS = {
     "waveform_width": "table",
     "waveform_width_integral": "table",
     "s1_s2": "table",
+    "events": "table",
+    "event_hits": "table",
     "df": "dataframe",
     "df_events": "dataframe",
     "df_paired": "dataframe",

@@ -84,6 +84,7 @@ _DEVICE_CFG_KEYS = {
     "waveform_width_integral": ("q_low", "q_high"),
     "waveform_width": (
         "rise_low", "rise_high", "fall_high", "fall_low", "interpolation",
+        "backend",
     ),
 }
 

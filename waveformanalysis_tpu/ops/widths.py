@@ -192,6 +192,98 @@ def width_from_peak_slots(
     return stacked
 
 
+def width_from_peak_slots_scan(
+    waves: jax.Array,
+    positions: jax.Array,
+    slot_valid: jax.Array,
+    rise_low: float = 0.1,
+    rise_high: float = 0.9,
+    fall_high: float = 0.9,
+    fall_low: float = 0.1,
+    interpolation: bool = True,
+    interpret: bool = False,
+) -> Dict[str, jax.Array]:
+    """Scan-kernel backend of :func:`width_from_peak_slots` — same contract.
+
+    The first-crossing search runs as a streaming Pallas walk
+    (ops/width_scan_pallas.py: the wave block streams from HBM once,
+    O(L) per event instead of K x 4 masked (n, L) min-reductions); the
+    interpolation / validity arithmetic below is ``_width_for_positions``'s
+    expressions verbatim on the emitted indices and capture samples, so
+    every consumed output is bit-identical to the XLA kernel
+    (tests/test_width_scan_pallas.py). Measured on the axon v5e at
+    65536x256, K=32: ~215 ms (XLA) -> see BENCHMARKS.md round 3.
+    """
+    from waveformanalysis_tpu.ops.width_scan_pallas import (
+        width_crossings_scan,
+    )
+
+    w = waves.astype(jnp.float32)
+    n, L = w.shape
+    nb = min(_BASELINE_SAMPLES, L)
+    baseline = jnp.mean(w[:, :nb], axis=1)
+    cr = width_crossings_scan(
+        waves, baseline, positions,
+        rise_low=rise_low, rise_high=rise_high,
+        fall_high=fall_high, fall_low=fall_low,
+        interpolation=interpolation, interpret=interpret,
+    )
+    p = positions.astype(jnp.int32)
+    pv = cr["peak_value"]
+    valid = (p >= 0) & (p < L) & (pv > 0)
+
+    def fin(idx, y0, y1, thr, rel_base):
+        # literally crossing_rising/crossing_falling's tail from
+        # _width_for_positions: rel_base is idx (rising) or idx - p
+        # (falling); not-found (idx == L) values are masked by ``found``
+        # in every consumer, exactly as in the XLA kernel.
+        found = idx < L
+        if interpolation:
+            denom = y1 - y0
+            frac = jnp.where(
+                jnp.abs(denom) < 1e-10, 0.0,
+                (thr - y0) / jnp.where(jnp.abs(denom) < 1e-10, 1.0, denom),
+            )
+            interp = (idx - 1).astype(jnp.float32) + frac
+            out = jnp.where(
+                (rel_base > 0) & (jnp.abs(denom) >= 1e-10),
+                interp, idx.astype(jnp.float32),
+            )
+        else:
+            out = idx.astype(jnp.float32)
+        return out, found
+
+    r_low, r_low_ok = fin(
+        cr["r_low_idx"], cr["r_low_y0"], cr["r_low_y1"],
+        pv * rise_low, cr["r_low_idx"],
+    )
+    r_high, r_high_ok = fin(
+        cr["r_high_idx"], cr["r_high_y0"], cr["r_high_y1"],
+        pv * rise_high, cr["r_high_idx"],
+    )
+    f_high, f_high_ok = fin(
+        cr["f_high_idx"], cr["f_high_y0"], cr["f_high_y1"],
+        pv * fall_high, cr["f_high_idx"] - p,
+    )
+    f_low, f_low_ok = fin(
+        cr["f_low_idx"], cr["f_low_y0"], cr["f_low_y1"],
+        pv * fall_low, cr["f_low_idx"] - p,
+    )
+
+    rise_ok = r_low_ok & r_high_ok
+    fall_ok = f_high_ok & f_low_ok
+    total_ok = r_low_ok & f_low_ok
+    return {
+        "rise_samples": jnp.where(rise_ok, r_high - r_low, 0.0),
+        "fall_samples": jnp.where(fall_ok, f_low - f_high, 0.0),
+        "total_samples": jnp.where(total_ok, f_low - r_low, 0.0),
+        "peak_height": pv,
+        "width_valid": valid.astype(jnp.int32),
+        "valid": slot_valid,
+        "position": p,
+    }
+
+
 @jax.jit
 def integral_quantile_width(
     signal: jax.Array,
