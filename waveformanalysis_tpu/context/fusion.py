@@ -959,26 +959,60 @@ from waveformanalysis_tpu.ops.compact import (  # noqa: E402
 )
 
 
+# slot counts are rounded UP to this quantum before the device slice, so
+# the slice+concat executable's shapes stay stable across runs (the exact
+# counts are data-dependent and fresh data would otherwise force an XLA
+# re-compile of the fetch program on EVERY run); the overshoot crossing the
+# tunnel is <= quantum*width*4B per member (~128 KB) — noise next to a
+# per-run compile.
+_FETCH_BUCKET = 4096
+_fetch_programs: Dict[Tuple, Any] = {}
+
+
+def _bucketed_fetch_program(buckets: Tuple[int, ...]):
+    """jit slice+concat with STATIC per-member row buckets (cached)."""
+    prog = _fetch_programs.get(buckets)
+    if prog is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def prog(flat_d, *mats):
+            parts = [flat_d.reshape(-1)]
+            for mat, b in zip(mats, buckets):
+                parts.append(jax.lax.slice_in_dim(
+                    mat, 0, b, axis=0
+                ).reshape(-1))
+            return jnp.concatenate(parts)
+
+        _fetch_programs[buckets] = prog
+    return prog
+
+
 def _fetch_packed_outputs(flat_d, slot_mats_d, counts_d, spec_entry):
     """Two-phase host fetch of a packed fused-bundle result.
 
     Phase 1 fetches the tiny per-member valid counts (blocks until the
     device program finishes); phase 2 slices each compacted slot matrix to
-    its count ON DEVICE, concatenates with the dense flat array, and fetches
-    everything in one transfer — the tunnel then moves only real data.
+    its bucket-rounded count ON DEVICE, concatenates with the dense flat
+    array, and fetches everything in one transfer — the tunnel then moves
+    only real data (plus a bounded bucket overshoot).
 
     Returns (dense_tree, {member: (rows, slots_dict)}).
     """
-    import jax
-    import jax.numpy as jnp
-
     dense_spec, slot_specs = spec_entry
     counts = np.asarray(counts_d).astype(np.int64)
-    parts = [flat_d.reshape(-1)]
-    for mat, c in zip(slot_mats_d, counts):
-        parts.append(jax.lax.slice_in_dim(mat, 0, int(c), axis=0).reshape(-1))
-    all_flat = np.asarray(jnp.concatenate(parts)) if len(parts) > 1 \
-        else np.asarray(parts[0])
+    if len(counts):
+        caps = [int(mat.shape[0]) for mat in slot_mats_d]
+        buckets = tuple(
+            min(cap, int(-(-int(c) // _FETCH_BUCKET) * _FETCH_BUCKET))
+            for c, cap in zip(counts, caps)
+        )
+        prog = _bucketed_fetch_program(buckets)
+        all_flat = np.asarray(prog(flat_d, *slot_mats_d))
+    else:
+        buckets = ()
+        all_flat = np.asarray(flat_d.reshape(-1))
 
     dense_len = sum(
         (int(np.prod(shape)) if shape else 1) for shape, _ in dense_spec[1]
@@ -987,11 +1021,11 @@ def _fetch_packed_outputs(flat_d, slot_mats_d, counts_d, spec_entry):
 
     slot_out = {}
     off = dense_len
-    for (m, fields, dtypes), c in zip(slot_specs, counts):
+    for (m, fields, dtypes), c, b in zip(slot_specs, counts, buckets):
         c = int(c)
         width = len(fields) + 1
         chunk = all_flat[off:off + c * width].reshape(c, width)
-        off += c * width
+        off += b * width
         slot_out[m] = _decode_slot_matrix(chunk, fields, dtypes)
     return dense_tree, slot_out
 
