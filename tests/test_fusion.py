@@ -224,7 +224,8 @@ def test_fusion_program_cache_reuse(tmp_path):
     rule = WaveChainFusion()
     st = _st(n=128)
     ctx = Context(storage_dir=str(tmp_path / "p"),
-                  config={"show_progress": False})
+                  config={"show_progress": False,
+                          "capacity_hints": False})
     ctx.register(BasicFeaturesPlugin(), ThresholdHitPlugin())
     ctx.inject_data("r", "st_waveforms", st)
     members = rule.plan(ctx, "r", {"basic_features", "hit_threshold"})
@@ -233,6 +234,29 @@ def test_fusion_program_cache_reuse(tmp_path):
     r2 = rule.compute(ctx, "r", members)
     assert len(rule._programs) == 1  # same device program reused
     _tables_equal(r1["hit_threshold"], r2["hit_threshold"])
+
+
+def test_fusion_capacity_hint_program_reuse(tmp_path):
+    """With capacity hints ON (the default), call 1 compiles the configured-
+    capacity program and records the observed per-event max; call 2 compiles
+    a right-sized program; call 3 reuses call 2's program. All outputs
+    bit-identical."""
+    rule = WaveChainFusion()
+    st = _st(n=128)
+    ctx = Context(storage_dir=str(tmp_path / "p"),
+                  config={"show_progress": False})
+    ctx.register(BasicFeaturesPlugin(), ThresholdHitPlugin())
+    ctx.inject_data("r", "st_waveforms", st)
+    members = rule.plan(ctx, "r", {"basic_features", "hit_threshold"})
+    r1 = rule.compute(ctx, "r", members)
+    assert len(rule._programs) == 1
+    r2 = rule.compute(ctx, "r", members)
+    n_after_hint = len(rule._programs)
+    assert n_after_hint in (1, 2)  # 2 iff the hint shrank the capacity
+    r3 = rule.compute(ctx, "r", members)
+    assert len(rule._programs) == n_after_hint  # hinted program reused
+    _tables_equal(r1["hit_threshold"], r2["hit_threshold"])
+    _tables_equal(r1["hit_threshold"], r3["hit_threshold"])
 
 
 def test_empty_input_through_fusion(tmp_path):

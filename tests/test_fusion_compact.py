@@ -105,6 +105,56 @@ def test_two_phase_fetch_round_trip():
     )
 
 
+def test_speculative_fetch_hint_paths():
+    """The single-transfer fetch predicts slot counts from the previous
+    call at the same site; over- and under-shooting predictions must both
+    decode bit-identically (undershoot via the remedial row fetch)."""
+    from waveformanalysis_tpu.context import fusion
+
+    fields = ("position", "score")
+
+    def run_once(seed, n, hint_key):
+        stage = _fake_stage(n=n, K=6, seed=seed)
+        dense = {"a": jnp.arange(n, dtype=jnp.int32)}
+        mat, count = _compact_slots(stage, fields)
+        flat, dense_spec = _pack_leaves(dense)
+        spec_entry = (dense_spec, [("hit", fields, ("int32", "float32"))])
+        dense_tree, slot_out = _fetch_packed_outputs(
+            flat, (mat,), jnp.asarray([count]), spec_entry,
+            hint_key=hint_key,
+        )
+        valid = np.asarray(stage["valid"])
+        rows, cols = np.nonzero(valid)
+        got_rows, slots = slot_out["hit"]
+        np.testing.assert_array_equal(dense_tree["a"], np.arange(n))
+        np.testing.assert_array_equal(got_rows, rows)
+        np.testing.assert_array_equal(
+            slots["position"], np.asarray(stage["position"])[rows, cols]
+        )
+        np.testing.assert_array_equal(
+            slots["score"].view(np.int32),
+            np.asarray(stage["score"])[rows, cols].view(np.int32),
+        )
+        return len(rows)
+
+    key = ("test-site", ("hit",))
+    fusion._count_hints.pop(key, None)
+    c1 = run_once(seed=11, n=4000, hint_key=key)  # no hint: exact buckets
+    assert fusion._count_hints[key] == (c1,)
+    # same shapes, new data: speculative bucket from the recorded hint
+    c2 = run_once(seed=12, n=4000, hint_key=key)
+    assert fusion._count_hints[key] == (c2,)
+    # force a massive undershoot: hint of 1 row -> bucket 4096 < count,
+    # exercising the remedial fetch of the missing rows
+    fusion._count_hints[key] = (1,)
+    big_n = 4 * fusion._FETCH_BUCKET
+    c3 = run_once(seed=13, n=big_n, hint_key=key)
+    assert c3 > fusion._FETCH_BUCKET  # ~30% valid of big_n*6 slots
+    # force an overshoot: hint far above the real count
+    fusion._count_hints[key] = (big_n * 6,)
+    run_once(seed=14, n=big_n, hint_key=key)
+
+
 def test_fused_overflow_counter_and_policy(tmp_path):
     """A dense multi-pulse waveform overflows tiny capacity through the
     FUSED path: warn keeps going, raise raises — same as standalone

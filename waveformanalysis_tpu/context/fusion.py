@@ -70,6 +70,19 @@ _SLOT_OVERFLOW = {
     "hit_threshold": ("n_runs", "max_hits"),
 }
 
+# sticky slot-capacity buckets: observed per-event max candidate counts are
+# recorded per (run, member lineage) in cache metadata, so a LATER compute
+# over the same run+lineage compiles a right-sized K program instead of the
+# static default capacity (member device cost is ~linear in K — BENCHMARKS
+# r3 K-attribution: peaks 16.8 vs 5.9 ms at K=32 vs 8). Capacity knobs are
+# untracked options, so a shrunken K leaves lineage/cache keys untouched;
+# bit-identity is guaranteed by construction: every hinted stage emits an
+# overflow counter against its shrunken capacity, and any overflow (stale
+# hint — e.g. data re-injected under the same run id) discards the hint and
+# re-dispatches the unhinted program. Disable via config
+# ``{"capacity_hints": False}``.
+_CAP_BUCKETS = (8, 16, 32)
+
 # device_stage-relevant config keys per member: the jit program is cached on
 # these (host-only keys like channel_config affect inputs, not the program)
 _DEVICE_CFG_KEYS = {
@@ -309,11 +322,6 @@ class WaveChainFusion:
             )
 
         mesh_info = getattr(ctx, "mesh", None)
-        with ctx.profiler.time("fusion.single.get_program"):
-            program, spec_cache = self._get_program(
-                tuple(device_members), cfgs, plugins, mesh_info,
-                support_hit_cfg=support_hit_cfg,
-            )
 
         thresholds_np = (
             np.zeros((n,), np.float32) if thresholds is None else thresholds
@@ -327,21 +335,66 @@ class WaveChainFusion:
         )
         slot_out = None
         if mesh_info is not None:
+            with ctx.profiler.time("fusion.single.get_program"):
+                program, spec_cache = self._get_program(
+                    tuple(device_members), cfgs, plugins, mesh_info,
+                    support_hit_cfg=support_hit_cfg,
+                )
             host_out = self._run_sharded(program, inputs, n, mesh_info)
         else:
+            hinted = self._apply_capacity_hints(
+                ctx, run_id, device_members, cfgs, support_hit_cfg, n
+            )
             with ctx.profiler.time("fusion.single.upload"):
                 dev_in = tuple(jnp.asarray(x) for x in inputs)
                 jax.block_until_ready(dev_in)
             shapes_key = tuple(
                 (tuple(x.shape), str(x.dtype)) for x in dev_in
             )
-            with ctx.profiler.time("fusion.single.device_program"):
-                flat_d, slot_mats_d, counts_d = program(*dev_in)
-                jax.block_until_ready(counts_d)
-            with ctx.profiler.time("fusion.single.fetch"):
-                host_out, slot_out = _fetch_packed_outputs(
-                    flat_d, slot_mats_d, counts_d, spec_cache[shapes_key]
+            while True:
+                with ctx.profiler.time("fusion.single.get_program"):
+                    program, spec_cache = self._get_program(
+                        tuple(device_members), cfgs, plugins, None,
+                        support_hit_cfg=support_hit_cfg,
+                    )
+                with ctx.profiler.time("fusion.single.device_program"):
+                    flat_d, slot_mats_d, counts_d = program(*dev_in)
+                    jax.block_until_ready(counts_d)
+                with ctx.profiler.time("fusion.single.fetch"):
+                    host_out, slot_out = _fetch_packed_outputs(
+                        flat_d, slot_mats_d, counts_d, spec_cache[shapes_key],
+                        hint_key=("single", tuple(device_members),
+                                  shapes_key),
+                    )
+                stale = [
+                    m for m, orig in hinted.items()
+                    if int(np.sum(np.asarray(host_out.get(
+                        m + "__overflow",
+                        host_out.get("__" + m + "_support__overflow", 0),
+                    )))) > 0
+                ]
+                if not stale:
+                    break
+                # a hinted capacity overflowed: the recorded hint no longer
+                # matches the run's data (e.g. re-injected under the same
+                # run id). Restore configured capacities and re-dispatch —
+                # outputs stay identical to the never-hinted program.
+                logger.warning(
+                    "stale slot-capacity hint for %s on run %s; "
+                    "re-dispatching at configured capacity", stale, run_id,
                 )
+                for m in stale:
+                    self._drop_hint(ctx, run_id, m)
+                for m, orig in hinted.items():
+                    for cfg in (
+                        [cfgs[m]] if m in device_members else []
+                    ) + (
+                        [support_hit_cfg]
+                        if m == "hit" and support_hit_cfg is not None else []
+                    ):
+                        cfg[_SLOT_OVERFLOW[m][1]] = orig
+                hinted = {}
+            self._record_capacity_hints(ctx, run_id, host_out, n)
 
         results: Dict[str, Any] = {}
         with ctx.profiler.time("fusion.single.finalize"):
@@ -366,6 +419,109 @@ class WaveChainFusion:
         if "waveform_width" in device_members and "hit" not in device_members:
             return ctx._plugins["hit"].kernel_config(ctx)
         return None
+
+    # -- sticky slot-capacity hints -------------------------------------------
+
+    @staticmethod
+    def _hint_store(ctx: Any) -> Dict[str, Optional[int]]:
+        store = getattr(ctx, "_slot_capacity_hints", None)
+        if store is None:
+            store = {}
+            ctx._slot_capacity_hints = store
+        return store
+
+    @staticmethod
+    def _hint_key(ctx: Any, run_id: str, member: str) -> str:
+        # lineage-hashed like the data caches: a config/version change that
+        # could alter candidate counts changes the key, orphaning the hint
+        return ctx.cache_domain.key_for(run_id, member) + "-caphint"
+
+    def _get_hint(self, ctx: Any, run_id: str, member: str, n: int):
+        """Observed max per-event candidate count, or None. ``n`` guards
+        against re-injected data: a hint recorded over a different event
+        count is ignored."""
+        key = self._hint_key(ctx, run_id, member)
+        store = self._hint_store(ctx)
+        if key not in store:
+            entry = None
+            try:
+                storage = ctx._get_storage_for_data_name(member)
+                meta = storage.get_metadata(key, run_id)
+                if meta and "max_slot_count" in meta:
+                    entry = (int(meta["max_slot_count"]),
+                             int(meta.get("n_events", -1)))
+            except Exception:  # noqa: BLE001 - hint misses are never fatal
+                entry = None
+            store[key] = entry
+        entry = store[key]
+        if entry is None or entry[1] != n:
+            return None
+        return entry[0]
+
+    def _put_hint(
+        self, ctx: Any, run_id: str, member: str, observed: int, n: int
+    ) -> None:
+        key = self._hint_key(ctx, run_id, member)
+        self._hint_store(ctx)[key] = (observed, n)
+        try:
+            storage = ctx._get_storage_for_data_name(member)
+            storage.save_metadata(
+                key, {"max_slot_count": int(observed), "n_events": int(n)},
+                run_id,
+            )
+        except Exception as e:  # noqa: BLE001
+            logger.debug("capacity hint persist failed for %s: %s", key, e)
+
+    def _drop_hint(self, ctx: Any, run_id: str, member: str) -> None:
+        key = self._hint_key(ctx, run_id, member)
+        self._hint_store(ctx)[key] = None
+        try:
+            storage = ctx._get_storage_for_data_name(member)
+            storage.save_metadata(key, {}, run_id)
+        except Exception:  # noqa: BLE001
+            pass
+
+    def _apply_capacity_hints(
+        self, ctx: Any, run_id: str, device_members: List[str],
+        cfgs: Dict, support_hit_cfg, n: int,
+    ) -> Dict[str, int]:
+        """Shrink slot capacities to the smallest bucket covering the
+        recorded hint; returns {member: original capacity} for the stale-
+        hint rerun path. Only ever shrinks — a hint above the configured
+        capacity never widens it."""
+        if not ctx.config.get("capacity_hints", True):
+            return {}
+        hinted: Dict[str, int] = {}
+        for m, (_count_key, cap_key) in _SLOT_OVERFLOW.items():
+            targets = []
+            if m in device_members:
+                targets.append(cfgs[m])
+            if m == "hit" and support_hit_cfg is not None:
+                targets.append(support_hit_cfg)
+            if not targets:
+                continue
+            hint = self._get_hint(ctx, run_id, m, n)
+            if hint is None:
+                continue
+            new = next((b for b in _CAP_BUCKETS if b >= max(hint, 1)), None)
+            if new is None:
+                continue
+            for cfg in targets:
+                if new < cfg[cap_key]:
+                    hinted.setdefault(m, cfg[cap_key])
+                    cfg[cap_key] = new
+        return hinted
+
+    def _record_capacity_hints(
+        self, ctx: Any, run_id: str, host_out: Dict, n: int,
+    ) -> None:
+        for m in _SLOT_OVERFLOW:
+            for key in (m + "__max_count", "__" + m + "_support__max_count"):
+                if key in host_out:
+                    self._put_hint(
+                        ctx, run_id, m, int(np.asarray(host_out[key])), n
+                    )
+                    break
 
     def _finalize_member(
         self, ctx: Any, m: str, plugins: Dict, cfgs: Dict, support_hit_cfg,
@@ -703,7 +859,8 @@ class WaveChainFusion:
                 jax.block_until_ready(counts_d)
             with ctx.profiler.time("fusion.batched.fetch"):
                 host_out, slot_out = _fetch_packed_outputs(
-                    flat_d, slot_mats_d, counts_d, spec_cache[shapes_key]
+                    flat_d, slot_mats_d, counts_d, spec_cache[shapes_key],
+                    hint_key=("batched", tuple(device_members), shapes_key),
                 )
 
         out: Dict[str, Dict[str, Any]] = {}
@@ -874,6 +1031,12 @@ class WaveChainFusion:
                         peaks_stage = fn(
                             s_cfg, waves_d, lengths_d, sign_d, baselines_d
                         )
+                        # expose the support stage's candidate counts so the
+                        # packed path can emit overflow/max-count leaves for
+                        # the capacity-hint contract
+                        out["__hit_support_counts"] = peaks_stage[
+                            _SLOT_OVERFLOW["hit"][0]
+                        ]
                     out[m] = stages[m](member_cfgs[m], waves_d, peaks_stage)
             return out
 
@@ -915,6 +1078,15 @@ class WaveChainFusion:
             slot_mats = []
             counts = []
             slot_specs = []
+            support_counts = out.pop("__hit_support_counts", None)
+            if support_counts is not None and not per_event_overflow:
+                cap = hit_support[1][_SLOT_OVERFLOW["hit"][1]]
+                dense_out["__hit_support__overflow"] = jnp.sum(
+                    (support_counts > cap).astype(jnp.int32)
+                )
+                dense_out["__hit_support__max_count"] = jnp.max(
+                    support_counts
+                ).astype(jnp.int32)
             for m in members:
                 if m not in _SLOT_FIELDS:
                     dense_out[m] = out[m]
@@ -936,6 +1108,10 @@ class WaveChainFusion:
                     dense_out[m + "__overflow"] = (
                         over if per_event_overflow else jnp.sum(over)
                     )
+                    if not per_event_overflow:
+                        dense_out[m + "__max_count"] = jnp.max(
+                            stage[count_key]
+                        ).astype(jnp.int32)
             flat, spec = _pack_leaves(dense_out)
             spec_cache[shapes_key] = (spec, slot_specs)
             return flat, tuple(slot_mats), jnp.stack(counts) if counts \
@@ -967,18 +1143,31 @@ from waveformanalysis_tpu.ops.compact import (  # noqa: E402
 # per-run compile.
 _FETCH_BUCKET = 4096
 _fetch_programs: Dict[Tuple, Any] = {}
+_remedial_programs: Dict[Tuple[int, int], Any] = {}
+# last-observed per-member valid counts per fetch site (shapes + member
+# set): the SPECULATIVE buckets for the next call, so counts can ride the
+# head of the one packed transfer instead of a serialized round trip
+_count_hints: Dict[Tuple, Tuple[int, ...]] = {}
+
+
+def _round_bucket(c: int, cap: int) -> int:
+    return min(cap, int(-(-int(c) // _FETCH_BUCKET) * _FETCH_BUCKET))
 
 
 def _bucketed_fetch_program(buckets: Tuple[int, ...]):
-    """jit slice+concat with STATIC per-member row buckets (cached)."""
+    """jit counts+dense+slot-slices concat with STATIC row buckets (cached).
+
+    The per-member valid counts ride the HEAD of the flat transfer, so the
+    host learns them from the same fetch that carries the data — no
+    separate count round trip."""
     prog = _fetch_programs.get(buckets)
     if prog is None:
         import jax
         import jax.numpy as jnp
 
         @jax.jit
-        def prog(flat_d, *mats):
-            parts = [flat_d.reshape(-1)]
+        def prog(counts_d, flat_d, *mats):
+            parts = [counts_d.reshape(-1), flat_d.reshape(-1)]
             for mat, b in zip(mats, buckets):
                 parts.append(jax.lax.slice_in_dim(
                     mat, 0, b, axis=0
@@ -989,43 +1178,81 @@ def _bucketed_fetch_program(buckets: Tuple[int, ...]):
     return prog
 
 
-def _fetch_packed_outputs(flat_d, slot_mats_d, counts_d, spec_entry):
-    """Two-phase host fetch of a packed fused-bundle result.
+def _remedial_rows(mat, lo: int, hi: int) -> np.ndarray:
+    """Shape-stable fetch of rows [lo, hi) of one compact slot matrix —
+    the rare make-up transfer when a speculative bucket undershot."""
+    prog = _remedial_programs.get((lo, hi))
+    if prog is None:
+        import jax
 
-    Phase 1 fetches the tiny per-member valid counts (blocks until the
-    device program finishes); phase 2 slices each compacted slot matrix to
-    its bucket-rounded count ON DEVICE, concatenates with the dense flat
-    array, and fetches everything in one transfer — the tunnel then moves
-    only real data (plus a bounded bucket overshoot).
+        @jax.jit
+        def prog(m):
+            return jax.lax.slice_in_dim(m, lo, hi, axis=0)
+
+        _remedial_programs[(lo, hi)] = prog
+    return np.asarray(prog(mat))
+
+
+def _fetch_packed_outputs(flat_d, slot_mats_d, counts_d, spec_entry,
+                          hint_key=None):
+    """Single-transfer host fetch of a packed fused-bundle result.
+
+    Each compacted slot matrix is sliced to a bucket-rounded row count ON
+    DEVICE and concatenated with the per-member counts and the dense flat
+    array, so ONE transfer carries everything and the tunnel moves only
+    real data (plus a bounded bucket overshoot). The slice buckets must be
+    static, but the true counts are data-dependent — they are predicted
+    from the previous call at the same fetch site (``_count_hints``); the
+    first call (no hint) pays one extra count round trip, and an
+    undershoot (counts grew past the speculative bucket) triggers a small
+    remedial fetch of just the missing rows. Decoded outputs are
+    bit-identical in every case.
 
     Returns (dense_tree, {member: (rows, slots_dict)}).
     """
     dense_spec, slot_specs = spec_entry
-    counts = np.asarray(counts_d).astype(np.int64)
-    if len(counts):
+    n_members = len(slot_specs)
+    if n_members:
         caps = [int(mat.shape[0]) for mat in slot_mats_d]
+        hint = _count_hints.get(hint_key) if hint_key is not None else None
+        if hint is None:
+            # no prediction yet: fetch the exact counts first (one round
+            # trip, first call at this site only)
+            hint = tuple(np.asarray(counts_d).astype(np.int64))
         buckets = tuple(
-            min(cap, int(-(-int(c) // _FETCH_BUCKET) * _FETCH_BUCKET))
-            for c, cap in zip(counts, caps)
+            _round_bucket(c, cap) for c, cap in zip(hint, caps)
         )
         prog = _bucketed_fetch_program(buckets)
-        all_flat = np.asarray(prog(flat_d, *slot_mats_d))
+        all_flat = np.asarray(prog(counts_d, flat_d, *slot_mats_d))
+        counts = all_flat[:n_members].astype(np.int64)
+        if hint_key is not None:
+            _count_hints[hint_key] = tuple(int(c) for c in counts)
     else:
         buckets = ()
+        counts = np.zeros((0,), np.int64)
         all_flat = np.asarray(flat_d.reshape(-1))
 
     dense_len = sum(
         (int(np.prod(shape)) if shape else 1) for shape, _ in dense_spec[1]
     )
-    dense_tree = _unpack_host(all_flat[:dense_len], dense_spec)
+    dense_tree = _unpack_host(
+        all_flat[n_members:n_members + dense_len], dense_spec
+    )
 
     slot_out = {}
-    off = dense_len
-    for (m, fields, dtypes), c, b in zip(slot_specs, counts, buckets):
+    off = n_members + dense_len
+    for (m, fields, dtypes), c, b, mat in zip(
+        slot_specs, counts, buckets, slot_mats_d
+    ):
         c = int(c)
         width = len(fields) + 1
-        chunk = all_flat[off:off + c * width].reshape(c, width)
+        got = min(c, b)
+        chunk = all_flat[off:off + got * width].reshape(got, width)
         off += b * width
+        if c > b:  # speculative bucket undershot: fetch the missing rows
+            hi = _round_bucket(c, int(mat.shape[0]))
+            extra = _remedial_rows(mat, b, hi)[: c - b]
+            chunk = np.concatenate([chunk, np.asarray(extra)], axis=0)
         slot_out[m] = _decode_slot_matrix(chunk, fields, dtypes)
     return dense_tree, slot_out
 
