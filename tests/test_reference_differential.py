@@ -1,0 +1,489 @@
+"""Differential parity harness: the ACTUAL reference package as an oracle.
+
+Every other parity test in this suite pins our kernels against a local
+re-implementation of the reference's semantics (scipy/numpy re-derivations).
+This file instead imports the reference package itself from /root/reference
+(read-only), drives BOTH Contexts over the same synthetic VX2730 CSV run and
+V1725 binary run, and compares every pipeline output field-by-field from
+st_waveforms down to df_paired (reference entry:
+waveform_analysis/core/context.py:832 get_data).
+
+Ordering contract: the reference materializes st_waveforms in per-channel
+concatenation order and assigns record_id/event_index over THAT order; our
+build time-sorts. Rows are therefore matched on physical identity
+(timestamp, board, channel, position...) before comparing, and
+ordering-dependent identifier fields (record_id, event_index, hit_index,
+cluster_index, merged_index, component_offset, event_id) are compared by
+what they REFERENCE, not by raw value. Documented in docs/PARITY.md, along
+with the one deliberate default-config divergence (the reference pads V1725
+waves to DEFAULT_WAVE_LENGTH=1500 through its declared output dtype; the
+oracle run pins wave_length to the true sample count).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REF_PATH = "/root/reference"
+
+pytestmark = pytest.mark.slow
+
+
+def _import_reference():
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+    try:
+        import waveform_analysis  # noqa: F401
+        from waveform_analysis.core.context import Context  # noqa: F401
+    except Exception as e:  # pragma: no cover - environment-dependent
+        pytest.skip(f"reference package not importable: {e}")
+    import waveform_analysis
+
+    return waveform_analysis
+
+
+# every data name compared, in dependency order
+NAMES = [
+    "st_waveforms",
+    "basic_features",
+    "hit",
+    "hit_threshold",
+    "hit_merge_clusters",
+    "hit_merged",
+    "hit_merged_components",
+    "waveform_width",
+    "waveform_width_integral",
+    "s1_s2",
+    "df",
+    "df_events",
+    "df_paired",
+]
+
+# ordering-dependent identifiers: excluded from raw equality, checked via
+# the referenced-row mapping below instead
+ID_FIELDS = {
+    "record_id", "event_index", "hit_index", "cluster_index",
+    "merged_index", "component_offset", "event_id",
+}
+
+# float fields allowed a tolerance (everything else must be exact):
+# interpolated edges/widths get 1e-4 (VERDICT round-3 contract); float32
+# aggregates computed in a different order get a few ulps of f4 headroom
+# (rtol 1e-5 ~ 80 f4 ulps). Keys are (data_name, field).
+F4_RTOL = 1e-5
+F4_FIELDS = {
+    ("hit", "height"), ("hit", "integral"),
+    ("hit_threshold", "height"), ("hit_threshold", "integral"),
+    ("hit_merged", "height"), ("hit_merged", "integral"),
+    ("waveform_width", "peak_height"),
+    ("s1_s2", "height"), ("s1_s2", "area"),
+    ("basic_features", "height"), ("basic_features", "amp"),
+    ("basic_features", "area"), ("basic_features", "max_abs_diff"),
+    # q_total accumulates in f32 on the TPU (the reference cumsums in f8);
+    # justified in docs/PARITY.md
+    ("waveform_width_integral", "q_total"),
+}
+FLOAT_ATOL = {
+    ("hit", "edge_start"): 1e-4,
+    ("hit", "edge_end"): 1e-4,
+    ("hit_threshold", "edge_start"): 1e-4,
+    ("hit_threshold", "edge_end"): 1e-4,
+    ("hit_threshold", "width"): 1e-4,
+    ("hit_threshold", "rise_time"): 1e-4,
+    ("hit_threshold", "fall_time"): 1e-4,
+    ("hit_merged", "width"): 1e-4,
+    ("hit_merged", "rise_time"): 1e-4,
+    ("hit_merged", "fall_time"): 1e-4,
+    ("waveform_width", "rise_time"): 1e-4,
+    ("waveform_width", "fall_time"): 1e-4,
+    ("waveform_width", "total_width"): 1e-4,
+    ("waveform_width", "rise_time_samples"): 1e-4,
+    ("waveform_width", "fall_time_samples"): 1e-4,
+    ("waveform_width", "total_width_samples"): 1e-4,
+    ("waveform_width_integral", "t_low"): 1e-4,
+    ("waveform_width_integral", "t_high"): 1e-4,
+    ("waveform_width_integral", "width"): 1e-4,
+    ("waveform_width_integral", "t_low_samples"): 1e-4,
+    ("waveform_width_integral", "t_high_samples"): 1e-4,
+    ("waveform_width_integral", "width_samples"): 1e-4,
+    ("s1_s2", "width_ns"): 1e-4,
+    ("s1_s2", "width_samples"): 1e-4,
+}
+
+# canonical physical sort key per data name (fields that exist on both
+# sides and identify a row independent of materialization order)
+SORT_KEYS = {
+    "st_waveforms": ("timestamp", "board", "channel"),
+    "basic_features": ("timestamp", "board", "channel"),
+    "hit": ("timestamp", "board", "channel", "position"),
+    "hit_threshold": ("timestamp", "board", "channel", "position"),
+    "hit_merged": ("timestamp", "board", "channel", "position"),
+    "waveform_width": ("timestamp", "board", "channel", "peak_position"),
+    "waveform_width_integral": ("timestamp", "board", "channel"),
+    "s1_s2": ("timestamp", "board", "channel", "peak_position"),
+}
+
+
+def _build_ref_context(storage_dir, data_root, adapter, extra_config=None):
+    from waveform_analysis.core.context import Context
+    from waveform_analysis.core.plugins import profiles
+
+    ctx = Context(
+        storage_dir=str(storage_dir),
+        config={
+            "data_root": str(data_root),
+            "n_channels": 2,
+            "daq_adapter": adapter,
+            "show_progress": False,
+        },
+    )
+    ctx.register(*profiles.get_profile("cpu")())
+    cfg = {"start_channel_slice": 0, "time_window_ns": 100}
+    cfg.update(extra_config or {})
+    ctx.set_config(cfg)
+    return ctx
+
+
+def _build_our_context(storage_dir, data_root, adapter, extra_config=None):
+    from waveformanalysis_tpu.context.context import Context
+    from waveformanalysis_tpu.plugins.plugin_sets import tpu_default
+
+    ctx = Context(
+        storage_dir=str(storage_dir),
+        config={
+            "data_root": str(data_root),
+            "n_channels": 2,
+            "daq_adapter": adapter,
+            "show_progress": False,
+        },
+    )
+    ctx.register(*tpu_default())
+    cfg = {"start_channel_slice": 0, "time_window_ns": 100}
+    cfg.update(extra_config or {})
+    ctx.set_config(cfg)
+    return ctx
+
+
+def _materialize(ctx, run_id):
+    out = {}
+    for name in NAMES:
+        data = ctx.get_data(run_id, name)
+        if hasattr(data, "to_numpy") and not isinstance(data, pd.DataFrame):
+            data = data.to_numpy()  # our Table -> structured array
+        elif isinstance(data, np.memmap):
+            data = np.asarray(data)
+        out[name] = data
+    return out
+
+
+def _drive_pair(tmp, data_root, adapter, ref_extra=None, our_extra=None,
+                ref_hook=None):
+    _import_reference()
+    run_id = os.path.basename(str(data_root[1]))
+    root = data_root[0]
+    ref_ctx = _build_ref_context(tmp / "store_ref", root, adapter, ref_extra)
+    if ref_hook is not None:
+        ref_hook(ref_ctx)
+    ref = _materialize(ref_ctx, run_id)
+    ours = _materialize(
+        _build_our_context(tmp / "store_tpu", root, adapter, our_extra),
+        run_id,
+    )
+    return ref, ours
+
+
+@pytest.fixture(scope="module")
+def vx_pair(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("diff_vx")
+    from waveformanalysis_tpu.testing.fixtures import make_synthetic_vx2730_run
+
+    run_dir = make_synthetic_vx2730_run(
+        str(tmp / "DAQ"), "run_diff", n_channels=2, n_rows=64,
+        n_samples=96, noise=5, seed=3,
+    )
+    return _drive_pair(tmp, (tmp / "DAQ", run_dir), "vx2730")
+
+
+@pytest.fixture(scope="module")
+def v1725_pair(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("diff_v1725")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from utils import write_v1725_run
+
+    run_dir = write_v1725_run(tmp / "DAQB", "run_diffb", n_events=48,
+                              n_samples=64)
+    # Pin the reference's st_waveforms output dtype to the true sample
+    # count: the reference's V1725 compute branch returns BEFORE the
+    # `self.output_dtype = config.get_record_dtype()` reassignment
+    # (reference waveforms.py:1218 vs :1246), so postprocess casts its
+    # carefully auto-detected 64-wide array up to the class-level
+    # DEFAULT_WAVE_LENGTH=1500 dtype (core/processing/dtypes.py:16) — and
+    # its features/hits then read the zero pad region (phantom threshold
+    # hit at pos=event_length, areas inflated by baseline*(pad width)).
+    # The wave_length config cannot fix this (the class attribute wins), so
+    # the oracle run overrides the instance dtype. See docs/PARITY.md.
+    def pin_ref_dtype(ctx):
+        from waveform_analysis.core.processing.dtypes import (
+            create_record_dtype,
+        )
+
+        ctx._plugins["st_waveforms"].output_dtype = np.dtype(
+            create_record_dtype(64)
+        )
+
+    return _drive_pair(tmp, (tmp / "DAQB", run_dir), "v1725",
+                       ref_extra={"wave_length": 64},
+                       ref_hook=pin_ref_dtype)
+
+
+def _sorted_pair(name, ref_arr, ours_arr):
+    keys = SORT_KEYS[name]
+    r_idx = np.lexsort(tuple(ref_arr[k] for k in reversed(keys)))
+    o_idx = np.lexsort(tuple(ours_arr[k] for k in reversed(keys)))
+    return ref_arr[r_idx], ours_arr[o_idx], r_idx, o_idx
+
+
+def _assert_field_equal(name, field, rv, ov):
+    atol = FLOAT_ATOL.get((name, field))
+    if rv.dtype.kind in "fc":
+        nan_r, nan_o = np.isnan(rv), np.isnan(ov)
+        np.testing.assert_array_equal(
+            nan_r, nan_o, err_msg=f"{name}.{field}: NaN placement"
+        )
+        rv, ov = np.nan_to_num(rv), np.nan_to_num(ov)
+        if atol is not None:
+            np.testing.assert_allclose(
+                rv.astype(np.float64), ov.astype(np.float64),
+                rtol=0, atol=atol, err_msg=f"{name}.{field}",
+            )
+        elif (name, field) in F4_FIELDS:
+            np.testing.assert_allclose(
+                rv.astype(np.float64), ov.astype(np.float64),
+                rtol=F4_RTOL, atol=1e-6, err_msg=f"{name}.{field}",
+            )
+        else:
+            np.testing.assert_array_equal(
+                rv, ov, err_msg=f"{name}.{field} (exact float)"
+            )
+    elif rv.dtype.kind in "US":
+        np.testing.assert_array_equal(
+            rv.astype(str), ov.astype(str), err_msg=f"{name}.{field}"
+        )
+    else:
+        np.testing.assert_array_equal(rv, ov, err_msg=f"{name}.{field}")
+
+
+def _compare_structured(name, ref_arr, ours_arr):
+    ref_fields = set(ref_arr.dtype.names)
+    our_fields = set(ours_arr.dtype.names)
+    assert ref_fields <= our_fields, (
+        f"{name}: missing reference fields {sorted(ref_fields - our_fields)}"
+    )
+    assert len(ref_arr) == len(ours_arr), (
+        f"{name}: row count {len(ref_arr)} vs {len(ours_arr)}"
+    )
+    if len(ref_arr) == 0:
+        return
+    r, o, _, _ = _sorted_pair(name, ref_arr, ours_arr)
+    for f in sorted(ref_fields):
+        if f in ID_FIELDS:
+            continue
+        rv, ov = r[f], o[f]
+        if rv.ndim == 2 and ov.ndim == 2 and rv.shape[1] != ov.shape[1]:
+            # wave padding width may differ; the overlap must match and the
+            # longer side's tail must be zero padding
+            w = min(rv.shape[1], ov.shape[1])
+            longer = rv if rv.shape[1] > w else ov
+            assert not longer[:, w:].any(), f"{name}.{f}: nonzero pad tail"
+            rv, ov = rv[:, :w], ov[:, :w]
+        _assert_field_equal(name, f, rv, ov)
+
+
+def _record_identity(st_sorted_by_id):
+    """record_id -> (timestamp, board, channel) for id-reference mapping."""
+    return {
+        int(row["record_id"]): (
+            int(row["timestamp"]), int(row["board"]), int(row["channel"])
+        )
+        for row in st_sorted_by_id
+    }
+
+
+def _assert_id_references_match(pair):
+    """Ordering-dependent record_id fields must reference physically
+    identical st_waveforms rows on both sides."""
+    ref, ours = pair
+    rid_ref = _record_identity(ref["st_waveforms"])
+    rid_ours = _record_identity(ours["st_waveforms"])
+    for name in ("hit", "hit_threshold", "waveform_width", "s1_s2"):
+        r, o, _, _ = _sorted_pair(name, ref[name], ours[name])
+        ref_src = [rid_ref[int(x)] for x in r["record_id"]]
+        our_src = [rid_ours[int(x)] for x in o["record_id"]]
+        assert ref_src == our_src, f"{name}.record_id references diverge"
+
+
+class TestVX2730Differential:
+    @pytest.mark.parametrize("name", [n for n in NAMES if n in SORT_KEYS])
+    def test_structured_parity(self, vx_pair, name):
+        ref, ours = vx_pair
+        _compare_structured(name, ref[name], ours[name])
+
+    def test_record_id_references(self, vx_pair):
+        _assert_id_references_match(vx_pair)
+
+    def test_merge_tables(self, vx_pair):
+        _assert_merge_tables(vx_pair)
+
+    def test_df(self, vx_pair):
+        _assert_df(vx_pair)
+
+    def test_df_events(self, vx_pair):
+        _assert_df_events(vx_pair)
+
+    def test_df_paired(self, vx_pair):
+        _assert_df_paired(vx_pair)
+
+
+class TestV1725Differential:
+    @pytest.mark.parametrize("name", [n for n in NAMES if n in SORT_KEYS])
+    def test_structured_parity(self, v1725_pair, name):
+        ref, ours = v1725_pair
+        _compare_structured(name, ref[name], ours[name])
+
+    def test_record_id_references(self, v1725_pair):
+        _assert_id_references_match(v1725_pair)
+
+    def test_merge_tables(self, v1725_pair):
+        _assert_merge_tables(v1725_pair)
+
+    def test_df(self, v1725_pair):
+        _assert_df(v1725_pair)
+
+    def test_df_events(self, v1725_pair):
+        _assert_df_events(v1725_pair)
+
+    def test_df_paired(self, v1725_pair):
+        _assert_df_paired(v1725_pair)
+
+
+def _hit_identity(hits):
+    """row index -> physical identity of a hit_threshold row."""
+    return [
+        (int(h["timestamp"]), int(h["board"]), int(h["channel"]),
+         int(h["position"]))
+        for h in hits
+    ]
+
+
+def _assert_merge_tables(pair):
+    """hit_merge_clusters / hit_merged_components reference hit_threshold /
+    hit_merged row indices, which are ordering-dependent; compare the sets
+    of (cluster physical identity, member physical identity) edges."""
+    ref, ours = pair
+
+    def edges(side):
+        hits = _hit_identity(side["hit_threshold"])
+        merged = side["hit_merged"]
+        merged_ident = [
+            (int(m["timestamp"]), int(m["board"]), int(m["channel"]),
+             int(m["position"]))
+            for m in merged
+        ]
+        comp = side["hit_merged_components"]
+        e = {
+            (merged_ident[int(c["merged_index"])], hits[int(c["hit_index"])])
+            for c in comp
+        }
+        clusters = side["hit_merge_clusters"]
+        cl = {}
+        for c in clusters:
+            cl.setdefault(int(c["cluster_index"]), set()).add(
+                hits[int(c["hit_index"])]
+            )
+        cluster_sets = {frozenset(v) for v in cl.values()}
+        return e, cluster_sets
+
+    ref_e, ref_cl = edges(ref)
+    our_e, our_cl = edges(ours)
+    assert ref_e == our_e, "hit_merged_components edges diverge"
+    assert ref_cl == our_cl, "hit_merge_clusters groupings diverge"
+    # component_offset/count self-consistency on our side
+    merged, comp = ours["hit_merged"], ours["hit_merged_components"]
+    for i, m in enumerate(merged):
+        rows = comp[m["component_offset"]:
+                    m["component_offset"] + m["component_count"]]
+        assert (rows["merged_index"] == i).all()
+
+
+def _assert_df(pair):
+    ref, ours = pair
+    rdf = ref["df"].sort_values(["timestamp", "board", "channel"]).reset_index(
+        drop=True
+    )
+    odf = ours["df"].sort_values(["timestamp", "board", "channel"]).reset_index(
+        drop=True
+    )
+    # record_id (ref) / event_index (ours) are ordering-dependent ids —
+    # covered by test_record_id_references; every other column must exist
+    # and match exactly
+    ref_cols = set(rdf.columns) - ID_FIELDS
+    our_cols = set(odf.columns) - ID_FIELDS
+    assert ref_cols <= our_cols, f"df missing columns {ref_cols - our_cols}"
+    assert len(rdf) == len(odf)
+    for c in sorted(ref_cols):
+        np.testing.assert_array_equal(
+            rdf[c].to_numpy(), odf[c].to_numpy(), err_msg=f"df.{c}"
+        )
+
+
+def _sorted_events(df):
+    return df.sort_values(["t_min", "t_max"]).reset_index(drop=True)
+
+
+def _assert_df_events(pair):
+    ref, ours = pair
+    rdf, odf = _sorted_events(ref["df_events"]), _sorted_events(ours["df_events"])
+    ref_cols = set(rdf.columns) - ID_FIELDS
+    our_cols = set(odf.columns) - ID_FIELDS
+    assert ref_cols <= our_cols, (
+        f"df_events missing columns {ref_cols - our_cols}"
+    )
+    assert len(rdf) == len(odf)
+    for c in sorted(ref_cols):
+        rv, ov = rdf[c].to_numpy(), odf[c].to_numpy()
+        if rv.dtype == object:
+            for i, (a, b) in enumerate(zip(rv, ov)):
+                a, b = np.asarray(a), np.asarray(b)
+                # within-event member order follows hit materialization
+                # order; compare as sorted multisets
+                np.testing.assert_array_equal(
+                    np.sort(a, kind="stable"), np.sort(b, kind="stable"),
+                    err_msg=f"df_events.{c}[{i}]",
+                )
+        else:
+            np.testing.assert_array_equal(rv, ov, err_msg=f"df_events.{c}")
+
+
+def _assert_df_paired(pair):
+    ref, ours = pair
+    rdf, odf = _sorted_events(ref["df_paired"]), _sorted_events(ours["df_paired"])
+    ref_cols = set(rdf.columns) - ID_FIELDS
+    our_cols = set(odf.columns) - ID_FIELDS
+    assert ref_cols <= our_cols, (
+        f"df_paired missing columns {ref_cols - our_cols}"
+    )
+    assert len(rdf) == len(odf)
+    for c in sorted(ref_cols):
+        rv, ov = rdf[c].to_numpy(), odf[c].to_numpy()
+        if rv.dtype == object:
+            for i, (a, b) in enumerate(zip(rv, ov)):
+                np.testing.assert_array_equal(
+                    np.sort(np.asarray(a), kind="stable"),
+                    np.sort(np.asarray(b), kind="stable"),
+                    err_msg=f"df_paired.{c}[{i}]",
+                )
+        else:
+            np.testing.assert_array_equal(rv, ov, err_msg=f"df_paired.{c}")
