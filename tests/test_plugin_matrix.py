@@ -192,20 +192,23 @@ class TestAutoConfigMatrix:
             f"untracked option rotated {name} key"
 
     def test_upstream_change_invalidates_downstream(self, tmp_path, daq_root):
-        # with records plugins registered, wave_source=auto resolves to the
-        # records branch: records feeds basic_features -> df -> df_events ->
-        # df_paired, while st_waveforms feeds filtered_waveforms
+        # wave_source=auto resolves to st_waveforms (reference semantics):
+        # st_waveforms feeds basic_features -> df -> df_events -> df_paired
+        # and filtered_waveforms; a records config change only reaches the
+        # feature chain when wave_source="records" is requested explicitly
         ctx = _make_ctx(tmp_path, daq_root)
-        rec_downstream = ["basic_features", "df", "df_events", "df_paired"]
-        before = {n: ctx.key_for(RUN, n) for n in rec_downstream}
-        ctx.set_config({"records": {"baseline_samples": 11}})
-        for n in rec_downstream:
-            assert ctx.key_for(RUN, n) != before[n], \
-                f"records change did not propagate into {n} lineage"
-        st_key = ctx.key_for(RUN, "filtered_waveforms")
+        st_downstream = ["basic_features", "df", "df_events", "df_paired",
+                         "filtered_waveforms"]
+        before = {n: ctx.key_for(RUN, n) for n in st_downstream}
         ctx.set_config({"st_waveforms": {"baseline_samples": 11}})
-        assert ctx.key_for(RUN, "filtered_waveforms") != st_key, \
-            "st_waveforms change did not propagate into filtered_waveforms"
+        for n in st_downstream:
+            assert ctx.key_for(RUN, n) != before[n], \
+                f"st_waveforms change did not propagate into {n} lineage"
+        ctx.set_config({"basic_features": {"wave_source": "records"}})
+        rec_key = ctx.key_for(RUN, "basic_features")
+        ctx.set_config({"records": {"baseline_samples": 11}})
+        assert ctx.key_for(RUN, "basic_features") != rec_key, \
+            "records change did not propagate under wave_source=records"
 
 
 class TestV1725PluginMatrix:

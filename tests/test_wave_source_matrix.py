@@ -34,8 +34,18 @@ def _ctx(tmp_path, *plugins, **cfg):
 
 
 class TestAutoPreference:
-    def test_auto_prefers_records_when_registered(self, tmp_path):
+    def test_auto_ignores_registered_records(self, tmp_path):
+        """Reference semantics (cpu/_wave_source.py:103-112): auto NEVER
+        selects records, even when the RecordsPlugin is registered — the
+        records source must be requested explicitly. (Round-4 change: the
+        old auto->records preference produced reference-divergent
+        record_id/event_index identities; caught by the differential
+        oracle, see docs/PARITY.md.)"""
         ctx = _ctx(tmp_path, WaveformsPlugin(), RecordsPlugin(), WavePoolPlugin())
+        spec = resolve_wave_input_spec(ctx, ctx.get_plugin("basic_features"))
+        assert spec.source == "st_waveforms"
+        assert spec.depends_on == ("st_waveforms",)
+        ctx.set_config({"basic_features": {"wave_source": "records"}})
         spec = resolve_wave_input_spec(ctx, ctx.get_plugin("basic_features"))
         assert spec.source == "records"
         assert spec.depends_on == ("records", "wave_pool")
@@ -76,11 +86,12 @@ class TestDynamicDependsOn:
     def test_plan_rewires_with_source(self, tmp_path):
         ctx = _ctx(tmp_path, WaveformsPlugin(), RecordsPlugin(), WavePoolPlugin())
         plan_auto = ctx.execution_domain.resolve_execution_plan("basic_features")
-        assert "records" in plan_auto and "wave_pool" in plan_auto
-        ctx.set_config({"basic_features": {"wave_source": "st_waveforms"}})
-        plan_st = ctx.execution_domain.resolve_execution_plan("basic_features")
-        assert "records" not in plan_st
-        assert "st_waveforms" in plan_st
+        assert "records" not in plan_auto  # auto = st (reference semantics)
+        assert "st_waveforms" in plan_auto
+        ctx.set_config({"basic_features": {"wave_source": "records"}})
+        plan_rec = ctx.execution_domain.resolve_execution_plan("basic_features")
+        assert "records" in plan_rec and "wave_pool" in plan_rec
+        assert "st_waveforms" not in plan_rec
 
     def test_source_switch_rotates_lineage(self, tmp_path):
         ctx = _ctx(tmp_path, WaveformsPlugin(), RecordsPlugin(), WavePoolPlugin())

@@ -4,8 +4,14 @@ Behavioral analog of the reference wave-source helper
 (reference: waveform_analysis/core/plugins/builtin/cpu/_wave_source.py:93-229):
 plugins taking waveform input accept ``wave_source`` =
 auto|records|st_waveforms|filtered_waveforms, driving *dynamic* depends_on.
-``auto`` prefers filtered_waveforms when ``use_filtered`` is set and the
-plugin is registered, then records (+wave_pool), then st_waveforms.
+``auto`` resolves to filtered_waveforms when ``use_filtered`` is set, else
+st_waveforms — NEVER records (reference ``resolve_depends_on``
+_wave_source.py:103-112: the records source must be requested explicitly).
+This matters for identity semantics: record_id/event_index in downstream
+tables index into the resolved source's row order, and st_waveforms vs
+records use different orderings. The round-4 differential oracle
+(tests/test_reference_differential.py) caught the earlier auto->records
+preference producing reference-divergent joins in s1_s2.
 """
 
 from __future__ import annotations
@@ -66,10 +72,10 @@ def resolve_wave_input_spec(context: Any, plugin: Any) -> WaveInputSpec:
     registered = set(getattr(context, "plugins", {}) or {})
 
     if source == WAVE_SOURCE_AUTO:
-        if (use_filtered and WAVE_SOURCE_FILTERED in registered):
+        # reference semantics: auto = filtered when use_filtered else st;
+        # the records source is only used when requested explicitly
+        if use_filtered and WAVE_SOURCE_FILTERED in registered:
             source = WAVE_SOURCE_FILTERED
-        elif WAVE_SOURCE_RECORDS in registered:
-            source = WAVE_SOURCE_RECORDS
         else:
             source = WAVE_SOURCE_ST
 

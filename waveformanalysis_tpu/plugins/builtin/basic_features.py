@@ -42,7 +42,7 @@ class BasicFeaturesPlugin(Plugin):
         "Compute basic height, amplitude, area, and max-abs-diff features "
         "from waveform data."
     )
-    version = "4.0.0"  # field set matches the reference 4.0.0 output
+    version = "4.1.0"  # 4.1: auto wave_source = st (reference semantics)
     kernel_version = F.KERNEL_VERSION
     save_when = "always"
     output_dtype = BASIC_FEATURES_DTYPE

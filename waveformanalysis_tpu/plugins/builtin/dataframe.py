@@ -36,7 +36,7 @@ class DataFramePlugin(Plugin):
     provides = "df"
     depends_on = []  # dynamic
     description = "Build the initial single-channel events DataFrame."
-    version = "1.7.0"
+    version = "1.8.0"
     save_when = "always"
     uses_run_config = True
     output_dtype = "DataFrame"

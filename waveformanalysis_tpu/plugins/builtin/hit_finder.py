@@ -59,7 +59,7 @@ class ThresholdHitPlugin(Plugin):
     uses_run_config = True
     depends_on = []  # dynamic
     description = "Threshold-only hit detector with THRESHOLD_HIT_DTYPE output."
-    version = "0.11.2"
+    version = "0.12.0"
     kernel_version = HT.KERNEL_VERSION
     save_when = "always"
     output_dtype = THRESHOLD_HIT_SCHEMA

@@ -60,7 +60,7 @@ class HitFinderPlugin(Plugin):
     provides = "hit"
     depends_on = []  # dynamic
     description = "Detect peaks in waveforms and extract peak features."
-    version = "3.0.1"
+    version = "3.1.0"
     kernel_version = PK.KERNEL_VERSION
     save_when = "always"
     output_dtype = HIT_SCHEMA

@@ -54,7 +54,7 @@ class WaveformWidthIntegralPlugin(Plugin):
         "Event-wise integral quantile width using st_waveforms or "
         "filtered_waveforms."
     )
-    version = "2.7.0"
+    version = "2.8.0"
     kernel_version = WD.KERNEL_VERSION
     save_when = "always"
     output_dtype = WAVEFORM_WIDTH_INTEGRAL_SCHEMA
