@@ -520,15 +520,8 @@ class StreamingContext:
         if plugin is not None and plugin.output_kind == "stream":
             stream = self.ctx.get_data(run_id, data_name)
         else:
-            wrapper = _StaticWrapper(data_name)
-            cfg = StreamingConfig.resolve(self.ctx, wrapper)
-            if chunk_size:
-                cfg.chunk_size = chunk_size
-            for key, value in streaming_overrides.items():
-                if hasattr(cfg, key):
-                    setattr(cfg, key, value)
-            stream = wrapper._compute_serial(
-                self.ctx, run_id, wrapper.input_stream(self.ctx, run_id, cfg), cfg
+            stream = self._static_stream(
+                run_id, data_name, chunk_size, streaming_overrides
             )
 
         for chunk in stream:
@@ -546,6 +539,46 @@ class StreamingContext:
                     time_field=chunk.time_field, metadata=dict(chunk.metadata),
                 )
             yield chunk
+
+    def _static_stream(
+        self, run_id: str, data_name: str, chunk_size: Optional[int],
+        streaming_overrides: Dict[str, Any],
+    ) -> Iterator[Chunk]:
+        """Static data as chunks. With ``executor_type="device"``, a static
+        plugin whose compute maps onto the two-phase kernel interface gets
+        DERIVED device hooks (plugins/device_stream.py) and each group of
+        n_shards chunks runs as one shard_map program; a plain data name
+        falls back to the host chunk view."""
+        from waveformanalysis_tpu.plugins.device_stream import (
+            DeviceKernelStream,
+        )
+
+        wants_device = streaming_overrides.get("executor_type") == "device"
+        adapter = (
+            DeviceKernelStream.for_data_name(self.ctx, data_name)
+            if wants_device else None
+        )
+        if wants_device and adapter is None:
+            logger.warning(
+                "get_stream(%s, executor_type='device'): no derivable "
+                "device hooks for this name; serving the host chunk view",
+                data_name,
+            )
+        wrapper = adapter if adapter is not None else _StaticWrapper(data_name)
+        cfg = StreamingConfig.resolve(self.ctx, wrapper)
+        if chunk_size:
+            cfg.chunk_size = chunk_size
+        for key, value in streaming_overrides.items():
+            if hasattr(cfg, key):
+                setattr(cfg, key, value)
+        if adapter is not None:
+            return adapter._compute_device(
+                self.ctx, run_id,
+                adapter.input_stream(self.ctx, run_id, cfg), cfg,
+            )
+        return wrapper._compute_serial(
+            self.ctx, run_id, wrapper.input_stream(self.ctx, run_id, cfg), cfg
+        )
 
     def merge_stream(
         self,
