@@ -21,6 +21,22 @@ from waveformanalysis_tpu.foundation.units import (
 
 logger = logging.getLogger(__name__)
 
+_TRUTHY_STRINGS = frozenset(("true", "1", "yes", "on"))
+
+
+def _coerce_bool(value: Any) -> bool:
+    if isinstance(value, str):
+        return value.lower() in _TRUTHY_STRINGS
+    return bool(value)
+
+
+# string/number coercion attempted before rejecting a mistyped value
+_COERCERS: Dict[Any, Callable[[Any], Any]] = {
+    int: int,
+    float: float,
+    bool: _coerce_bool,
+}
+
 
 class Option:
     """A configuration option declared by a plugin.
@@ -84,7 +100,8 @@ class Option:
         ):
             return convert_frequency(value, self.unit, self.internal_unit)
         logger.warning(
-            "Plugin '%s' option '%s': cannot convert from '%s' to '%s'",
+            "[%s] config key %r: no unit conversion path %s -> %s; "
+            "value passed through unchanged",
             plugin_name, name, self.unit, self.internal_unit,
         )
         return value
@@ -96,64 +113,68 @@ class Option:
         range -> unit conversion -> custom validator.
         """
         if self.deprecated:
-            msg = f"Plugin '{plugin_name}' option '{name}' is deprecated."
+            msg = f"[{plugin_name}] config key {name!r} is deprecated"
             if self.deprecated_message:
-                msg += f" {self.deprecated_message}"
+                msg += f" — {self.deprecated_message}"
             warnings.warn(msg, DeprecationWarning, stacklevel=4)
 
         if value is None and self.default is None:
             return None
 
         if self.type is not None and not isinstance(value, self.type):
-            try:
-                if self.type is int:
-                    value = int(value)
-                elif self.type is float:
-                    value = float(value)
-                elif self.type is bool:
-                    if isinstance(value, str):
-                        value = value.lower() in ("true", "1", "yes", "on")
-                    else:
-                        value = bool(value)
-            except (ValueError, TypeError):
-                pass
+            coerce = _COERCERS.get(self.type)
+            if coerce is not None:
+                try:
+                    value = coerce(value)
+                except (ValueError, TypeError):
+                    pass  # fall through to the type error below
 
         if self.type is not None and not isinstance(value, self.type):
             raise TypeError(
-                f"Plugin '{plugin_name}' option '{name}' must be of type {self.type}, "
-                f"but got {builtins_type_name(value)} (value: {value!r})"
+                f"[{plugin_name}] config key {name!r} expects "
+                f"{self.type}; received {value!r} "
+                f"({builtins_type_name(value)})"
             )
 
         if self.choices is not None and value not in self.choices:
             raise ValueError(
-                f"Plugin '{plugin_name}' option '{name}' must be one of {self.choices}, "
-                f"but got {value!r}"
+                f"[{plugin_name}] config key {name!r}: {value!r} is not "
+                f"allowed — must be one of {self.choices}"
             )
 
-        if isinstance(value, (int, float)) and not isinstance(value, bool):
-            if self.min_value is not None and value < self.min_value:
-                raise ValueError(
-                    f"Plugin '{plugin_name}' option '{name}' must be >= {self.min_value}, "
-                    f"but got {value}"
-                )
-            if self.max_value is not None and value > self.max_value:
-                raise ValueError(
-                    f"Plugin '{plugin_name}' option '{name}' must be <= {self.max_value}, "
-                    f"but got {value}"
-                )
-
-        if isinstance(value, (int, float)) and self.unit and self.internal_unit:
-            value = self._convert_unit(value, plugin_name, name)
+        is_numeric = isinstance(value, (int, float)) and not isinstance(
+            value, bool
+        )
+        if is_numeric:
+            for bound, op, word in (
+                (self.min_value, value.__lt__, "is below the minimum"),
+                (self.max_value, value.__gt__, "exceeds the maximum"),
+            ):
+                if bound is not None and op(bound):
+                    raise ValueError(
+                        f"[{plugin_name}] config key {name!r}: "
+                        f"{value} {word} {bound}"
+                    )
+            if self.unit and self.internal_unit:
+                value = self._convert_unit(value, plugin_name, name)
 
         if self.validate is not None and not self.validate(value):
             raise ValueError(
-                f"Plugin '{plugin_name}' option '{name}' failed validation for value: {value!r}"
+                f"[{plugin_name}] config key {name!r}: custom validator "
+                f"rejected {value!r}"
             )
 
         return value
 
     def __repr__(self) -> str:  # pragma: no cover - cosmetic
-        return f"Option(default={self.default!r}, type={self.type}, track={self.track})"
+        bits = [f"default={self.default!r}"]
+        if self.type is not None:
+            bits.append(f"type={getattr(self.type, '__name__', self.type)}")
+        if not self.track:
+            bits.append("untracked")
+        if self.unit:
+            bits.append(f"unit={self.unit}")
+        return "<Option " + " ".join(bits) + ">"
 
 
 def builtins_type_name(value: Any) -> str:
