@@ -4,6 +4,13 @@ Mirrors the reference suite (reference: tests/test_events_df_convergence.py
 over core/context.py:187-190): the renamed data names raise a migration
 pointer, and legacy ``events_df.*`` / ``events_grouped.*`` config keys are
 NOT migrated onto the df / df_events plugins — they are simply inert.
+
+Deliberate divergence from the reference, locked in here: the reference
+raises ``ValueError`` for removed data names, while this build raises
+``KeyError`` (``context.py _unknown_name_error``) so except-clauses match
+the dict-lookup idiom of ``get_data``. Users porting reference code that
+catches ``ValueError`` must widen to ``(ValueError, KeyError)``. Also
+documented in docs/PARITY.md.
 """
 
 import pytest

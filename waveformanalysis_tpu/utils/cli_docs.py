@@ -27,6 +27,16 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
     sub.add_parser("generate", help="Write documentation pages")
     sub.add_parser("check", help="Fail when docs drift from the code")
+    cov = sub.add_parser(
+        "coverage",
+        help="Graded per-plugin doc-coverage + spec-quality report",
+    )
+    cov.add_argument("--min-coverage", type=float, default=100.0,
+                     help="Fail below this page-coverage percent")
+    cov.add_argument("--strict", action="store_true",
+                     help="Treat spec-quality warnings as failures")
+    cov.add_argument("--quiet", action="store_true",
+                     help="Summary line only")
     show = sub.add_parser("show", help="Print one plugin's page")
     show.add_argument("data_name")
     return p
@@ -69,6 +79,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         for name in report["stale"]:
             print(f"  stale:   {name}")
         return 0 if report["is_complete"] else 1
+
+    if args.command == "coverage":
+        from waveformanalysis_tpu.utils.doc_coverage import DocCoverageChecker
+
+        report = DocCoverageChecker(
+            ctx, args.out_dir, variant=args.variant
+        ).check()
+        print(report.format(verbose=not args.quiet))
+        ok = report.gate(min_coverage=args.min_coverage, strict=args.strict)
+        return 0 if ok else 1
 
     if args.command == "show":
         gen = PluginDocGenerator(ctx)
