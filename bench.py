@@ -24,6 +24,17 @@ import numpy as np
 N_EVENTS = 65_536  # throughput saturates by ~16k events; keep runtime short
 WAVE_LEN = 256
 
+# FROZEN CPU baseline (events/s): the scored vs_baseline denominator.
+# Live CPU sampling on this shared host swung the scored multiplier ~2x
+# between same-day runs (r3: 886x vs 1833x), so the denominator is frozen
+# from a large-sample measurement and live CPU is reported as a secondary
+# field only. Measured 2026-08-19: median of 12 runs x 2000 events of
+# _cpu_loop_once on an otherwise idle host — median 6140.7, mean 6155,
+# std 578, min 4893, max 6983 events/s. Host: 1-core Intel Xeon @ 2.10GHz,
+# Linux 6.18.5 x86_64. Re-freeze (scripts in BASELINE.md) if the bench
+# workload or host changes.
+FROZEN_CPU_RATE = 6140.7
+
 
 def make_batch(n_events: int, wave_length: int, seed=None) -> np.ndarray:
     """seed=None -> process-unique batch: the TPU terminal caches results of
@@ -172,7 +183,10 @@ def main() -> None:
         if not tpu_rate:
             raise SystemExit(f"TPU benchmark failed after retries: {last_err!r}")
 
-    cpu_rate = cpu_reference_rate(make_batch(N_EVENTS, WAVE_LEN))
+    try:
+        cpu_rate_live = cpu_reference_rate(make_batch(N_EVENTS, WAVE_LEN))
+    except Exception:  # noqa: BLE001 - live CPU is informational only
+        cpu_rate_live = 0.0
 
     print(
         json.dumps(
@@ -184,7 +198,12 @@ def main() -> None:
                 ),
                 "value": round(tpu_rate, 1),
                 "unit": "waveforms/s",
-                "vs_baseline": round(tpu_rate / cpu_rate, 2),
+                # scored against the FROZEN large-sample CPU baseline so the
+                # multiplier is stable across runs; the live host rate is
+                # secondary (informational)
+                "vs_baseline": round(tpu_rate / FROZEN_CPU_RATE, 2),
+                "cpu_rate_frozen": FROZEN_CPU_RATE,
+                "cpu_rate_live": round(cpu_rate_live, 1),
             }
         )
     )
