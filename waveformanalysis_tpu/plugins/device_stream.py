@@ -311,6 +311,16 @@ class DeviceKernelStream(StreamingPlugin):
             stage_out, meta, lengths, len(data),
         )
 
+    def _empty_output(self) -> Table:
+        """Zero-row output table in the inner plugin's schema (covers both
+        Schema and numpy-dtype output declarations)."""
+        from waveformanalysis_tpu.dtypes.schema import Schema
+
+        dtype = self.output_dtype
+        if isinstance(dtype, Schema):
+            return Table.zeros(0, dtype)
+        return Table.from_numpy(np.zeros(0, dtype=np.dtype(dtype)))
+
     # -- host fallback: the same three phases, serial --------------------------
 
     def compute_chunk(self, context: Any, run_id: str, chunk: Chunk) -> Any:
@@ -318,12 +328,7 @@ class DeviceKernelStream(StreamingPlugin):
 
         data = _chunk_table(chunk)
         if len(data) == 0:
-            from waveformanalysis_tpu.dtypes.schema import Schema
-
-            dtype = self.output_dtype
-            if isinstance(dtype, Schema):
-                return Table.zeros(0, dtype)
-            return data
+            return self._empty_output()
         cfg = self.device_stream_config(context)
         inputs = self.device_chunk_inputs(context, run_id, chunk)
         out = type(self).device_chunk_stage(
