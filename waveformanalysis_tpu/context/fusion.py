@@ -358,8 +358,12 @@ class WaveChainFusion:
                         support_hit_cfg=support_hit_cfg,
                     )
                 with ctx.profiler.time("fusion.single.device_program"):
+                    # NO block on counts here: with a speculative fetch
+                    # bucket the host never needs counts before the packed
+                    # transfer, and on axon a block_until_ready is itself a
+                    # ~30 ms round-trip poll. The fetch phase therefore
+                    # absorbs device compute time in the profile.
                     flat_d, slot_mats_d, counts_d = program(*dev_in)
-                    jax.block_until_ready(counts_d)
                 with ctx.profiler.time("fusion.single.fetch"):
                     host_out, slot_out = _fetch_packed_outputs(
                         flat_d, slot_mats_d, counts_d, spec_cache[shapes_key],
@@ -855,8 +859,8 @@ class WaveChainFusion:
                 (tuple(x.shape), str(x.dtype)) for x in dev_in
             )
             with ctx.profiler.time("fusion.batched.device_program"):
+                # no count block: see the single-dispatch path above
                 flat_d, slot_mats_d, counts_d = program(*dev_in)
-                jax.block_until_ready(counts_d)
             with ctx.profiler.time("fusion.batched.fetch"):
                 host_out, slot_out = _fetch_packed_outputs(
                     flat_d, slot_mats_d, counts_d, spec_cache[shapes_key],
