@@ -67,18 +67,51 @@ def empty_bundle() -> RecordsBundle:
 
 def records_sort_order(records: Table) -> np.ndarray:
     """Stable global sort: primary timestamp, then pid, board, channel,
-    then input order (reference: records_builder.py:115-120)."""
+    then input order (reference: records_builder.py:115-120).
+
+    Fast path: the builder concatenates per-channel parts that are each
+    time-sorted, in channel order — so a SINGLE stable argsort of the
+    timestamps (timsort: merges the k sorted runs in ~O(n log k)) usually
+    already realizes the full (timestamp, pid, board, channel, seq) order,
+    because equal-timestamp ties keep concatenation order = channel order.
+    That candidate order is VERIFIED against the full key in one vectorized
+    O(n) pass; any violation (e.g. multi-board ties, interleaved pids)
+    falls back to the exact 5-key lexsort. Output is identical to the
+    lexsort on every input — the fast path is only taken when proven
+    equivalent."""
     n = len(records)
-    seq = np.arange(n, dtype=np.int64)
-    return np.lexsort(
-        (
-            seq,
-            np.asarray(records["channel"]),
-            np.asarray(records["board"]),
-            np.asarray(records["pid"]),
-            np.asarray(records["timestamp"]),
-        )
-    )
+    ts = np.asarray(records["timestamp"])
+    order = np.argsort(ts, kind="stable")
+    if n > 1:
+        ts_s = ts[order]
+        tie = ts_s[1:] == ts_s[:-1]
+        if tie.any():
+            pid = np.asarray(records["pid"])[order]
+            board = np.asarray(records["board"])[order]
+            channel = np.asarray(records["channel"])[order]
+            # non-decreasing (pid, board, channel, seq) within each tie run?
+            p0, p1 = pid[:-1], pid[1:]
+            b0, b1 = board[:-1], board[1:]
+            c0, c1 = channel[:-1], channel[1:]
+            s_inc = order[1:] > order[:-1]  # stable: seq always increases
+            ok = (
+                (p1 > p0)
+                | ((p1 == p0) & (b1 > b0))
+                | ((p1 == p0) & (b1 == b0) & (c1 > c0))
+                | ((p1 == p0) & (b1 == b0) & (c1 == c0) & s_inc)
+            )
+            if not bool(np.all(ok | ~tie)):
+                seq = np.arange(n, dtype=np.int64)
+                return np.lexsort(
+                    (
+                        seq,
+                        np.asarray(records["channel"]),
+                        np.asarray(records["board"]),
+                        np.asarray(records["pid"]),
+                        ts,
+                    )
+                )
+    return order
 
 
 def records_sort_order_device(records: Table) -> np.ndarray:
