@@ -59,6 +59,7 @@ NAMES = [
     "s1_s2",
     "df",
     "df_events",
+    "hit_grouped",
     "df_paired",
 ]
 
@@ -66,7 +67,7 @@ NAMES = [
 # the referenced-row mapping below instead
 ID_FIELDS = {
     "record_id", "event_index", "hit_index", "cluster_index",
-    "merged_index", "component_offset", "event_id",
+    "merged_index", "component_offset", "event_id", "record_ids",
 }
 
 # float fields allowed a tolerance (everything else must be exact):
@@ -346,6 +347,9 @@ class TestVX2730Differential:
     def test_df_paired(self, vx_pair):
         _assert_df_paired(vx_pair)
 
+    def test_hit_grouped(self, vx_pair):
+        _assert_grouped_df(vx_pair, "hit_grouped")
+
 
 class TestV1725Differential:
     @pytest.mark.parametrize("name", [n for n in NAMES if n in SORT_KEYS])
@@ -367,6 +371,9 @@ class TestV1725Differential:
 
     def test_df_paired(self, v1725_pair):
         _assert_df_paired(v1725_pair)
+
+    def test_hit_grouped(self, v1725_pair):
+        _assert_grouped_df(v1725_pair, "hit_grouped")
 
 
 def _hit_identity(hits):
@@ -465,6 +472,38 @@ def _assert_df_events(pair):
                 )
         else:
             np.testing.assert_array_equal(rv, ov, err_msg=f"df_events.{c}")
+
+
+def _assert_grouped_df(pair, name):
+    """Window-grouped DataFrames (hit_grouped): scalar columns exact,
+    object columns compared as sorted multisets (member order follows hit
+    materialization order)."""
+    ref, ours = pair
+    rdf, odf = _sorted_events(ref[name]), _sorted_events(ours[name])
+    ref_cols = set(rdf.columns) - ID_FIELDS
+    our_cols = set(odf.columns) - ID_FIELDS
+    assert ref_cols <= our_cols, f"{name} missing columns {ref_cols - our_cols}"
+    assert len(rdf) == len(odf)
+    for c in sorted(ref_cols):
+        rv, ov = rdf[c].to_numpy(), odf[c].to_numpy()
+        if rv.dtype == object:
+            for i, (a, b) in enumerate(zip(rv, ov)):
+                a = np.sort(np.asarray(a), kind="stable")
+                b = np.sort(np.asarray(b), kind="stable")
+                if a.dtype.kind == "f":
+                    # f4 aggregates (heights/integrals) carry a few ulps of
+                    # computation-order difference — same class as F4_FIELDS
+                    np.testing.assert_allclose(
+                        a.astype(np.float64), b.astype(np.float64),
+                        rtol=F4_RTOL, atol=1e-6,
+                        err_msg=f"{name}.{c}[{i}]",
+                    )
+                else:
+                    np.testing.assert_array_equal(
+                        a, b, err_msg=f"{name}.{c}[{i}]"
+                    )
+        else:
+            np.testing.assert_array_equal(rv, ov, err_msg=f"{name}.{c}")
 
 
 def _assert_df_paired(pair):

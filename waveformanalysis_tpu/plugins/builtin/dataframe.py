@@ -36,7 +36,7 @@ class DataFramePlugin(Plugin):
     provides = "df"
     depends_on = []  # dynamic
     description = "Build the initial single-channel events DataFrame."
-    version = "1.8.0"
+    version = "1.9.0"
     save_when = "always"
     uses_run_config = True
     output_dtype = "DataFrame"
@@ -71,6 +71,10 @@ class DataFramePlugin(Plugin):
             "max_abs_diff": np.asarray(features["max_abs_diff"], np.float64),
             "event_index": np.asarray(features["event_index"], np.int64),
         })
+        # reference column name for the same identity (reference df exposes
+        # the source row index as record_id, dataframe.py analog) — kept
+        # alongside event_index so porting users find both
+        df["record_id"] = df["event_index"]
 
         gain_map, enabled = self._resolve_gain_map(context, run_id)
         if enabled and n:
