@@ -259,6 +259,31 @@ def test_fusion_capacity_hint_program_reuse(tmp_path):
     _tables_equal(r1["hit_threshold"], r3["hit_threshold"])
 
 
+def test_fusion_capacity_hint_persists_across_contexts(tmp_path):
+    """Hints live in cache metadata: a FRESH Context over the same storage
+    (a new process, the serve server) sees the recorded max counts without
+    recomputing at the configured capacity first."""
+    rule = WaveChainFusion()
+    st = _st(n=128)
+    store = str(tmp_path / "p")
+
+    ctx1 = Context(storage_dir=store, config={"show_progress": False})
+    ctx1.register(BasicFeaturesPlugin(), ThresholdHitPlugin())
+    ctx1.inject_data("r", "st_waveforms", st)
+    members = rule.plan(ctx1, "r", {"basic_features", "hit_threshold"})
+    r1 = rule.compute(ctx1, "r", members)
+    ctx1.flush_saves()
+
+    ctx2 = Context(storage_dir=store, config={"show_progress": False})
+    ctx2.register(BasicFeaturesPlugin(), ThresholdHitPlugin())
+    ctx2.inject_data("r", "st_waveforms", st)
+    hint = rule._get_hint(ctx2, "r", "hit_threshold", len(st))
+    assert hint is not None and hint >= 1  # loaded from disk metadata
+    r2 = rule.compute(ctx2, "r", members)
+    _tables_equal(r1["hit_threshold"], r2["hit_threshold"])
+    _tables_equal(r1["basic_features"], r2["basic_features"])
+
+
 def test_empty_input_through_fusion(tmp_path):
     st = _st(n=512)[0:0]  # zero-row structured array
     ctx = _make_ctx(tmp_path, "empty", True)

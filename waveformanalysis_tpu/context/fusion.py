@@ -346,8 +346,11 @@ class WaveChainFusion:
                 ctx, run_id, device_members, cfgs, support_hit_cfg, n
             )
             with ctx.profiler.time("fusion.single.upload"):
+                # async upload: no host sync — the device program's data
+                # dependencies order the transfers, and on axon every
+                # block_until_ready is a round-trip poll. Upload time shows
+                # up in the fetch phase of the profile.
                 dev_in = tuple(jnp.asarray(x) for x in inputs)
-                jax.block_until_ready(dev_in)
             shapes_key = tuple(
                 (tuple(x.shape), str(x.dtype)) for x in dev_in
             )
@@ -853,8 +856,8 @@ class WaveChainFusion:
                     per_event_overflow=True, support_hit_cfg=support_hit_cfg,
                 )
             with ctx.profiler.time("fusion.batched.upload"):
+                # async upload: see the single-dispatch path
                 dev_in = tuple(jnp.asarray(x) for x in inputs)
-                jax.block_until_ready(dev_in)
             shapes_key = tuple(
                 (tuple(x.shape), str(x.dtype)) for x in dev_in
             )
