@@ -437,3 +437,17 @@ class TestColumnarEvents:
         # lineage differs: events_source is a tracked option
         assert ctx2.key_for("test_run", "df_paired") != \
             event_ctx.key_for("test_run", "df_paired")
+
+
+def test_reference_profile_names_all_work():
+    """Every profile name the reference declares (including its
+    NotImplementedError placeholders streaming/jax — profiles.py:33-41)
+    returns a working plugin list here."""
+    from waveformanalysis_tpu.plugins.plugin_sets import get_profile
+
+    base = {p.provides for p in get_profile("cpu_default")}
+    for name in ("cpu", "cpu_default", "jax", "jax_accel", "default", "tpu"):
+        assert {p.provides for p in get_profile(name)} == base, name
+    streaming = {p.provides for p in get_profile("streaming")}
+    assert streaming == base | {"signal_peaks_stream"}
+    assert {p.provides for p in get_profile("streaming_default")} == streaming

@@ -50,8 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--time-window", type=float, default=None,
                    help="Event grouping window (ns)")
     p.add_argument("--profile", default="tpu",
-                   choices=["tpu", "cpu", "default"],
-                   help="Plugin profile to register")
+                   choices=["tpu", "cpu", "default", "streaming", "jax"],
+                   help="Plugin profile to register (reference CLI parity: "
+                        "cpu | streaming | jax all work here)")
     p.add_argument("--target", default="df_paired",
                    help="Data name to compute (default df_paired)")
     p.add_argument("--output", default=None,

@@ -122,10 +122,37 @@ def cpu_default() -> List[Any]:
     return tpu_default()
 
 
+def streaming_default() -> List[Any]:
+    """Full pipeline + the chunked streaming plugin family.
+
+    The reference declares this profile but raises NotImplementedError
+    (reference: core/plugins/profiles.py:33-35); here it is real: the
+    static pipeline plus `signal_peaks_stream`, with the generic device
+    chunk executor available via `StreamingContext.get_stream(...,
+    executor_type="device")` for every derivable static name."""
+    from waveformanalysis_tpu.plugins.builtin.signal_peaks import (
+        SignalPeaksStreamPlugin,
+    )
+
+    return tpu_default() + [SignalPeaksStreamPlugin()]
+
+
+def jax_accel() -> List[Any]:
+    """The reference's never-implemented 'jax' profile
+    (reference: profiles.py:39-41 raises NotImplementedError) — in this
+    build EVERY profile is the jax-accelerated pipeline."""
+    return tpu_default()
+
+
 PROFILES: Dict[str, Callable[[], List[Any]]] = {
     "tpu": tpu_default,
     "cpu": cpu_default,
+    "cpu_default": cpu_default,
     "default": tpu_default,
+    "streaming": streaming_default,
+    "streaming_default": streaming_default,
+    "jax": jax_accel,
+    "jax_accel": jax_accel,
 }
 
 
