@@ -801,3 +801,13 @@ class Chunk:
             Chunk(_take(self.data, mask), self.start, t, **kwargs),
             Chunk(_take(self.data, ~mask), t, self.end, **kwargs),
         )
+
+
+def time_to_samples(time_ns: int, dt_ns: int) -> int:
+    """Time -> sample count (floor division, reference chunk.py:1334)."""
+    return time_ns // dt_ns
+
+
+def samples_to_time(samples: int, dt_ns: int) -> int:
+    """Sample count -> time in ns (reference chunk.py:1340)."""
+    return samples * dt_ns
