@@ -127,3 +127,34 @@ class TestApplyFilter:
             np.testing.assert_allclose(
                 out[offsets[i]:offsets[i]+lengths[i]], ref, atol=2e-2
             )
+
+
+def test_filtered_cache_reload_keeps_float32(tmp_path):
+    """Regression (round-4 differential oracle): the filtered schema kept
+    the st_waveforms schema NAME, so a disk-cache reload re-attached the st
+    schema and floored the f4 waves back to int16."""
+    import numpy as np
+
+    from waveformanalysis_tpu.context.context import Context
+    from waveformanalysis_tpu.plugins.builtin.filtering import (
+        FilteredWaveformsPlugin,
+    )
+    from waveformanalysis_tpu.testing.fixtures import make_fake_st_waveforms
+
+    store = str(tmp_path / "s")
+    st = make_fake_st_waveforms(n_events=8, wave_length=64, noise_rms=3.0)
+
+    ctx1 = Context(storage_dir=store, config={"show_progress": False})
+    ctx1.register(FilteredWaveformsPlugin())
+    ctx1.inject_data("r", "st_waveforms", st)
+    fresh = ctx1.get_data("r", "filtered_waveforms").to_numpy()
+    ctx1.flush_saves()
+    assert fresh["wave"].dtype == np.float32
+    assert not np.array_equal(fresh["wave"], fresh["wave"].astype(np.int16))
+
+    ctx2 = Context(storage_dir=store, config={"show_progress": False})
+    ctx2.register(FilteredWaveformsPlugin())
+    ctx2.inject_data("r", "st_waveforms", st)
+    reloaded = ctx2.get_data("r", "filtered_waveforms").to_numpy()
+    assert reloaded["wave"].dtype == np.float32
+    np.testing.assert_array_equal(reloaded["wave"], fresh["wave"])

@@ -48,6 +48,9 @@ def _import_reference():
 # every data name compared, in dependency order
 NAMES = [
     "st_waveforms",
+    "filtered_waveforms",
+    "records",
+    "wave_pool",
     "basic_features",
     "hit",
     "hit_threshold",
@@ -68,6 +71,7 @@ NAMES = [
 ID_FIELDS = {
     "record_id", "event_index", "hit_index", "cluster_index",
     "merged_index", "component_offset", "event_id", "record_ids",
+    "wave_offset",
 }
 
 # float fields allowed a tolerance (everything else must be exact):
@@ -76,6 +80,9 @@ ID_FIELDS = {
 # (rtol 1e-5 ~ 80 f4 ulps). Keys are (data_name, field).
 F4_RTOL = 1e-5
 F4_FIELDS = {
+    # f4 FIR convolution evaluated in a different order than scipy's
+    # savgol/sosfiltfilt (documented in docs/PARITY.md)
+    ("filtered_waveforms", "wave"),
     ("hit", "height"), ("hit", "integral"),
     ("hit_threshold", "height"), ("hit_threshold", "integral"),
     ("hit_merged", "height"), ("hit_merged", "integral"),
@@ -118,6 +125,8 @@ FLOAT_ATOL = {
 # sides and identify a row independent of materialization order)
 SORT_KEYS = {
     "st_waveforms": ("timestamp", "board", "channel"),
+    "filtered_waveforms": ("timestamp", "board", "channel"),
+    "records": ("timestamp", "board", "channel"),
     "basic_features": ("timestamp", "board", "channel"),
     "hit": ("timestamp", "board", "channel", "position"),
     "hit_threshold": ("timestamp", "board", "channel", "position"),
@@ -277,7 +286,15 @@ def _assert_field_equal(name, field, rv, ov):
         np.testing.assert_array_equal(rv, ov, err_msg=f"{name}.{field}")
 
 
-def _compare_structured(name, ref_arr, ours_arr):
+# pair-specific field exclusions with a structural check instead of raw
+# equality. v1725 records.time: the reference's early-return V1725 branch
+# never sets config.epoch_ns, so its time = timestamp//1000 with NO file
+# epoch — unlike its own VX2730 path (and ours, which applies the epoch on
+# both). Deliberate divergence, docs/PARITY.md.
+EXCLUDE_FIELDS = {("v1725", "records"): {"time"}}
+
+
+def _compare_structured(name, ref_arr, ours_arr, pair_tag=None):
     ref_fields = set(ref_arr.dtype.names)
     our_fields = set(ours_arr.dtype.names)
     assert ref_fields <= our_fields, (
@@ -289,8 +306,9 @@ def _compare_structured(name, ref_arr, ours_arr):
     if len(ref_arr) == 0:
         return
     r, o, _, _ = _sorted_pair(name, ref_arr, ours_arr)
+    excluded = EXCLUDE_FIELDS.get((pair_tag, name), set())
     for f in sorted(ref_fields):
-        if f in ID_FIELDS:
+        if f in ID_FIELDS or f in excluded:
             continue
         rv, ov = r[f], o[f]
         if rv.ndim == 2 and ov.ndim == 2 and rv.shape[1] != ov.shape[1]:
@@ -313,6 +331,21 @@ def _record_identity(st_sorted_by_id):
     }
 
 
+def _assert_records_wave_content(pair):
+    """records + wave_pool: rows matched on (timestamp, board, channel)
+    must address bit-identical wave slices (pool layout order is free)."""
+    ref, ours = pair
+    r, o, _, _ = _sorted_pair("records", ref["records"], ours["records"])
+    rp, op = ref["wave_pool"], ours["wave_pool"]
+    assert len(r) == len(o)
+    for i in range(len(r)):
+        wa = rp[r["wave_offset"][i]: r["wave_offset"][i] + r["event_length"][i]]
+        wb = op[o["wave_offset"][i]: o["wave_offset"][i] + o["event_length"][i]]
+        np.testing.assert_array_equal(
+            np.asarray(wa), np.asarray(wb), err_msg=f"wave_pool row {i}"
+        )
+
+
 def _assert_id_references_match(pair):
     """Ordering-dependent record_id fields must reference physically
     identical st_waveforms rows on both sides."""
@@ -330,10 +363,13 @@ class TestVX2730Differential:
     @pytest.mark.parametrize("name", [n for n in NAMES if n in SORT_KEYS])
     def test_structured_parity(self, vx_pair, name):
         ref, ours = vx_pair
-        _compare_structured(name, ref[name], ours[name])
+        _compare_structured(name, ref[name], ours[name], pair_tag="vx2730")
 
     def test_record_id_references(self, vx_pair):
         _assert_id_references_match(vx_pair)
+
+    def test_records_wave_content(self, vx_pair):
+        _assert_records_wave_content(vx_pair)
 
     def test_merge_tables(self, vx_pair):
         _assert_merge_tables(vx_pair)
@@ -355,10 +391,26 @@ class TestV1725Differential:
     @pytest.mark.parametrize("name", [n for n in NAMES if n in SORT_KEYS])
     def test_structured_parity(self, v1725_pair, name):
         ref, ours = v1725_pair
-        _compare_structured(name, ref[name], ours[name])
+        _compare_structured(name, ref[name], ours[name], pair_tag="v1725")
+
+    def test_records_time_is_epoch_shifted(self, v1725_pair):
+        """Both sides satisfy time = const + timestamp//1000; the constant
+        is 0 on the reference (no epoch, see EXCLUDE_FIELDS note) and the
+        file epoch here."""
+        ref, ours = v1725_pair
+        for side, arr in (("ref", ref["records"]), ("ours", ours["records"])):
+            off = arr["time"].astype(np.int64) - (
+                arr["timestamp"].astype(np.int64) // 1000
+            )
+            assert len(np.unique(off)) == 1, f"{side}: non-constant epoch"
+        assert (ref["records"]["time"] ==
+                ref["records"]["timestamp"] // 1000).all()
 
     def test_record_id_references(self, v1725_pair):
         _assert_id_references_match(v1725_pair)
+
+    def test_records_wave_content(self, v1725_pair):
+        _assert_records_wave_content(v1725_pair)
 
     def test_merge_tables(self, v1725_pair):
         _assert_merge_tables(v1725_pair)

@@ -144,9 +144,19 @@ class Schema:
     def with_fields(self, *extra: Field, name: Optional[str] = None) -> "Schema":
         return Schema(name or self.name, self.fields + tuple(extra))
 
-    def replace_field(self, fname: str, new: Field) -> "Schema":
+    def replace_field(
+        self, fname: str, new: Field, name: Optional[str] = None
+    ) -> "Schema":
+        """Derived schema with one field replaced.
+
+        Pass ``name`` when the derivative is a DIFFERENT data type: cache
+        metadata stores ``schema.name`` and the loader re-attaches the
+        registered schema of that name, so a derivative that silently keeps
+        the parent's name gets the parent's field dtypes back on reload
+        (the round-4 differential oracle caught filtered_waveforms' f4
+        waves being floored to the st schema's int16 this way)."""
         return Schema(
-            self.name,
+            name or self.name,
             tuple(new if f.name == fname else f for f in self.fields),
         )
 

@@ -25,7 +25,7 @@ from waveformanalysis_tpu.plugins.base import Option, Plugin
 
 logger = logging.getLogger(__name__)
 
-FILTER_ENGINE_VERSION = "3.0.0"
+FILTER_ENGINE_VERSION = "3.1.0"  # 3.1: own schema name (cached f4 waves no longer reload as int16)
 FILTER_OPTION_NAMES = (
     "filter_type",
     "lowcut",
@@ -39,6 +39,8 @@ FILTER_OPTION_NAMES = (
 FILTERED_WAVEFORM_SCHEMA = ST_WAVEFORM_SCHEMA.replace_field(
     "wave", Field("wave", "f4", shape=("wave_length",), unit="ADC",
                   doc="filtered samples (float32)"),
+    name="filtered_waveforms",  # own name: cache reloads re-attach the
+    # schema BY NAME, and the st schema would floor waves back to int16
 )
 
 

@@ -583,4 +583,10 @@ def _schema_by_name(name: Optional[str]):
         "basic_features": S.BASIC_FEATURES_SCHEMA,
         "peaks": S.PEAK_SCHEMA,
     }
+    if name == "filtered_waveforms":
+        from waveformanalysis_tpu.plugins.builtin.filtering import (
+            FILTERED_WAVEFORM_SCHEMA,
+        )
+
+        return FILTERED_WAVEFORM_SCHEMA
     return known.get(name)
