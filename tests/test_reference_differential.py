@@ -578,3 +578,68 @@ def _assert_df_paired(pair):
                 )
         else:
             np.testing.assert_array_equal(rv, ov, err_msg=f"df_paired.{c}")
+
+
+class TestStreamingDifferential:
+    """The chunked streaming runtime vs the reference's: both sides stream
+    signal_peaks_stream over the same VX2730 run; the MERGED hit-row sets
+    must agree (chunk boundaries are an executor detail — the reference
+    pools threads, we batch on device — so rows, not chunks, are the
+    contract)."""
+
+    @pytest.fixture(scope="class")
+    def streams(self, tmp_path_factory):
+        _import_reference()
+        tmp = tmp_path_factory.mktemp("diff_stream")
+        from waveformanalysis_tpu.testing.fixtures import (
+            make_synthetic_vx2730_run,
+        )
+
+        make_synthetic_vx2730_run(
+            str(tmp / "DAQ"), "run_s", n_channels=2, n_rows=64,
+            n_samples=96, noise=5, seed=11,
+        )
+        # the reference streaming plugin ALWAYS consumes filtered_waveforms
+        # (depends_on, streaming/cpu/signal_peaks.py:45); ours follows via
+        # its use_filtered=True default
+        cfg = {"height": 50.0, "prominence": 10.0, "width": 1}
+
+        from waveform_analysis.core.plugins.builtin.streaming.cpu. \
+            signal_peaks import SignalPeaksStreamPlugin as RefStream
+
+        rctx = _build_ref_context(tmp / "sr", tmp / "DAQ", "vx2730")
+        rctx.register(RefStream())
+        rctx.set_config({"signal_peaks_stream": dict(cfg)})
+        ref_rows = np.concatenate([
+            np.asarray(c.data)
+            for c in rctx.get_data("run_s", "signal_peaks_stream")
+            if len(c.data)
+        ])
+
+        from waveformanalysis_tpu.plugins.builtin.signal_peaks import (
+            SignalPeaksStreamPlugin as OurStream,
+        )
+
+        octx = _build_our_context(tmp / "so", tmp / "DAQ", "vx2730")
+        octx.register(OurStream())
+        octx.set_config({"signal_peaks_stream": dict(cfg)})
+        our_rows = np.concatenate([
+            c.data.to_numpy() if hasattr(c.data, "to_numpy")
+            else np.asarray(c.data)
+            for c in octx.get_data("run_s", "signal_peaks_stream")
+            if len(c.data)
+        ])
+        return ref_rows, our_rows
+
+    def test_merged_hit_rows_agree(self, streams):
+        ref_rows, our_rows = streams
+        assert len(ref_rows) == len(our_rows) > 0
+        ri = np.lexsort((ref_rows["position"], ref_rows["channel"],
+                         ref_rows["timestamp"]))
+        oi = np.lexsort((our_rows["position"], our_rows["channel"],
+                         our_rows["timestamp"]))
+        r, o = ref_rows[ri], our_rows[oi]
+        for f in r.dtype.names:
+            if f in ID_FIELDS:
+                continue
+            _assert_field_equal("hit", f, r[f], o[f])

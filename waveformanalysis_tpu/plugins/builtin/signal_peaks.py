@@ -32,17 +32,30 @@ class SignalPeaksStreamPlugin(StreamingPlugin):
     provides = "signal_peaks_stream"
     depends_on: List[str] = []
     description = "Streaming peak detection over filtered waveforms."
-    version = "1.0.0"
+    version = "1.1.0"  # 1.1: reference option set (use_derivative/height_method/minmax_window_expand/threshold)
     kernel_version = PK.KERNEL_VERSION
     save_when = "never"
     output_dtype = HIT_SCHEMA
     options = {
         "use_filtered": Option(default=True, type=bool,
                                help="Prefer filtered_waveforms when registered"),
+        "use_derivative": Option(default=True, type=bool,
+                                 help="Detect on the first derivative (True) "
+                                      "or the baseline-corrected signal"),
         "height": Option(default=30.0, type=float, help="Minimum peak height"),
         "distance": Option(default=2, type=int, help="Minimum peak separation"),
         "prominence": Option(default=0.7, type=float, help="Minimum prominence"),
         "width": Option(default=4, type=int, help="Minimum peak width"),
+        "threshold": Option(default=None,
+                            help="scipy threshold condition (unsupported by "
+                                 "the device kernel; must stay None)"),
+        "height_method": Option(default="diff", type=str,
+                                choices=["diff", "minmax"],
+                                help="Peak height: integrated -diff between "
+                                     "edges, or window max-min"),
+        "minmax_window_expand": Option(default=2, type=int,
+                                       help="minmax window extension "
+                                            "(samples each side)"),
         "dt": Option(default=None, type=int, help="Sample interval fallback (ns)"),
         "streaming_config": Option(
             default=None, type=dict, track=False,
@@ -71,11 +84,22 @@ class SignalPeaksStreamPlugin(StreamingPlugin):
     device_parallel = True
 
     def device_stream_config(self, context: Any) -> dict:
+        if context.get_config(self, "threshold") is not None:
+            raise ValueError(
+                "signal_peaks_stream: the scipy 'threshold' neighbor "
+                "condition is not supported by the device kernel; leave it "
+                "None"
+            )
         return {
+            "use_derivative": bool(context.get_config(self, "use_derivative")),
             "height": float(context.get_config(self, "height")),
             "distance": int(context.get_config(self, "distance")),
             "prominence": float(context.get_config(self, "prominence")),
             "width": float(context.get_config(self, "width")),
+            "height_method": str(context.get_config(self, "height_method")),
+            "minmax_window_expand": int(
+                context.get_config(self, "minmax_window_expand")
+            ),
         }
 
     def device_chunk_inputs(
@@ -90,10 +114,15 @@ class SignalPeaksStreamPlugin(StreamingPlugin):
             if "polarity" in data else np.full(n, -1, np.int8)
         lengths = np.asarray(data["event_length"], dtype=np.int64) \
             if "event_length" in data else np.full(n, waves.shape[1], np.int64)
+        baselines = (
+            np.asarray(data["baseline"], dtype=np.float64)
+            if "baseline" in data else np.zeros(n, np.float64)
+        )
         return {
             "waves": waves,
             "sign": np.where(pol > 0, 1.0, -1.0).astype(np.float32),
             "lengths": lengths.astype(np.int32),
+            "baselines": baselines.astype(np.float32),
         }
 
     @staticmethod
@@ -102,15 +131,28 @@ class SignalPeaksStreamPlugin(StreamingPlugin):
         so outputs per row do not depend on the batch shape)."""
         waves = inputs["waves"]
         sign = inputs["sign"]
-        det = sign[:, None] * (waves[:, 1:] - waves[:, :-1])
+        # reference semantics (streaming/cpu/signal_peaks.py:313-320):
+        # -diff(waveform) when use_derivative, else baseline - waveform —
+        # generalized polarity-aware (sign = -1 for negative/unknown
+        # reproduces the reference exactly; +1 supports positive pulses the
+        # reference cannot detect)
+        if cfg["use_derivative"]:
+            det = sign[:, None] * (waves[:, 1:] - waves[:, :-1])
+            det_len = jnp.maximum(inputs["lengths"] - 1, 0)
+        else:
+            det = sign[:, None] * (
+                waves - inputs["baselines"][:, None].astype(jnp.float32)
+            )
+            det_len = inputs["lengths"]
         results = dict(PK.find_peaks_batch(
             det, height=cfg["height"], prominence=cfg["prominence"],
             width=cfg["width"], distance=cfg["distance"],
-            valid_length=jnp.maximum(inputs["lengths"] - 1, 0),
+            valid_length=det_len,
         ))
         results["peak_heights"] = PK.peak_heights_batch(
             waves, results["left_ips"], results["right_ips"],
-            results["valid"],
+            results["valid"], method=cfg["height_method"],
+            window_extension=cfg["minmax_window_expand"],
         )
         return results
 
