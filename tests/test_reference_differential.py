@@ -643,3 +643,39 @@ class TestStreamingDifferential:
             if f in ID_FIELDS:
                 continue
             _assert_field_equal("hit", f, r[f], o[f])
+
+
+class TestTimeRangeDifferential:
+    """Time-range queries: the reference's working domain (system_ns, ns
+    units over ts//1000) must select the same row set our raw_ps query
+    selects over the equivalent ps window. Default-domain divergence
+    documented in docs/PARITY.md."""
+
+    def test_same_rows_for_equivalent_windows(self, vx_pair, tmp_path_factory):
+        _import_reference()
+        tmp = tmp_path_factory.mktemp("diff_tr")
+        from waveformanalysis_tpu.testing.fixtures import (
+            make_synthetic_vx2730_run,
+        )
+
+        make_synthetic_vx2730_run(
+            str(tmp / "DAQ"), "run_t", n_channels=2, n_rows=64,
+            n_samples=96, noise=5, seed=3,
+        )
+        rctx = _build_ref_context(tmp / "r", tmp / "DAQ", "vx2730")
+        octx = _build_our_context(tmp / "o", tmp / "DAQ", "vx2730")
+        lo_ns, hi_ns = 100_000, 300_000
+        ref_rows = np.asarray(rctx.time_range(
+            "run_t", "st_waveforms", lo_ns, hi_ns, time_domain="system_ns"
+        ))
+        ours = octx.time_range(
+            "run_t", "st_waveforms", lo_ns * 1000, hi_ns * 1000
+        )
+        our_rows = ours.to_numpy() if hasattr(ours, "to_numpy") else ours
+        assert len(ref_rows) == len(our_rows) > 0
+        assert (
+            set(zip(ref_rows["timestamp"].tolist(),
+                    ref_rows["channel"].tolist()))
+            == set(zip(our_rows["timestamp"].tolist(),
+                       our_rows["channel"].tolist()))
+        )
