@@ -158,7 +158,8 @@ class TestAutoConfigMatrix:
         "filtered_waveforms": {"filter_type": "BW"},
         "hit": {"height": 77.0},
         "hit_threshold": {"threshold": 33.0},
-        "hit_merged": {"merge_gap_ns": 123.0},
+        "hit_merged": {"merge_gap_ns": 123.0},  # applied at the OWNER scope
+
         "basic_features": {"height_range": (10, 60)},
         "waveform_width": {"rise_low": 0.2},
         "waveform_width_integral": {"q_low": 0.2},
@@ -167,17 +168,26 @@ class TestAutoConfigMatrix:
         "df_paired": {"time_window_ns": 555.0},
     }
 
+    # the hit-merge family resolves gap/width under the hit_merge_clusters
+    # scope (reference owner-scope semantics; docs/PARITY.md) — config
+    # changes that should rotate hit_merged's key must target that scope
+    TRACKED_SCOPE = {"hit_merged": "hit_merge_clusters"}
+
     UNTRACKED_CHANGES = {
         "hit": {"peaks_backend": "xla"},
         "hit_threshold": {"max_hits_per_waveform": 32},
         "df_events": {"grouping_backend": "host"},
+        # self-scoped gap is INERT for the merge family (owner-scope
+        # semantics) and therefore must not rotate the key either
+        "hit_merged": {"merge_gap_ns": 321.0},
     }
 
     @pytest.mark.parametrize("name", sorted(TRACKED_CHANGES))
     def test_tracked_option_changes_key(self, tmp_path, daq_root, name):
         ctx = _make_ctx(tmp_path, daq_root)
         key_before = ctx.key_for(RUN, name)
-        ctx.set_config({name: self.TRACKED_CHANGES[name]})
+        scope = self.TRACKED_SCOPE.get(name, name)
+        ctx.set_config({scope: self.TRACKED_CHANGES[name]})
         key_after = ctx.key_for(RUN, name)
         assert key_before != key_after, \
             f"tracked option change did not rotate {name} key"

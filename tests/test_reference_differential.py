@@ -256,8 +256,10 @@ def _sorted_pair(name, ref_arr, ours_arr):
     return ref_arr[r_idx], ours_arr[o_idx], r_idx, o_idx
 
 
-def _assert_field_equal(name, field, rv, ov):
-    atol = FLOAT_ATOL.get((name, field))
+def _assert_field_equal(name, field, rv, ov, atol_override=None):
+    """atol_override: a float (pure atol) or an (rtol, atol) tuple."""
+    atol = atol_override if atol_override is not None \
+        else FLOAT_ATOL.get((name, field))
     if rv.dtype.kind in "fc":
         nan_r, nan_o = np.isnan(rv), np.isnan(ov)
         np.testing.assert_array_equal(
@@ -265,9 +267,11 @@ def _assert_field_equal(name, field, rv, ov):
         )
         rv, ov = np.nan_to_num(rv), np.nan_to_num(ov)
         if atol is not None:
+            rtol_part, atol_part = atol if isinstance(atol, tuple) \
+                else (0, atol)
             np.testing.assert_allclose(
                 rv.astype(np.float64), ov.astype(np.float64),
-                rtol=0, atol=atol, err_msg=f"{name}.{field}",
+                rtol=rtol_part, atol=atol_part, err_msg=f"{name}.{field}",
             )
         elif (name, field) in F4_FIELDS:
             np.testing.assert_allclose(
@@ -294,7 +298,8 @@ def _assert_field_equal(name, field, rv, ov):
 EXCLUDE_FIELDS = {("v1725", "records"): {"time"}}
 
 
-def _compare_structured(name, ref_arr, ours_arr, pair_tag=None):
+def _compare_structured(name, ref_arr, ours_arr, pair_tag=None,
+                        atol_overrides=None):
     ref_fields = set(ref_arr.dtype.names)
     our_fields = set(ours_arr.dtype.names)
     assert ref_fields <= our_fields, (
@@ -318,7 +323,10 @@ def _compare_structured(name, ref_arr, ours_arr, pair_tag=None):
             longer = rv if rv.shape[1] > w else ov
             assert not longer[:, w:].any(), f"{name}.{f}: nonzero pad tail"
             rv, ov = rv[:, :w], ov[:, :w]
-        _assert_field_equal(name, f, rv, ov)
+        _assert_field_equal(
+            name, f, rv, ov,
+            atol_override=(atol_overrides or {}).get((name, f)),
+        )
 
 
 def _record_identity(st_sorted_by_id):

@@ -1,0 +1,277 @@
+"""Config-sweep differential: the reference package as an oracle OFF defaults.
+
+`test_reference_differential.py` pins field-by-field parity on the default
+configuration. Off-default semantics are where a shared misreading hides —
+an option we plumb to the wrong knob, a threshold compared with `>` where
+the reference uses `>=`, a unit conversion applied once instead of twice.
+This module drives BOTH Contexts (ours and `/root/reference`'s — reference
+entry: waveform_analysis/core/context.py:832 get_data, option surfaces:
+core/plugins/builtin/cpu/{peak_finding,hit_finder,hit_merge,filtering,
+basic_features,waveform_width,waveform_width_integral,s1_s2_classifier,
+waveforms}.py) over the SAME multi-pulse synthetic VX2730 run under a
+matrix of non-default option sets, and compares the affected outputs with
+the base module's field-by-field machinery.
+
+Every sweep also asserts it is DISCRIMINATING: the swept output must differ
+from the default-config output on our side. A sweep that produces identical
+outputs is testing nothing (the option may be silently ignored), so that is
+a failure too.
+
+The run is multi-pulse by construction (four square pulses of varied
+height/width/separation per waveform) so distance/prominence/width/merge
+options actually change the result set.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import test_reference_differential as base  # noqa: E402
+
+pytestmark = pytest.mark.slow
+
+
+# ---------------------------------------------------------------------------
+# sweep matrix: (id, config, names to compare, names that must differ from
+# the default-config output on our side, {(name, field): atol} overrides)
+#
+# Values are CALIBRATED against the fixture below: hit detection runs on the
+# SG(11,2)-filtered derivative by default (use_filtered=True,
+# use_derivative=True), which smears the square-pulse edge spikes — the
+# 26-ADC pulse's filtered-derivative peak is ~7, and raw 1-sample derivative
+# spikes fail the default width=4 condition.
+# ---------------------------------------------------------------------------
+SWEEPS = [
+    # peak finding (reference: cpu/peak_finding.py options)
+    ("peaks_low_height",
+     {"hit": {"height": 5.0, "prominence": 0.5}},
+     ["hit"], ["hit"], None),
+    ("peaks_distance",
+     {"hit": {"distance": 20}},
+     ["hit"], ["hit"], None),
+    ("peaks_prominence_width",
+     {"hit": {"prominence": 50.0, "width": 6}},
+     ["hit"], ["hit"], None),
+    ("peaks_abs_wave",
+     {"hit": {"use_derivative": False, "height": 50.0}},
+     ["hit"], ["hit"], None),
+    ("peaks_raw_wave",
+     {"hit": {"use_filtered": False, "width": 1}},
+     ["hit"], ["hit"], None),
+    ("peaks_height_diff_method",
+     {"hit": {"height_method": "diff"}},
+     ["hit"], ["hit"], None),
+    ("peaks_window_ext",
+     {"hit": {"height_window_extension": 8}},
+     ["hit"], ["hit"], None),
+    # threshold hit finder (reference: cpu/hit_finder.py options)
+    ("threshold_hits",
+     {"hit_threshold": {"threshold": 60.0, "left_extension": 5,
+                        "right_extension": 7}},
+     ["hit_threshold"], ["hit_threshold"], None),
+    ("threshold_on_filtered",
+     {"hit_threshold": {"use_filtered": True}},
+     ["hit_threshold"], ["hit_threshold"], None),
+    # hit merging (reference: cpu/hit_merge.py options; the reference
+    # default merge_gap_ns=0.0 DISABLES merging, so any positive gap is a
+    # discriminating sweep — this matrix is what caught our r1-r4 default
+    # of 50.0 silently merging out of the box). The cluster definition is
+    # OWNED by the hit_merge_clusters scope: the reference's hit_merged
+    # consumes that plugin's precomputed clusters (cpu/hit_merge.py:353-371),
+    # so gap config must target "hit_merge_clusters" or a global key — a
+    # "hit_merged"-scoped gap is inert (pinned below).
+    ("merge_gap",
+     {"hit_merge_clusters": {"merge_gap_ns": 80.0}},
+     ["hit_threshold", "hit_merged"], ["hit_merged"], None),
+    ("merge_gap_mid",
+     {"hit_merge_clusters": {"merge_gap_ns": 20.0}},
+     ["hit_merged"], ["hit_merged"], None),
+    ("merge_capped_width",
+     {"hit_merge_clusters": {"merge_gap_ns": 200.0,
+                             "max_total_width_ns": 60.0}},
+     ["hit_merged"], ["hit_merged"], None),
+    ("merge_gap_global",
+     {"merge_gap_ns": 30.0},
+     ["hit_merged"], ["hit_merged"], None),
+    # the inert scope: hit_merged-scoped gap must merge NOTHING on either
+    # side (diff_names empty: output must EQUAL the defaults)
+    ("merge_scope_inert",
+     {"hit_merged": {"merge_gap_ns": 80.0}},
+     ["hit_merged"], [], None),
+    # zero-phase filtering (reference: cpu/filtering.py options). The BW
+    # branch is a forward-backward IIR cascade: our kernel recurses in f32
+    # (TPU-native) vs the reference's scipy f64 sosfiltfilt, so the wave
+    # field gets an absolute tolerance (max observed ~2.3e-4 on +/-320 ADC
+    # waves; docs/PARITY.md).
+    ("filter_bw",
+     {"filtered_waveforms": {"filter_type": "BW", "lowcut": 0.02,
+                             "highcut": 0.15, "filter_order": 3}},
+     ["filtered_waveforms"], ["filtered_waveforms"],
+     {("filtered_waveforms", "wave"): 5e-4}),
+    ("filter_sg",
+     {"filtered_waveforms": {"sg_window_size": 15, "sg_poly_order": 3}},
+     ["filtered_waveforms"], ["filtered_waveforms"], None),
+    # waveform width levels (reference: cpu/waveform_width.py options)
+    ("width_levels",
+     {"waveform_width": {"rise_low": 0.2, "rise_high": 0.8,
+                         "fall_high": 0.75, "fall_low": 0.25}},
+     ["waveform_width"], ["waveform_width"], None),
+    ("width_no_interp",
+     {"waveform_width": {"interpolation": False}},
+     ["waveform_width"], ["waveform_width"], None),
+    # integral width quantiles (reference: cpu/waveform_width_integral.py)
+    ("wwi_quantiles",
+     {"waveform_width_integral": {"q_low": 0.25, "q_high": 0.75}},
+     ["waveform_width_integral"], ["waveform_width_integral"], None),
+    # feature windows (reference: cpu/basic_features.py options —
+    # height_range/area_range are SAMPLE WINDOWS, not value gates)
+    ("features_windows",
+     {"basic_features": {"height_range": (44, 120), "area_range": (40, 140)}},
+     ["basic_features"], ["basic_features"], None),
+    # layered per-channel fixed baseline (reference: core/hardware/channel.py
+    # defaults + per-channel override resolution)
+    ("features_channel_baseline",
+     {"basic_features": {"channel_config": {
+         "defaults": {"fixed_baseline": 996.0},
+         "0:1": {"fixed_baseline": 1004.0},
+     }}},
+     ["basic_features"], ["basic_features"], None),
+    # S1/S2 classification actually classifying (reference:
+    # cpu/s1_s2_classifier.py options; defaults leave every range None)
+    ("s1s2_ranges",
+     {"s1_s2": {"s1_width_range": (0.0, 30.0),
+                "s2_width_range": (30.0, 10000.0),
+                "conflict_policy": "prefer_s1"}},
+     ["s1_s2"], ["s1_s2"], None),
+    ("s1s2_samples_unit",
+     {"s1_s2": {"width_unit": "samples",
+                "s1_width_range": (0.0, 15.0),
+                "s2_width_range": (15.0, 5000.0)}},
+     ["s1_s2"], ["s1_s2"], None),
+    # acquisition-side baseline window (reference: cpu/waveforms.py options)
+    ("baseline_window",
+     {"st_waveforms": {"baseline_samples": 16}},
+     ["st_waveforms", "basic_features"], ["st_waveforms"], None),
+]
+
+
+@pytest.fixture(scope="module")
+def rich_run(tmp_path_factory):
+    """Multi-pulse VX2730 run shared by every sweep."""
+    tmp = tmp_path_factory.mktemp("diff_cfg")
+    from waveformanalysis_tpu.testing.fixtures import make_synthetic_vx2730_run
+
+    run_dir = make_synthetic_vx2730_run(
+        str(tmp / "DAQ"), "run_cfg", n_channels=2, n_rows=48,
+        n_samples=160, noise=4, seed=11,
+        pulses=[
+            (48, 320, 4),    # tall narrow
+            (60, 90, 3),     # medium, 12 samples after the first
+            (84, 26, 3),     # small (below the default height=30 gate)
+            (110, 180, 14),  # tall wide
+        ],
+    )
+    return tmp, (tmp / "DAQ", run_dir)
+
+
+def _materialize_names(ctx, run_id, names):
+    import pandas as pd
+
+    out = {}
+    for name in names:
+        data = ctx.get_data(run_id, name)
+        if hasattr(data, "to_numpy") and not isinstance(data, pd.DataFrame):
+            data = data.to_numpy()
+        elif isinstance(data, np.memmap):
+            data = np.asarray(data)
+        out[name] = data
+    return out
+
+
+def _drive(rich_run, sweep_id, cfg, names, side):
+    tmp, (root, run_dir) = rich_run
+    run_id = os.path.basename(str(run_dir))
+    store = tmp / f"store_{side}_{sweep_id}"
+    if side == "ref":
+        base._import_reference()
+        ctx = base._build_ref_context(store, root, "vx2730", cfg)
+    else:
+        ctx = base._build_our_context(store, root, "vx2730", cfg)
+    return _materialize_names(ctx, run_id, names)
+
+
+@pytest.fixture(scope="module")
+def our_defaults(rich_run):
+    """Our default-config outputs over the rich run, for the
+    discrimination guard."""
+    union = sorted({n for _, _, names, _, _ in SWEEPS for n in names})
+    return _drive(rich_run, "defaults", None, union, "ours")
+
+
+def _rows_differ(name, a, b):
+    if len(a) != len(b):
+        return True
+    if len(a) == 0:
+        return False
+    keys = base.SORT_KEYS[name]
+    ra, rb, _, _ = base._sorted_pair(name, a, b)
+    for f in a.dtype.names:
+        if f in base.ID_FIELDS:
+            continue
+        va, vb = ra[f], rb[f]
+        if va.dtype.kind in "fc":
+            na, nb = np.isnan(va), np.isnan(vb)
+            if not np.array_equal(na, nb):
+                return True
+            if not np.array_equal(np.nan_to_num(va), np.nan_to_num(vb)):
+                return True
+        elif not np.array_equal(va, vb):
+            return True
+    del keys
+    return False
+
+
+# Module-wide tolerance relaxations on top of the base module's classes.
+# The rich run has 160-sample waves (vs the base fixtures' 64/96) and hit
+# detection runs on the f4 FILTERED wave by default, so interpolated
+# crossings and filtered-wave heights inherit the filtered wave's
+# rtol-1e-5-class error SCALED BY VALUE: edge positions up to ~155 carry
+# ~1.5e-4 absolute, heights measured on the filtered wave a hair over the
+# f4 class's rtol 1e-5. (rtol, atol) pairs; see docs/PARITY.md.
+DEFAULT_ATOL_OVERRIDES = {
+    ("hit", "edge_start"): (1e-5, 1e-4),
+    ("hit", "edge_end"): (1e-5, 1e-4),
+    ("hit_threshold", "height"): (3e-5, 1e-6),
+    ("hit_threshold", "integral"): (3e-5, 1e-6),
+    ("hit_threshold", "edge_start"): (1e-5, 1e-4),
+    ("hit_threshold", "edge_end"): (1e-5, 1e-4),
+    ("hit_threshold", "width"): (1e-5, 1e-4),
+    ("hit_threshold", "rise_time"): (1e-5, 1e-4),
+    ("hit_threshold", "fall_time"): (1e-5, 1e-4),
+}
+
+
+@pytest.mark.parametrize(
+    "sweep_id,cfg,names,diff_names,atol_overrides",
+    SWEEPS, ids=[s[0] for s in SWEEPS],
+)
+def test_config_sweep_parity(rich_run, our_defaults, sweep_id, cfg, names,
+                             diff_names, atol_overrides):
+    atol_overrides = {**DEFAULT_ATOL_OVERRIDES, **(atol_overrides or {})}
+    ours = _drive(rich_run, sweep_id, cfg, names, "ours")
+
+    # the sweep must actually change something, else it tests nothing
+    for name in diff_names:
+        assert _rows_differ(name, our_defaults[name], ours[name]), (
+            f"sweep '{sweep_id}' did not change '{name}' vs defaults — "
+            "option may be silently ignored"
+        )
+
+    ref = _drive(rich_run, sweep_id, cfg, names, "ref")
+    for name in names:
+        base._compare_structured(name, ref[name], ours[name],
+                                 pair_tag="vx2730",
+                                 atol_overrides=atol_overrides)

@@ -359,6 +359,14 @@ class Context:
                 cv = resolved.get_value(k)
                 if cv is not None:
                     config[k] = cv.value
+        # a plugin whose EFFECTIVE config is resolved under another scope
+        # (e.g. the hit-merge family defers gap/width to the
+        # hit_merge_clusters plugin, mirroring the reference's data flow)
+        # rewrites the tracked values here so cache invalidation follows
+        # the scope that actually changes the output
+        adjust = getattr(plugin, "adjust_lineage_config", None)
+        if adjust is not None:
+            config = adjust(self, config)
 
         dep_names = [
             plugin.get_dependency_name(d)

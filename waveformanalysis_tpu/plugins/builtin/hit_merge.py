@@ -55,12 +55,18 @@ HIT_MERGED_COMPONENTS_DTYPE = HIT_MERGED_COMPONENTS_SCHEMA.numpy_dtype()
 
 def _merge_options() -> Dict[str, Option]:
     return {
+        # defaults MATCH THE REFERENCE (hit_merge.py:336-345: merge_gap_ns
+        # 0.0 = merging disabled out of the box, max_total_width_ns 1e4).
+        # The r1-r4 defaults (50.0 / 1e6) silently merged by default — a
+        # divergence the config-sweep differential caught (the default-
+        # config oracle's single-pulse fixtures never produced hits closer
+        # than 50 ns, so it stayed invisible until a multi-pulse sweep).
         "merge_gap_ns": Option(
-            default=50.0, type=float,
+            default=0.0, type=float,
             help="Max gap (ns) between hit windows to merge; <=0 disables",
         ),
         "max_total_width_ns": Option(
-            default=1e6, type=float,
+            default=10000.0, type=float,
             help="Max total merged window width (ns)",
         ),
         "dt": Option(default=None, type=int,
@@ -77,11 +83,31 @@ def _hits_as_columns(hits: Any) -> Dict[str, np.ndarray]:
 
 
 def merge_kernel_config(context: Any, plugin: Plugin) -> dict:
-    """Resolved merge options (shared with the fused subgraph executor)."""
+    """Resolved merge options (shared with the fused subgraph executor).
+
+    The cluster DEFINITION is owned by the ``hit_merge_clusters`` plugin:
+    in the reference, ``hit_merged`` consumes that plugin's precomputed
+    cluster rows, so the gap/width values that take effect for a
+    ``hit_merged``/``hit_merged_components`` fetch are the ones resolved
+    under the ``hit_merge_clusters`` scope — a ``{"hit_merged":
+    {"merge_gap_ns": ...}}`` plugin-scoped override is inert there
+    (reference: cpu/hit_merge.py:353-371 fetches hit_merge_clusters; the
+    self-scoped values only feed its unused fallback path). Resolving
+    gap/width against the registered clusters plugin reproduces that
+    scoping exactly (global and dotted keys behave identically either
+    way). ``dt`` stays self-scoped (it is a per-plugin input-compat shim,
+    resolved per plugin in the reference too). Pinned by the config-sweep
+    differential (tests/test_reference_differential_configs.py merge_*
+    sweeps, including the inert-scope one).
+    """
+    owner = plugin
+    getter = getattr(context, "get_plugin", None)
+    if getter is not None:
+        owner = getter("hit_merge_clusters") or plugin
     return {
-        "merge_gap_ns": float(context.get_config(plugin, "merge_gap_ns")),
+        "merge_gap_ns": float(context.get_config(owner, "merge_gap_ns")),
         "max_total_width_ns": float(
-            context.get_config(plugin, "max_total_width_ns")
+            context.get_config(owner, "max_total_width_ns")
         ),
         "dt": context.get_config(plugin, "dt"),
     }
@@ -109,6 +135,17 @@ class _MergeFamilyPlugin(Plugin):
 
     def kernel_config(self, context: Any) -> dict:
         return merge_kernel_config(context, self)
+
+    def adjust_lineage_config(self, context: Any, config: dict) -> dict:
+        """Track the EFFECTIVE gap/width (owner-scope, see
+        merge_kernel_config) so changing the hit_merge_clusters scope
+        invalidates every member of the family, and the inert self-scope
+        values never produce stale cache hits."""
+        cfg = merge_kernel_config(context, self)
+        out = dict(config)
+        out["merge_gap_ns"] = cfg["merge_gap_ns"]
+        out["max_total_width_ns"] = cfg["max_total_width_ns"]
+        return out
 
 
 def merged_table(triple) -> Table:
@@ -138,7 +175,7 @@ class HitMergePlugin(_MergeFamilyPlugin):
     provides = "hit_merged"
     depends_on = ["hit_threshold"]
     description = "Merge same-channel threshold hits within merge_gap_ns."
-    version = "0.6.0"
+    version = "0.7.0"
     kernel_version = HM.KERNEL_VERSION
     save_when = "always"
     output_dtype = HIT_MERGED_SCHEMA
@@ -156,7 +193,7 @@ class HitMergeClustersPlugin(_MergeFamilyPlugin):
     uses_run_config = True
     depends_on = ["hit_threshold"]
     description = "Cluster membership table for merged threshold hits."
-    version = "0.6.0"
+    version = "0.7.0"
     kernel_version = HM.KERNEL_VERSION
     save_when = "always"
     output_dtype = HIT_MERGE_CLUSTERS_SCHEMA
@@ -172,7 +209,7 @@ class HitMergedComponentsPlugin(_MergeFamilyPlugin):
     provides = "hit_merged_components"
     depends_on = ["hit_threshold"]
     description = "Component index table for merged threshold hits."
-    version = "0.6.0"
+    version = "0.7.0"
     kernel_version = HM.KERNEL_VERSION
     save_when = "always"
     output_dtype = HIT_MERGED_COMPONENTS_SCHEMA

@@ -73,6 +73,7 @@ def make_synthetic_vx2730_run(
     dt_between_ps: int = 10_000_000,
     noise: int = 3,
     seed: int = 0,
+    pulses: Optional[Any] = None,
 ) -> str:
     """Write a synthetic VX2730 CSV run tree and return the run directory.
 
@@ -84,6 +85,11 @@ def make_synthetic_vx2730_run(
     negative square pulse of ``pulse_height`` ADC at ``pulse_offset`` —
     placed after the VX2730 baseline window (samples 0-40) by default so
     computed baselines stay clean.
+
+    ``pulses`` overrides the single default pulse with an explicit list of
+    ``(offset, height, width)`` square pulses per waveform — use it to
+    build multi-pulse events that discriminate peak-finding options
+    (distance/prominence/width) and hit-merging gaps.
     """
     import os
 
@@ -99,7 +105,11 @@ def make_synthetic_vx2730_run(
                 samples = np.full(n_samples, baseline, dtype=np.int64)
                 if noise:
                     samples += rng.integers(-noise, noise + 1, n_samples)
-                samples[pulse_offset:pulse_offset + 5] -= pulse_height
+                if pulses is None:
+                    samples[pulse_offset:pulse_offset + 5] -= pulse_height
+                else:
+                    for off, height, width in pulses:
+                        samples[off:off + width] -= int(height)
                 fields = [0, ch, t0 + i * dt_between_ps, 0, 0, 0, 0]
                 fields.extend(int(s) for s in samples)
                 lines.append(";".join(str(f) for f in fields))
