@@ -252,7 +252,10 @@ def event_ctx(tmp_path):
     wave = st["wave"].astype(np.int32)
     st["wave"] = np.clip(wave + 2 * st["channel"][:, None], -32768, 32767).astype(np.int16)
     ctx = make_tiny_context(tmp_path, st_waveforms=st)
+    # pin the paired-column prefix to 0 (default is the reference's 6;
+    # tests below assert area_ch0/area_ch1 names)
     ctx.set_config({"n_channels": 2, "show_progress": False,
+                    "start_channel_slice": 0,
                     "basic_features": {"height_range": (0, None)}})
     ctx.register(
         BasicFeaturesPlugin(), DataFramePlugin(), GroupedEventsPlugin(),

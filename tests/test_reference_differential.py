@@ -151,9 +151,12 @@ def _build_ref_context(storage_dir, data_root, adapter, extra_config=None):
         },
     )
     ctx.register(*profiles.get_profile("cpu")())
-    cfg = {"start_channel_slice": 0, "time_window_ns": 100}
-    cfg.update(extra_config or {})
-    ctx.set_config(cfg)
+    # no start_channel_slice pin: the TRUE defaults are part of the parity
+    # contract (both sides must name df_paired columns area_ch6/7 — the
+    # reference's default slice is 6, analyzer.py:27)
+    cfg = dict(extra_config or {})
+    if cfg:
+        ctx.set_config(cfg)
     return ctx
 
 
@@ -171,9 +174,9 @@ def _build_our_context(storage_dir, data_root, adapter, extra_config=None):
         },
     )
     ctx.register(*tpu_default())
-    cfg = {"start_channel_slice": 0, "time_window_ns": 100}
-    cfg.update(extra_config or {})
-    ctx.set_config(cfg)
+    cfg = dict(extra_config or {})
+    if cfg:
+        ctx.set_config(cfg)
     return ctx
 
 

@@ -155,6 +155,41 @@ SWEEPS = [
     ("baseline_window",
      {"st_waveforms": {"baseline_samples": 16}},
      ["st_waveforms", "basic_features"], ["st_waveforms"], None),
+    # --- event layer (reference: cpu/event_analysis.py + analyzer.py) ---
+    # the rich run staggers channel 1 by 120 ns (channel_offset_ps), so a
+    # 100-ns default window keeps channels in separate events and a 250-ns
+    # window groups them — the sweeps below are discriminating on real
+    # cross-channel structure, not just column cosmetics.
+    ("events_window_scoped",
+     {"df_events": {"time_window_ns": 250.0}},
+     ["df_events", "df_paired"], ["df_events", "df_paired"], None),
+    # the rich run's hit windows interleave across the staggered channels
+    # with gaps of ~16-46 ns, so the default 100-ns window already chains
+    # them into one event per slot — discriminate by SHRINKING the window
+    ("grouped_window",
+     {"hit_grouped": {"time_window_ns": 30.0}},
+     ["hit_grouped"], ["hit_grouped"], None),
+    # the GLOBAL key drives df_events + hit_grouped (resolver global
+    # fallback) AND df_paired's pairing threshold (the reference reads it
+    # RAW from context.config, event_analysis.py:141)
+    # (hit_grouped rides along for parity only: 250 ns does not change its
+    # grouping — see grouped_window above)
+    ("global_time_window",
+     {"time_window_ns": 250.0},
+     ["df_events", "hit_grouped", "df_paired"],
+     ["df_events", "df_paired"], None),
+    # start_channel_slice only prefixes df_paired's area_ch*/height_ch*
+    # column names (reference analyzer.py:27 default 6; the global key is
+    # read raw on both sides) — sweeping it to 0 pins the key plumbing AND
+    # that the true default diverges from it
+    ("paired_channel_slice",
+     {"start_channel_slice": 0},
+     ["df_paired"], ["df_paired"], None),
+    # per-channel gain calibration (reference: cpu/dataframe.py
+    # gain_adc_per_pe -> calibrated columns)
+    ("df_gain",
+     {"df": {"gain_adc_per_pe": {"0:0": 10.0, "0:1": 20.0}}},
+     ["df"], ["df"], None),
 ]
 
 
@@ -167,6 +202,7 @@ def rich_run(tmp_path_factory):
     run_dir = make_synthetic_vx2730_run(
         str(tmp / "DAQ"), "run_cfg", n_channels=2, n_rows=48,
         n_samples=160, noise=4, seed=11,
+        channel_offset_ps=120_000,  # 120 ns cross-channel stagger
         pulses=[
             (48, 320, 4),    # tall narrow
             (60, 90, 3),     # medium, 12 samples after the first
@@ -211,7 +247,28 @@ def our_defaults(rich_run):
     return _drive(rich_run, "defaults", None, union, "ours")
 
 
+def _df_fingerprint(df):
+    """Order-insensitive string fingerprint of a DataFrame (object cells
+    rendered through numpy so NaN compares equal to NaN)."""
+    cols = sorted(map(str, df.columns))
+    rows = []
+    for _, row in df.iterrows():
+        parts = []
+        for c in cols:
+            v = row[c]
+            if isinstance(v, (np.ndarray, list, tuple)):
+                parts.append(np.array2string(np.asarray(v), precision=10))
+            else:
+                parts.append(repr(v))
+        rows.append("|".join(parts))
+    return (tuple(cols), tuple(sorted(rows)))
+
+
 def _rows_differ(name, a, b):
+    import pandas as pd
+
+    if isinstance(a, pd.DataFrame):
+        return _df_fingerprint(a) != _df_fingerprint(b)
     if len(a) != len(b):
         return True
     if len(a) == 0:
@@ -272,6 +329,21 @@ def test_config_sweep_parity(rich_run, our_defaults, sweep_id, cfg, names,
 
     ref = _drive(rich_run, sweep_id, cfg, names, "ref")
     for name in names:
-        base._compare_structured(name, ref[name], ours[name],
-                                 pair_tag="vx2730",
+        _compare_any(name, ref[name], ours[name], atol_overrides)
+
+
+def _compare_any(name, ref, ours, atol_overrides):
+    """Dispatch to the base module's comparator for this data name."""
+    if name == "df":
+        base._assert_df(({"df": ref}, {"df": ours}))
+    elif name == "df_events":
+        base._assert_df_events(({"df_events": ref}, {"df_events": ours}))
+    elif name == "hit_grouped":
+        base._assert_grouped_df(
+            ({"hit_grouped": ref}, {"hit_grouped": ours}), "hit_grouped"
+        )
+    elif name == "df_paired":
+        base._assert_df_paired(({"df_paired": ref}, {"df_paired": ours}))
+    else:
+        base._compare_structured(name, ref, ours, pair_tag="vx2730",
                                  atol_overrides=atol_overrides)

@@ -21,6 +21,19 @@ from waveformanalysis_tpu.plugins.base import Option, Plugin
 from waveformanalysis_tpu.processing.analyzer import EventAnalyzer
 
 
+def _channel_slice(context: Any) -> int:
+    """First channel index used to NAME df_paired's area_ch*/height_ch*
+    columns (it never slices data). The reference reads the GLOBAL
+    ``start_channel_slice`` config key with default 6 (reference
+    event_analysis.py:60,139 -> analyzer.py:27); ``start_channel`` is
+    kept as this build's alias (the CLI sets it). Untracked raw-config
+    read on both sides."""
+    cfg = context.config
+    if "start_channel_slice" in cfg:
+        return int(cfg["start_channel_slice"])
+    return int(cfg.get("start_channel", 6))
+
+
 class GroupedEventsPlugin(Plugin):
     """Cluster df rows into multi-channel events by time window."""
 
@@ -52,7 +65,7 @@ class GroupedEventsPlugin(Plugin):
         backend = context.get_config(self, "grouping_backend")
         analyzer = EventAnalyzer(
             n_channels=context.config.get("n_channels", 2),
-            start_channel_slice=context.config.get("start_channel", 0),
+            start_channel_slice=_channel_slice(context),
         )
         return analyzer.group_events(df, time_window_ns=tw, backend=backend)
 
@@ -197,7 +210,9 @@ class PairedEventsPlugin(Plugin):
     provides = "df_paired"
     depends_on = []  # dynamic (events_source)
     description = "Filter grouped events into cross-channel pairs."
-    version = "1.2.0"
+    # 1.3.0: default paired-column prefix follows the reference's global
+    # start_channel_slice key (default 6 -> area_ch6/7 out of the box)
+    version = "1.3.0"
     kernel_version = G.KERNEL_VERSION
     save_when = "always"
     output_dtype = "DataFrame"
@@ -232,7 +247,7 @@ class PairedEventsPlugin(Plugin):
         tw = float(context.get_config(self, "time_window_ns"))
         backend = context.get_config(self, "grouping_backend")
         n_channels = context.config.get("n_channels", 2)
-        start = context.config.get("start_channel", 0)
+        start = _channel_slice(context)
         if context.get_config(self, "events_source") == "columnar":
             return G.pair_events_columnar(
                 context.get_data(run_id, "events"),

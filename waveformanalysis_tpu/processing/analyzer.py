@@ -17,7 +17,10 @@ from waveformanalysis_tpu.ops.grouping import group_multi_channel_hits, pair_eve
 class EventAnalyzer:
     """Groups single-channel hits into events and pairs them across channels."""
 
-    def __init__(self, n_channels: int = 2, start_channel_slice: int = 0) -> None:
+    # start_channel_slice default 6 matches the reference constructor
+    # (analyzer.py:27) — it only prefixes the area_ch*/height_ch* output
+    # column names, it never slices data
+    def __init__(self, n_channels: int = 2, start_channel_slice: int = 6) -> None:
         self.n_channels = n_channels
         self.start_channel_slice = start_channel_slice
         self.time_window_ns = 100

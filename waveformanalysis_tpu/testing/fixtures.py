@@ -74,6 +74,7 @@ def make_synthetic_vx2730_run(
     noise: int = 3,
     seed: int = 0,
     pulses: Optional[Any] = None,
+    channel_offset_ps: int = 0,
 ) -> str:
     """Write a synthetic VX2730 CSV run tree and return the run directory.
 
@@ -90,6 +91,10 @@ def make_synthetic_vx2730_run(
     ``(offset, height, width)`` square pulses per waveform — use it to
     build multi-pulse events that discriminate peak-finding options
     (distance/prominence/width) and hit-merging gaps.
+
+    ``channel_offset_ps`` staggers channel ``ch``'s timestamps by
+    ``ch * channel_offset_ps`` — cross-channel gaps then discriminate the
+    event-layer time windows (df_events / hit_grouped / df_paired).
     """
     import os
 
@@ -110,7 +115,8 @@ def make_synthetic_vx2730_run(
                 else:
                     for off, height, width in pulses:
                         samples[off:off + width] -= int(height)
-                fields = [0, ch, t0 + i * dt_between_ps, 0, 0, 0, 0]
+                ts = t0 + i * dt_between_ps + ch * channel_offset_ps
+                fields = [0, ch, ts, 0, 0, 0, 0]
                 fields.extend(int(s) for s in samples)
                 lines.append(";".join(str(f) for f in fields))
             path = os.path.join(raw_dir, f"Data_CH{ch}_{fi}.CSV")
