@@ -332,7 +332,95 @@ def test_config_sweep_parity(rich_run, our_defaults, sweep_id, cfg, names,
         _compare_any(name, ref[name], ours[name], atol_overrides)
 
 
-def _compare_any(name, ref, ours, atol_overrides):
+# ---------------------------------------------------------------------------
+# V1725 (binary adapter) sweeps: the config machinery is adapter-agnostic,
+# but the acquisition options flow through a completely different decode
+# path (binary headers, device unpack) — pin that off-default acquisition
+# semantics survive it. The reference context needs the same instance
+# output_dtype pin as the base module's v1725_pair (its V1725 compute
+# branch returns before the dtype reassignment; docs/PARITY.md).
+# ---------------------------------------------------------------------------
+V1725_SWEEPS = [
+    # dt override propagates from st_waveforms into hit dt and ns widths
+    ("v_dt_override",
+     {"st_waveforms": {"dt": 7}},
+     ["st_waveforms", "hit_threshold"], ["st_waveforms"], None),
+    ("v_threshold",
+     {"hit_threshold": {"threshold": 200.0, "left_extension": 2,
+                        "right_extension": 2}},
+     ["hit_threshold"], ["hit_threshold"], None),
+    ("v_peaks_raw",
+     {"hit": {"height": 40.0, "use_filtered": False, "width": 1}},
+     ["hit"], ["hit"], None),
+    # consecutive same-channel hits sit ~2000 ns apart (one pulse per
+    # event), so a 2500-ns gap chains them until the default 1e4-ns
+    # max_total_width cap splits the chain — gap AND cap parity on the
+    # binary path in one sweep
+    ("v_merge_gap",
+     {"hit_merge_clusters": {"merge_gap_ns": 2500.0}},
+     ["hit_merged"], ["hit_merged"], None),
+]
+
+
+@pytest.fixture(scope="module")
+def v1725_rich(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("diff_cfg_v1725")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from utils import write_v1725_run
+
+    run_dir = write_v1725_run(tmp / "DAQB", "run_cfgb", n_events=24,
+                              n_samples=64)
+    return tmp, (tmp / "DAQB", run_dir)
+
+
+def _drive_v1725(v1725_rich, sweep_id, cfg, names, side):
+    tmp, (root, run_dir) = v1725_rich
+    run_id = os.path.basename(str(run_dir))
+    store = tmp / f"store_{side}_{sweep_id}"
+    if side == "ref":
+        base._import_reference()
+        full = {"wave_length": 64}
+        full.update(cfg or {})
+        ctx = base._build_ref_context(store, root, "v1725", full)
+        import numpy as _np
+        from waveform_analysis.core.processing.dtypes import (
+            create_record_dtype,
+        )
+
+        ctx._plugins["st_waveforms"].output_dtype = _np.dtype(
+            create_record_dtype(64)
+        )
+    else:
+        ctx = base._build_our_context(store, root, "v1725", cfg)
+    return _materialize_names(ctx, run_id, names)
+
+
+@pytest.fixture(scope="module")
+def v1725_defaults(v1725_rich):
+    union = sorted({n for _, _, names, _, _ in V1725_SWEEPS for n in names})
+    return _drive_v1725(v1725_rich, "defaults", None, union, "ours")
+
+
+@pytest.mark.parametrize(
+    "sweep_id,cfg,names,diff_names,atol_overrides",
+    V1725_SWEEPS, ids=[s[0] for s in V1725_SWEEPS],
+)
+def test_v1725_config_sweep_parity(v1725_rich, v1725_defaults, sweep_id,
+                                   cfg, names, diff_names, atol_overrides):
+    atol_overrides = {**DEFAULT_ATOL_OVERRIDES, **(atol_overrides or {})}
+    ours = _drive_v1725(v1725_rich, sweep_id, cfg, names, "ours")
+    for name in diff_names:
+        assert _rows_differ(name, v1725_defaults[name], ours[name]), (
+            f"sweep '{sweep_id}' did not change '{name}' vs defaults — "
+            "option may be silently ignored"
+        )
+    ref = _drive_v1725(v1725_rich, sweep_id, cfg, names, "ref")
+    for name in names:
+        _compare_any(name, ref[name], ours[name], atol_overrides,
+                     pair_tag="v1725")
+
+
+def _compare_any(name, ref, ours, atol_overrides, pair_tag="vx2730"):
     """Dispatch to the base module's comparator for this data name."""
     if name == "df":
         base._assert_df(({"df": ref}, {"df": ours}))
@@ -345,5 +433,5 @@ def _compare_any(name, ref, ours, atol_overrides):
     elif name == "df_paired":
         base._assert_df_paired(({"df_paired": ref}, {"df_paired": ours}))
     else:
-        base._compare_structured(name, ref, ours, pair_tag="vx2730",
+        base._compare_structured(name, ref, ours, pair_tag=pair_tag,
                                  atol_overrides=atol_overrides)
