@@ -78,9 +78,31 @@ class TestHitPlugin:
             wave = st["wave"][rid]
             assert abs(int(np.asarray(h["position"])[0]) - int(np.argmax(wave))) <= 1
 
-    def test_threshold_option_rejected(self, chain_ctx):
-        chain_ctx.set_config({"hit": {"threshold": 5.0}})
-        with pytest.raises(ValueError, match="not supported"):
+    def test_threshold_option_filters(self, chain_ctx):
+        # scipy neighbor-threshold (supported since hit 3.2.0): an
+        # impossible requirement (both neighbor diffs >= 1e6) kills every
+        # peak; a permissive one changes nothing
+        base = chain_ctx.clone()
+        base.set_config({"hit": {"use_derivative": False, "height": 100.0,
+                                 "prominence": 50.0, "width": 2}})
+        n_base = len(base.get_data("test_run", "hit"))
+        assert n_base > 0
+
+        strict = chain_ctx.clone()
+        strict.set_config({"hit": {"use_derivative": False, "height": 100.0,
+                                   "prominence": 50.0, "width": 2,
+                                   "threshold": 1e6}})
+        assert len(strict.get_data("test_run", "hit")) == 0
+
+        loose = chain_ctx.clone()
+        loose.set_config({"hit": {"use_derivative": False, "height": 100.0,
+                                  "prominence": 50.0, "width": 2,
+                                  "threshold": (None, 1e6)}})
+        assert len(loose.get_data("test_run", "hit")) == n_base
+
+    def test_threshold_option_malformed(self, chain_ctx):
+        chain_ctx.set_config({"hit": {"threshold": (1.0, 2.0, 3.0)}})
+        with pytest.raises(ValueError, match="2-sequence"):
             chain_ctx.get_data("test_run", "hit")
 
 

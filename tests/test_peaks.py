@@ -8,7 +8,7 @@ from waveformanalysis_tpu.ops import peaks as P
 
 
 def run_both(signal, height=30.0, distance=2, prominence=0.7, width=4,
-             max_peaks=32):
+             max_peaks=32, threshold=None):
     """Run scipy per-row and the batched kernel; return (scipy_list, dev)."""
     signal = np.asarray(signal, dtype=np.float32)
     scipy_out = []
@@ -16,11 +16,20 @@ def run_both(signal, height=30.0, distance=2, prominence=0.7, width=4,
         pos, props = find_peaks(
             row.astype(np.float64), height=height, distance=distance,
             prominence=prominence, width=width,
+            threshold=(None if threshold is None
+                       else (threshold if np.isscalar(threshold)
+                             else list(threshold))),
         )
         scipy_out.append((pos, props))
+    dev_threshold = None
+    if threshold is not None:
+        dev_threshold = ((float(threshold), None) if np.isscalar(threshold)
+                         else tuple(None if t is None else float(t)
+                                    for t in threshold))
     dev = P.find_peaks_batch(
         signal, height=float(height), prominence=float(prominence),
         width=float(width), distance=int(distance), max_peaks=max_peaks,
+        threshold=dev_threshold,
     )
     dev = {k: np.asarray(v) for k, v in dev.items()}
     return scipy_out, dev
@@ -302,3 +311,72 @@ def test_config_sweep_parity(height, distance, prominence, width):
                                        err_msg=f"row {i}")
         checked += 1
     assert checked > n // 2
+
+
+class TestThresholdCondition:
+    """scipy neighbor-threshold parity (peaks-v2): the required vertical
+    distance to BOTH direct neighbor samples, evaluated at the plateau
+    midpoint exactly as scipy does (plateaus wider than 1 have a zero
+    neighbor diff and die under any positive tmin)."""
+
+    def test_sharp_peaks_tmin(self, rng):
+        n, L = 12, 192
+        sig = rng.normal(0, 10, (n, L)).astype(np.float32)
+        scipy_out, dev = run_both(sig, height=5.0, distance=1,
+                                  prominence=0.1, width=0.0, threshold=4.0,
+                                  max_peaks=64)
+        assert_parity(scipy_out, dev, check_ips=False)
+        assert sum(len(p) for p, _ in scipy_out) > 0
+
+    def test_tmin_tmax_band(self, rng):
+        n, L = 12, 192
+        sig = rng.normal(0, 10, (n, L)).astype(np.float32)
+        scipy_out, dev = run_both(sig, height=2.0, distance=1,
+                                  prominence=0.1, width=0.0,
+                                  threshold=(2.0, 25.0), max_peaks=64)
+        assert_parity(scipy_out, dev, check_ips=False)
+        assert sum(len(p) for p, _ in scipy_out) > 0
+
+    def test_tmax_only(self, rng):
+        n, L = 8, 128
+        sig = rng.normal(0, 10, (n, L)).astype(np.float32)
+        scipy_out, dev = run_both(sig, height=2.0, distance=1,
+                                  prominence=0.1, width=0.0,
+                                  threshold=(None, 12.0), max_peaks=64)
+        assert_parity(scipy_out, dev, check_ips=False)
+        assert sum(len(p) for p, _ in scipy_out) > 0
+
+    def test_plateaus_die_under_tmin(self):
+        # width-2 and width-3 plateaus: scipy evaluates x[mid±1] INSIDE the
+        # plateau (one or both neighbor diffs are 0)
+        sig = np.zeros((1, 64), np.float32)
+        sig[0, 10:12] = 50.0   # width-2 plateau (mid = 10)
+        sig[0, 30:33] = 50.0   # width-3 plateau (mid = 31)
+        sig[0, 50] = 50.0      # sharp peak
+        scipy_out, dev = run_both(sig, height=5.0, distance=1,
+                                  prominence=0.1, width=0.0, threshold=1.0)
+        assert_parity(scipy_out, dev, check_ips=False)
+        assert list(scipy_out[0][0]) == [50]
+
+    def test_width2_plateau_left_neighbor(self):
+        # width-2 plateau with tmax only: left diff = rise into the
+        # plateau, right diff = 0 -> max = rise; tmax below the rise kills
+        # it, tmax above keeps it
+        sig = np.zeros((1, 64), np.float32)
+        sig[0, 20:22] = 30.0
+        for tmax in (10.0, 40.0):
+            scipy_out, dev = run_both(sig, height=5.0, distance=1,
+                                      prominence=0.1, width=0.0,
+                                      threshold=(None, tmax))
+            assert_parity(scipy_out, dev, check_ips=False)
+        assert len(scipy_out[0][0]) == 1  # kept at tmax=40
+
+    def test_combined_with_distance_and_prominence(self, rng):
+        # threshold applies BEFORE distance in scipy's pipeline — a
+        # threshold-killed peak must not block a nearby survivor
+        n, L = 10, 160
+        sig = rng.normal(0, 8, (n, L)).astype(np.float32)
+        scipy_out, dev = run_both(sig, height=3.0, distance=5,
+                                  prominence=1.0, width=0.0, threshold=3.0,
+                                  max_peaks=64)
+        assert_parity(scipy_out, dev, check_ips=False)

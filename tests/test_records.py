@@ -212,10 +212,11 @@ class TestEndToEndV1725:
 
 class TestWavePoolFiltered:
     def test_filtered_pool(self, vx_ctx):
+        # reference option surface (records.py:337-367): same names and
+        # defaults as filtered_waveforms
         vx_ctx.register(WavePoolFilteredPlugin())
         vx_ctx.set_config({"wave_pool_filtered": {
-            "filter_type": "savgol",
-            "filter_config": {"sg_window_size": 7, "sg_poly_order": 2},
+            "filter_type": "SG", "sg_window_size": 7, "sg_poly_order": 2,
         }})
         out = vx_ctx.get_data("r1", "wave_pool_filtered")
         pool = vx_ctx.get_data("r1", "wave_pool")
@@ -224,6 +225,40 @@ class TestWavePoolFiltered:
         # smoothing reduces total variation
         assert np.abs(np.diff(out[:40])).sum() < np.abs(np.diff(
             np.asarray(pool[:40]).astype(np.float32))).sum()
+
+    def test_default_matches_filtered_waveforms(self, vx_ctx):
+        """The default SG(11,2) pool slices must equal filtered_waveforms'
+        waves for the same physical rows (the records source under
+        use_filtered reads THIS pool; reference _wave_source.py:103-106)."""
+        from waveformanalysis_tpu.data.records_view import RecordsView
+        from waveformanalysis_tpu.plugins.builtin.filtering import (
+            FilteredWaveformsPlugin,
+        )
+
+        vx_ctx.register(WavePoolFilteredPlugin(), FilteredWaveformsPlugin())
+        records = vx_ctx.get_data("r1", "records")
+        fpool = vx_ctx.get_data("r1", "wave_pool_filtered")
+        fw = vx_ctx.get_data("r1", "filtered_waveforms")
+        fw_np = fw.to_numpy() if hasattr(fw, "to_numpy") else np.asarray(fw)
+        view = RecordsView(records, fpool)
+        rec_np = records.to_numpy() if hasattr(records, "to_numpy") \
+            else np.asarray(records)
+        key_fw = {(int(r["timestamp"]), int(r["board"]), int(r["channel"])): i
+                  for i, r in enumerate(fw_np)}
+        checked = 0
+        for i, r in enumerate(rec_np):
+            j = key_fw.get((int(r["timestamp"]), int(r["board"]),
+                            int(r["channel"])))
+            if j is None:
+                continue
+            L = int(r["event_length"])
+            got = view.wave_pool[r["wave_offset"]: r["wave_offset"] + L]
+            np.testing.assert_allclose(
+                got, fw_np["wave"][j][:L], rtol=1e-6, atol=1e-4,
+                err_msg=f"row {i}",
+            )
+            checked += 1
+        assert checked > 0
 
 
 class TestBuildInvariance:

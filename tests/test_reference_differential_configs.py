@@ -64,6 +64,12 @@ SWEEPS = [
     ("peaks_height_diff_method",
      {"hit": {"height_method": "diff"}},
      ["hit"], ["hit"], None),
+    # scipy neighbor-threshold condition (hit 3.2.0+; raw wave so the
+    # neighbor diffs are integer-exact on both sides)
+    ("peaks_threshold",
+     {"hit": {"use_filtered": False, "use_derivative": False,
+              "height": 50.0, "width": 1, "threshold": 30.0}},
+     ["hit"], ["hit"], None),
     ("peaks_window_ext",
      {"hit": {"height_window_extension": 8}},
      ["hit"], ["hit"], None),
@@ -101,6 +107,19 @@ SWEEPS = [
     ("merge_scope_inert",
      {"hit_merged": {"merge_gap_ns": 80.0}},
      ["hit_merged"], [], None),
+    # wave_source=records: identical VALUES sourced through the records
+    # path instead of st_waveforms — diff_names is EMPTY on purpose (the
+    # r4 wave_source bug was a silent mis-JOIN with value-identical
+    # inputs, so equality-with-defaults plus reference parity is exactly
+    # the pin this needs; id fields are excluded by the comparator)
+    ("wave_source_records",
+     {"wave_source": "records"},
+     ["basic_features", "hit", "hit_threshold", "s1_s2"], [], None),
+    # features over the SG-filtered wave (reference: cpu/basic_features.py
+    # use_filtered)
+    ("features_filtered",
+     {"basic_features": {"use_filtered": True}},
+     ["basic_features"], ["basic_features"], None),
     # zero-phase filtering (reference: cpu/filtering.py options). The BW
     # branch is a forward-backward IIR cascade: our kernel recurses in f32
     # (TPU-native) vs the reference's scipy f64 sosfiltfilt, so the wave
@@ -114,6 +133,13 @@ SWEEPS = [
     ("filter_sg",
      {"filtered_waveforms": {"sg_window_size": 15, "sg_poly_order": 3}},
      ["filtered_waveforms"], ["filtered_waveforms"], None),
+    # BW with a non-default sampling rate: fs renormalizes the cutoffs, a
+    # classic unit-convention divergence spot (GHz convention, fs=0.5)
+    ("filter_bw_fs",
+     {"filtered_waveforms": {"filter_type": "BW", "lowcut": 0.02,
+                             "highcut": 0.1, "fs": 0.25}},
+     ["filtered_waveforms"], ["filtered_waveforms"],
+     {("filtered_waveforms", "wave"): 5e-4}),
     # waveform width levels (reference: cpu/waveform_width.py options)
     ("width_levels",
      {"waveform_width": {"rise_low": 0.2, "rise_high": 0.8,
@@ -122,10 +148,25 @@ SWEEPS = [
     ("width_no_interp",
      {"waveform_width": {"interpolation": False}},
      ["waveform_width"], ["waveform_width"], None),
+    ("width_filtered",
+     {"waveform_width": {"use_filtered": True}},
+     ["waveform_width"], ["waveform_width"], None),
     # integral width quantiles (reference: cpu/waveform_width_integral.py)
     ("wwi_quantiles",
      {"waveform_width_integral": {"q_low": 0.25, "q_high": 0.75}},
      ["waveform_width_integral"], ["waveform_width_integral"], None),
+    # sampling_rate drives the samples->ns conversion of t_low/t_high/width
+    # — but ONLY when dt is not resolvable: BOTH resolvers adapter-infer dt
+    # (=2 ns on vx2730; reference resolver.py:62), and dt outranks
+    # sampling_rate (reference waveform_width_integral.py:79). Two pins:
+    # explicit dt=None activates sampling_rate (discriminating), and
+    # sampling_rate alone is INERT (equal to defaults) on both sides.
+    ("wwi_sampling_rate",
+     {"waveform_width_integral": {"dt": None, "sampling_rate": 0.25}},
+     ["waveform_width_integral"], ["waveform_width_integral"], None),
+    ("wwi_sampling_rate_inert",
+     {"waveform_width_integral": {"sampling_rate": 0.25}},
+     ["waveform_width_integral"], [], None),
     # feature windows (reference: cpu/basic_features.py options —
     # height_range/area_range are SAMPLE WINDOWS, not value gates)
     ("features_windows",

@@ -183,7 +183,14 @@ class WaveChainFusion:
         try:
             if name == "waveform_width":
                 return plugin.expected_wave_source(ctx)
-            return resolve_wave_input_spec(ctx, plugin).expected_name
+            spec = resolve_wave_input_spec(ctx, plugin)
+            if spec.is_records:
+                # two records-source members may still read DIFFERENT
+                # pools (use_filtered -> wave_pool_filtered); a fused
+                # bundle uploads one wave matrix, so the pool is part of
+                # the source identity
+                return f"records:{spec.wave_pool_name}"
+            return spec.expected_name
         except Exception:
             return None
 
@@ -224,7 +231,7 @@ class WaveChainFusion:
             return None
         source, device = max(
             by_source.items(), key=lambda kv: (len(kv[1]),
-                                               kv[0] == "records")
+                                               kv[0].startswith("records"))
         )
 
         # waveform_width needs the hit stage over the bundle's source

@@ -29,9 +29,10 @@ import jax
 import jax.numpy as jnp
 
 _BIG = np.int32(2**30)
+_BIG_F = np.float32(3.0e38)
 
 # bump when reduction semantics change: folded into plugin lineage
-KERNEL_VERSION = "features-v1"
+KERNEL_VERSION = "features-v2"  # v2: float sources reduce in f32 (no int floor)
 
 
 @partial(
@@ -59,7 +60,13 @@ def feature_reductions(
     max_abs_diff (int32).
     """
     n, L = waves.shape
-    w = waves.astype(jnp.int32)
+    # integer sources keep the exact-int32 reduction contract; FLOAT
+    # sources (the filtered wave / filtered pool under use_filtered) must
+    # NOT be floored to ints — reduce in f32, matching the reference's
+    # numpy reductions over the float32 filtered wave
+    is_float = jnp.issubdtype(waves.dtype, jnp.floating)
+    w = waves.astype(jnp.float32 if is_float else jnp.int32)
+    big = _BIG_F if is_float else _BIG
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, L), dimension=1)
     valid = idx < event_length[:, None]
 
@@ -69,13 +76,15 @@ def feature_reductions(
     hmask = valid & (idx >= height_start) & (idx < h_end)
     amask = valid & (idx >= area_start) & (idx < a_end)
 
-    min_h = jnp.min(jnp.where(hmask, w, _BIG), axis=1)
-    max_h = jnp.max(jnp.where(hmask, w, -_BIG), axis=1)
+    min_h = jnp.min(jnp.where(hmask, w, big), axis=1)
+    max_h = jnp.max(jnp.where(hmask, w, -big), axis=1)
     count_h = jnp.sum(hmask, axis=1, dtype=jnp.int32)
 
     # int32 is exact while L * 32768 < 2^31, i.e. wave_len < 65536 — enforced
-    # by callers; avoids x64 emulation on TPU.
-    sum_a = jnp.sum(jnp.where(amask, w, 0), axis=1, dtype=jnp.int32)
+    # by callers; avoids x64 emulation on TPU. Float sources accumulate in
+    # f32 (f64 is emulated on TPU; documented rtol-1e-5 class).
+    sum_a = jnp.sum(jnp.where(amask, w, jnp.zeros((), w.dtype)), axis=1,
+                    dtype=jnp.float32 if is_float else jnp.int32)
     count_a = jnp.sum(amask, axis=1, dtype=jnp.int32)
 
     diff = w[:, 1:] - w[:, :-1]

@@ -33,7 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-KERNEL_VERSION = "peaks-v1"
+KERNEL_VERSION = "peaks-v2"  # v2: neighbor-threshold condition
 DEFAULT_MAX_PEAKS = 32
 
 _NEG = -3.0e38  # sentinel below any float32 signal
@@ -88,6 +88,7 @@ def find_peaks_batch(
     max_peaks: int = DEFAULT_MAX_PEAKS,
     rel_height: float = 0.5,
     valid_length: Optional[jax.Array] = None,
+    threshold: Optional[Tuple[Optional[float], Optional[float]]] = None,
 ) -> Dict[str, jax.Array]:
     """find_peaks over a (n, L) batch.
 
@@ -143,6 +144,30 @@ def find_peaks_batch(
     peak_value = x[:, : L - 1]  # plateau value == right-edge sample value
     # height filter applied before compaction (scipy order)
     is_peak = is_peak & (peak_value >= height)
+
+    if threshold is not None:
+        # scipy neighbor-threshold condition (after height, before
+        # distance): left_thr = x[m] - x[m-1], right_thr = x[m] - x[m+1]
+        # at the plateau MIDPOINT m. Without gathers: for a width-1 peak
+        # (m == i == left_edge) the neighbors are the adjacent diffs
+        # (d[i-1], -d[i]); for a width-2 plateau (m == left_edge == i-1)
+        # the left neighbor is d[i-2] and the right neighbor is inside the
+        # plateau (0); any wider plateau has both neighbors inside (0, 0)
+        # — exactly scipy's behavior of evaluating x[m±1] on the plateau.
+        tmin, tmax = threshold
+        plateau_w = didx - left_edge + 1  # samples left_edge..i
+        d_prev = jnp.concatenate([jnp.zeros((n, 1), x.dtype), d[:, :-1]],
+                                 axis=1)
+        d_prev2 = jnp.concatenate([jnp.zeros((n, 2), x.dtype), d[:, :-2]],
+                                  axis=1)
+        zero = jnp.zeros((), x.dtype)
+        left_thr = jnp.where(plateau_w == 1, d_prev,
+                             jnp.where(plateau_w == 2, d_prev2, zero))
+        right_thr = jnp.where(plateau_w == 1, -d, zero)
+        if tmin is not None:
+            is_peak = is_peak & (jnp.minimum(left_thr, right_thr) >= tmin)
+        if tmax is not None:
+            is_peak = is_peak & (jnp.maximum(left_thr, right_thr) <= tmax)
 
     n_candidates = jnp.sum(is_peak, axis=1, dtype=jnp.int32)
 

@@ -41,6 +41,9 @@ class WaveInputSpec:
     source: str
     depends_on: tuple
     expected_name: str
+    # records source only: which pool backs the waves (reference
+    # _wave_source.py:103-106 — use_filtered selects wave_pool_filtered)
+    wave_pool_name: str = "wave_pool"
 
     @property
     def is_records(self) -> bool:
@@ -80,9 +83,12 @@ def resolve_wave_input_spec(context: Any, plugin: Any) -> WaveInputSpec:
             source = WAVE_SOURCE_ST
 
     if source == WAVE_SOURCE_RECORDS:
+        # reference semantics (_wave_source.py:103-106): the records
+        # source honors use_filtered by reading the FILTERED pool
+        pool = "wave_pool_filtered" if use_filtered else "wave_pool"
         return WaveInputSpec(
-            source=source, depends_on=("records", "wave_pool"),
-            expected_name="records",
+            source=source, depends_on=("records", pool),
+            expected_name="records", wave_pool_name=pool,
         )
     return WaveInputSpec(source=source, depends_on=(source,), expected_name=source)
 
@@ -98,7 +104,7 @@ def load_wave_input(
         if needs_wave_samples:
             from waveformanalysis_tpu.data.records_view import RecordsView
 
-            wave_pool = context.get_data(run_id, "wave_pool")
+            wave_pool = context.get_data(run_id, spec.wave_pool_name)
             view = RecordsView(records, wave_pool)
         return WaveInput(spec=spec, records=records, records_view=view)
 

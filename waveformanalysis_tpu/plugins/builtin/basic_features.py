@@ -185,7 +185,9 @@ class BasicFeaturesPlugin(Plugin):
             n = len(records)
             if n == 0:
                 return None
-            waves, event_length = rv.padded_wave_matrix()
+            # float32 keeps a FILTERED (f32) pool exact; raw uint16 pools
+            # are exactly representable in f32 too
+            waves, event_length = rv.padded_wave_matrix(dtype=np.float32)
             boards = np.asarray(records["board"]) if "board" in records \
                 else np.zeros(n, np.int16)
             channels = np.asarray(records["channel"]) if "channel" in records \

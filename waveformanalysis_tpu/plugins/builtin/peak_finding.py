@@ -54,13 +54,38 @@ HIT_DTYPE = HIT_SCHEMA.numpy_dtype()
 ADVANCED_PEAK_DTYPE = HIT_DTYPE  # legacy alias (reference parity)
 
 
+def _normalize_threshold(value: Any):
+    """scipy threshold condition -> (tmin, tmax) floats-or-None, or None.
+
+    Accepts the scipy forms the reference forwards verbatim
+    (peak_finding.py:108,201): a scalar (min only) or a 2-sequence
+    (min, max). Per-peak arrays are rejected — the batched kernel has no
+    per-peak broadcast for them and the reference's own Option is typed
+    scalar."""
+    if value is None:
+        return None
+    if isinstance(value, (tuple, list)):
+        if len(value) != 2:
+            raise ValueError(
+                "threshold: expected a scalar or a (min, max) 2-sequence, "
+                f"got length {len(value)}"
+            )
+        tmin, tmax = value
+        return (
+            None if tmin is None else float(tmin),
+            None if tmax is None else float(tmax),
+        )
+    return (float(value), None)
+
+
 class HitFinderPlugin(Plugin):
     """Detect peaks in waveforms and extract peak features."""
 
     provides = "hit"
     depends_on = []  # dynamic
     description = "Detect peaks in waveforms and extract peak features."
-    version = "3.1.0"
+    # 3.2.0: scipy neighbor-threshold condition supported (was rejected)
+    version = "3.2.0"
     kernel_version = PK.KERNEL_VERSION
     save_when = "always"
     output_dtype = HIT_SCHEMA
@@ -75,7 +100,11 @@ class HitFinderPlugin(Plugin):
         "distance": Option(default=2, type=int, help="Minimum peak separation"),
         "prominence": Option(default=0.7, type=float, help="Minimum prominence"),
         "width": Option(default=4, type=int, help="Minimum peak width"),
-        "threshold": Option(default=None, help="Neighbor threshold (unsupported -> must be None)"),
+        "threshold": Option(
+            default=None,
+            help="scipy neighbor threshold: min required vertical distance "
+                 "to BOTH direct neighbor samples; scalar = min only, "
+                 "2-sequence = (min, max)"),
         "height_method": Option(default="minmax", type=str,
                                 choices=["minmax", "diff"],
                                 help="Peak height: window minmax or diff telescoping"),
@@ -105,16 +134,17 @@ class HitFinderPlugin(Plugin):
 
     def kernel_config(self, context: Any) -> dict:
         """Resolve + validate every option the kernels depend on."""
-        threshold = context.get_config(self, "threshold")
-        if threshold is not None:
-            raise ValueError(
-                "hit: the 'threshold' neighbor condition is not supported by "
-                "the device kernel; leave it None"
-            )
+        threshold = _normalize_threshold(context.get_config(self, "threshold"))
         backend = context.get_config(self, "peaks_backend")
         if backend == "auto":
             backend = "scan" if jax.default_backend() == "tpu" else "xla"
+        if threshold is not None and backend == "scan":
+            # the streaming-scan kernel does not carry the neighbor-diff
+            # state the threshold condition needs; the XLA formulation
+            # does (ops/peaks.py find_peaks_batch) — route there
+            backend = "xla"
         return {
+            "threshold": threshold,
             "use_derivative": bool(context.get_config(self, "use_derivative")),
             "height": float(context.get_config(self, "height")),
             "distance": int(context.get_config(self, "distance")),
@@ -167,6 +197,7 @@ class HitFinderPlugin(Plugin):
                 width=cfg["width"], distance=cfg["distance"],
                 max_peaks=cfg["max_peaks"],
                 valid_length=det_len.astype(jnp.int32),
+                threshold=cfg.get("threshold"),
             )
         results = dict(results)
         results["peak_heights"] = PK.peak_heights_batch(
@@ -185,6 +216,7 @@ class HitFinderPlugin(Plugin):
     DEVICE_CFG_KEYS = (
         "use_derivative", "height", "distance", "prominence", "width",
         "height_method", "height_window_extension", "max_peaks", "backend",
+        "threshold",
     )
     _compact_programs: dict = {}
 
@@ -317,8 +349,11 @@ def _load_wave_matrix(
     if wave_input.spec.is_records:
         records = wave_input.records
         rv = wave_input.records_view
+        # a FILTERED pool is float32 — an int16 "native" cast would floor
+        # the filtered samples (use_filtered + wave_source=records)
+        int_pool = rv.wave_pool.dtype.kind in "iu"
         waves, lengths = rv.padded_wave_matrix(
-            dtype=np.int16 if keep_integer_waves else np.float32
+            dtype=np.int16 if (keep_integer_waves and int_pool) else np.float32
         )
         n = len(records)
         meta = {

@@ -20,6 +20,9 @@ import numpy as np
 from waveformanalysis_tpu.dtypes.schema import RECORDS_SCHEMA
 from waveformanalysis_tpu.dtypes.table import Table
 from waveformanalysis_tpu.plugins.base import Option, Plugin
+from waveformanalysis_tpu.plugins.builtin.filtering import (
+    FilteredWaveformsPlugin as _FilteredWaveformsPlugin,
+)
 from waveformanalysis_tpu.processing.records_builder import (
     RecordsBundle,
     apply_records_polarity,
@@ -27,6 +30,8 @@ from waveformanalysis_tpu.processing.records_builder import (
 )
 
 logger = logging.getLogger(__name__)
+
+_FILTER_OPTIONS = _FilteredWaveformsPlugin.options
 
 _BUNDLE_PREFIX = "_records_bundle-"
 
@@ -136,60 +141,79 @@ class WavePoolPlugin(Plugin):
 
 
 class WavePoolFilteredPlugin(Plugin):
-    """Filtered wave_pool: per-channel filters applied to pool slices
-    (reference: records.py:334 + filtering.py:339-408)."""
+    """Filtered wave_pool: the records-source analog of filtered_waveforms.
+
+    Mirrors the reference WavePoolFilteredPlugin (records.py:337-440):
+    SAME option surface and defaults as filtered_waveforms (filter_type
+    SG(11,2)/BW, GHz-convention cutoffs, per-(board,channel)
+    ``channel_config`` overrides), output = float32 pool with identical
+    offsets, RAW wave filtered (baseline retained). Feature plugins with
+    ``wave_source=records`` + ``use_filtered=True`` read their waves from
+    THIS pool — the config-sweep differential's ``wave_source_records``
+    sweep pins the whole path against the reference. v2.0.0: previously a
+    non-reference option surface (filter_type butterworth/savgol/none +
+    filter_config dict) that default-applied Butterworth; now reference
+    semantics."""
 
     provides = "wave_pool_filtered"
+    # per-channel filter overrides come from run_config channel_metadata
+    uses_run_config = True
     depends_on = ["records", "wave_pool"]
     description = "Wave pool with per-channel digital filters applied."
-    version = "1.0.0"
+    version = "2.0.0"
     save_when = "always"
-    options = {
-        "filter_type": Option(
-            default="butterworth", type=str,
-            choices=["butterworth", "savgol", "none"],
-            help="Filter family applied to pool waveforms",
-        ),
-        "filter_config": Option(
-            default=None, type=dict,
-            help="Filter parameters (and per-channel overrides)",
-        ),
-        "channel_config": Option(
-            default=None, type=dict,
-            help="Per-(board,channel) filter overrides",
-        ),
-    }
+    # identical filter surface to filtered_waveforms (incl. the engine knob)
+    options = dict(_FILTER_OPTIONS)
 
     def compute(self, context: Any, run_id: str, **kwargs: Any) -> np.ndarray:
-        from waveformanalysis_tpu.data.records_view import RecordsView
-        from waveformanalysis_tpu.ops.filtering import filter_pool
-
-        records = context.get_data(run_id, "records")
-        pool = context.get_data(run_id, "wave_pool")
-        if len(records) == 0:
-            return np.asarray(pool)
-        filter_type = context.get_config(self, "filter_type")
-        filter_config = context.get_config(self, "filter_config") or {}
-        if filter_type == "none":
-            return np.asarray(pool)
-        view = RecordsView(records, np.asarray(pool))
-        return filter_pool(
-            view,
-            filter_type=filter_type,
-            filter_config=filter_config,
-            sampling_rate_hz=self._sampling_rate(context),
+        from waveformanalysis_tpu.hardware import (
+            group_indices_by_hardware_channel,
+        )
+        from waveformanalysis_tpu.ops import filtering as FLT
+        from waveformanalysis_tpu.plugins.builtin.filtering import (
+            get_filter_base_values,
+            resolve_filter_config,
         )
 
-    def _sampling_rate(self, context: Any) -> float:
-        dt_candidates = ("sampling_rate_hz",)
-        rate = context.config.get("sampling_rate_hz")
-        if rate:
-            return float(rate)
-        adapter_name = context.config.get("daq_adapter")
-        if adapter_name:
-            from waveformanalysis_tpu.config.adapter_info import get_adapter_info
+        records = context.get_data(run_id, "records")
+        pool = np.asarray(context.get_data(run_id, "wave_pool"))
+        n = len(records)
+        filtered_pool = np.zeros(len(pool), dtype=np.float32)
+        if n == 0 or len(pool) == 0:
+            return filtered_pool
 
-            info = get_adapter_info(adapter_name)
-            if info:
-                return float(info.sampling_rate_hz)
-        return 500e6
+        engine = context.get_config(self, "engine")
+        channel_config = context.get_config(self, "channel_config")
+        base_values = get_filter_base_values(context, self)
+
+        offsets = np.asarray(records["wave_offset"], dtype=np.int64)
+        lengths = np.asarray(records["event_length"], dtype=np.int64)
+        boards = (np.asarray(records["board"]) if "board" in records
+                  else np.zeros(n, np.int16))
+        channels = (np.asarray(records["channel"]) if "channel" in records
+                    else np.zeros(n, np.int16))
+
+        groups = group_indices_by_hardware_channel(boards, channels)
+        for hw, idx in groups.items():
+            cfg = resolve_filter_config(
+                context, self, run_id=run_id, board=hw.board,
+                channel=hw.channel, base_values=base_values,
+                channel_config=channel_config,
+            )
+            # filtering must see each record at its TRUE length, so batch
+            # per unique event_length within the channel group
+            for L in np.unique(lengths[idx]):
+                if L <= 0:
+                    continue
+                rows = idx[lengths[idx] == L]
+                gather = offsets[rows][:, None] + np.arange(int(L))[None, :]
+                waves = pool[gather].astype(np.float32)
+                filtered = FLT.apply_filter(
+                    waves, cfg["filter_type"], bw_sos=cfg["bw_sos"],
+                    sg_window_size=cfg["sg_window_size"],
+                    sg_poly_order=cfg["sg_poly_order"], engine=engine,
+                )
+                filtered_pool[gather.reshape(-1)] = np.asarray(
+                    filtered, dtype=np.float32
+                ).reshape(-1)
+        return filtered_pool

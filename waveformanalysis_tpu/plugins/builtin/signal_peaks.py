@@ -32,7 +32,7 @@ class SignalPeaksStreamPlugin(StreamingPlugin):
     provides = "signal_peaks_stream"
     depends_on: List[str] = []
     description = "Streaming peak detection over filtered waveforms."
-    version = "1.1.0"  # 1.1: reference option set (use_derivative/height_method/minmax_window_expand/threshold)
+    version = "1.2.0"  # 1.2: neighbor-threshold condition supported
     kernel_version = PK.KERNEL_VERSION
     save_when = "never"
     output_dtype = HIT_SCHEMA
@@ -47,8 +47,9 @@ class SignalPeaksStreamPlugin(StreamingPlugin):
         "prominence": Option(default=0.7, type=float, help="Minimum prominence"),
         "width": Option(default=4, type=int, help="Minimum peak width"),
         "threshold": Option(default=None,
-                            help="scipy threshold condition (unsupported by "
-                                 "the device kernel; must stay None)"),
+                            help="scipy neighbor threshold: scalar min or "
+                                 "(min, max) vertical distance to both "
+                                 "direct neighbor samples"),
         "height_method": Option(default="diff", type=str,
                                 choices=["diff", "minmax"],
                                 help="Peak height: integrated -diff between "
@@ -84,13 +85,14 @@ class SignalPeaksStreamPlugin(StreamingPlugin):
     device_parallel = True
 
     def device_stream_config(self, context: Any) -> dict:
-        if context.get_config(self, "threshold") is not None:
-            raise ValueError(
-                "signal_peaks_stream: the scipy 'threshold' neighbor "
-                "condition is not supported by the device kernel; leave it "
-                "None"
-            )
+        from waveformanalysis_tpu.plugins.builtin.peak_finding import (
+            _normalize_threshold,
+        )
+
         return {
+            "threshold": _normalize_threshold(
+                context.get_config(self, "threshold")
+            ),
             "use_derivative": bool(context.get_config(self, "use_derivative")),
             "height": float(context.get_config(self, "height")),
             "distance": int(context.get_config(self, "distance")),
@@ -148,6 +150,7 @@ class SignalPeaksStreamPlugin(StreamingPlugin):
             det, height=cfg["height"], prominence=cfg["prominence"],
             width=cfg["width"], distance=cfg["distance"],
             valid_length=det_len,
+            threshold=cfg.get("threshold"),
         ))
         results["peak_heights"] = PK.peak_heights_batch(
             waves, results["left_ips"], results["right_ips"],
