@@ -32,6 +32,18 @@ REF_PATH = "/root/reference"
 pytestmark = pytest.mark.slow
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_jax_caches():
+    """Shed XLA executables accumulated by earlier suite modules (see the
+    twin fixture in test_reference_differential_configs.py: full-suite
+    runs have segfaulted inside XLA CPU compilation under that load)."""
+    import jax
+
+    jax.clear_caches()
+    yield
+    jax.clear_caches()
+
+
 def _import_reference():
     if REF_PATH not in sys.path:
         sys.path.insert(0, REF_PATH)

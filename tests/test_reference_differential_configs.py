@@ -34,6 +34,23 @@ import test_reference_differential as base  # noqa: E402
 pytestmark = pytest.mark.slow
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_jax_caches():
+    """Drop compiled programs accumulated by the rest of the suite.
+
+    In a full-suite run this module starts after ~1300 tests' worth of
+    live XLA CPU executables; twice that state has ended in a SIGSEGV
+    inside XLA's backend_compile_and_load while compiling this module's
+    fused programs (2026-08-19 full-suite logs). Standalone runs are
+    clean, so shed the accumulated executables first — recompiling here
+    costs seconds."""
+    import jax
+
+    jax.clear_caches()
+    yield
+    jax.clear_caches()
+
+
 # ---------------------------------------------------------------------------
 # sweep matrix: (id, config, names to compare, names that must differ from
 # the default-config output on our side, {(name, field): atol} overrides)
