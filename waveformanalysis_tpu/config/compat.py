@@ -179,6 +179,17 @@ class CompatManager:
         return "\n".join(lines)
 
 
+# Built-in aliases: r5 renamed the records/wave_pool sharding knob to the
+# reference's canonical name (cpu/records.py:246 'records_part_size'); the
+# r1-r4 name keeps working with a deprecation warning.
+for _scope in ("records", "wave_pool"):
+    CompatManager.register_alias(
+        "part_size", "records_part_size", plugin_name=_scope,
+        deprecated_in="0.5", removed_in="1.0",
+    )
+del _scope
+
+
 _default_manager: Optional[CompatManager] = None
 
 

@@ -266,9 +266,44 @@ class Context:
                 self.config[k] = merged
             else:
                 self.config[k] = v
+            self._warn_unknown_scoped_keys(k, v)
         # Conservative invalidation: config keys may feed any plugin's options.
         self.cache_domain.clear_performance_caches()
         return self
+
+    def _warn_unknown_scoped_keys(self, scope: str, value: Any) -> None:
+        """Warn when a plugin-scoped config dict carries unregistered keys.
+
+        A reference config ported over with a key this build doesn't
+        implement (or a typo'd option name) would otherwise be accepted and
+        silently ignored — the bug class the r4 differential sweeps kept
+        catching. Global (non-plugin-scoped) keys stay free-form, matching
+        the reference, and compat aliases resolve before the check. Plugins
+        registered after set_config are covered by the same check in
+        Plugin.validate_config at execution time.
+        """
+        if not isinstance(value, dict):
+            return
+        plugin = self._plugins.get(scope)
+        if plugin is None or not isinstance(getattr(plugin, "options", None), dict):
+            return
+        unknown = [key for key in value if key not in plugin.options]
+        if not unknown:
+            return
+        import warnings
+
+        for key in list(unknown):
+            canonical, was_alias = self.compat.resolve_alias(scope, key)
+            if was_alias and canonical in plugin.options:
+                unknown.remove(key)
+        if unknown:
+            warnings.warn(
+                f"set_config: key(s) {sorted(unknown)} in the '{scope}' "
+                f"section match no option of that plugin (known: "
+                f"{sorted(plugin.options)}); they will be ignored",
+                UserWarning,
+                stacklevel=3,
+            )
 
     def get_config(self, plugin_or_name: Any, key: str,
                    run_id: Optional[str] = None) -> Any:

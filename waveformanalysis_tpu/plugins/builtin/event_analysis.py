@@ -173,7 +173,7 @@ class HitGroupedPlugin(Plugin):
     provides = "hit_grouped"
     depends_on = ["hit_merged", "hit_merged_components", "hit_threshold"]
     description = "Group merged hits into coincidence events by absolute windows."
-    version = "0.3.1"
+    version = "0.4.0"
     kernel_version = G.KERNEL_VERSION
     save_when = "always"
     output_dtype = "DataFrame"
@@ -181,6 +181,12 @@ class HitGroupedPlugin(Plugin):
         "time_window_ns": Option(
             default=float(FeatureDefaults.TIME_WINDOW_NS), type=float,
             help="Coincidence window (ns) between hit windows",
+        ),
+        "dt": Option(
+            default=None, type=int,
+            help="Sample interval (ns) compat fallback, used only when the "
+                 "hit_merged input lacks a dt field (reference "
+                 "cpu/event_analysis.py:79)",
         ),
         "grouping_backend": Option(
             default="auto", type=str, track=False,
@@ -196,8 +202,28 @@ class HitGroupedPlugin(Plugin):
         threshold_hits = _as_columns(context.get_data(run_id, "hit_threshold"))
         tw = float(context.get_config(self, "time_window_ns"))
         backend = context.get_config(self, "grouping_backend")
+        # dt migration fallback, matching the reference's require_dt_array
+        # (cpu/_dt_compat.py:51): rows carry dt when present; otherwise the
+        # explicit config fills in, and its absence is an error.
+        dt_values = None
+        if "dt" not in merged:
+            explicit_dt = context.get_config(self, "dt")
+            n = len(next(iter(merged.values()))) if merged else 0
+            if explicit_dt is None:
+                if n:
+                    raise ValueError(
+                        "[hit_grouped] input 'hit_merged' is missing required "
+                        "field 'dt'; provide explicit config 'dt'"
+                    )
+                dt_values = np.zeros(0, dtype=np.int32)
+            else:
+                explicit_dt = int(explicit_dt)
+                if explicit_dt <= 0:
+                    raise ValueError("[hit_grouped] dt must be > 0")
+                dt_values = np.full(n, explicit_dt, dtype=np.int32)
         return G.group_hit_windows(
             merged, tw,
+            dt_values=dt_values,
             component_rows=components,
             component_hits=threshold_hits,
             backend=backend,

@@ -85,7 +85,7 @@ class HitFinderPlugin(Plugin):
     depends_on = []  # dynamic
     description = "Detect peaks in waveforms and extract peak features."
     # 3.2.0: scipy neighbor-threshold condition supported (was rejected)
-    version = "3.2.0"
+    version = "3.3.0"
     kernel_version = PK.KERNEL_VERSION
     save_when = "always"
     output_dtype = HIT_SCHEMA
@@ -125,6 +125,24 @@ class HitFinderPlugin(Plugin):
             choices=["warn", "raise", "ignore"],
             help="Events with more candidate peaks than the device capacity: "
                  "warn (drop beyond-K + log), raise (strict), ignore"),
+        # Reference event-chunk parallelism knobs (cpu/peak_finding.py:127-
+        # 146), accepted untracked for config portability. The device kernel
+        # processes every event in one batched dispatch, so CPU worker
+        # scheduling has no equivalent and no effect on outputs (perf-only on
+        # the reference too). Ledgered in docs/PARITY.md "Inert reference
+        # options".
+        "parallel": Option(
+            default=True, type=bool, track=False,
+            help="Reference per-event-chunk parallel toggle (inert here)"),
+        "n_workers": Option(
+            default=0, type=int, track=False,
+            help="Reference parallel worker count (inert here)"),
+        "chunk_size": Option(
+            default=1024, type=int, track=False,
+            help="Reference parallel chunk size (inert here)"),
+        "parallel_min_events": Option(
+            default=20480, type=int, track=False,
+            help="Reference parallel activation threshold (inert here)"),
     }
 
     def resolve_depends_on(self, context: Any, run_id: Optional[str] = None):

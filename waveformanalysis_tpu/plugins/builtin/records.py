@@ -44,14 +44,44 @@ def _bundle_options() -> dict:
             default=None,
             help="Baseline window: int (first N samples) or (start, end)",
         ),
-        "part_size": Option(
+        "records_part_size": Option(
             default=250_000, type=int, track=False,
-            help="Events per build part (perf knob, untracked)",
+            help="Events per build part (perf knob, untracked; reference "
+                 "name — 'part_size' remains as a compat alias)",
         ),
         "channel_workers": Option(
             default=None, type=int, track=False,
             help="Channel-level parse workers (default serial; pyarrow is "
                  "internally parallel and not thread-entry safe here)",
+        ),
+        # Reference CPU-scheduling knobs (cpu/records.py:220-254), accepted
+        # untracked for config portability. On this build the decode path is
+        # the native AVX-512 single-pass parser + fused device kernels; these
+        # pool/engine choices have no equivalent and no effect on outputs
+        # (they are perf-only on the reference too). Ledgered in
+        # docs/PARITY.md "Inert reference options".
+        "n_jobs": Option(
+            default=None, type=int, track=False,
+            help="Reference file-level parse workers (inert here; the native "
+                 "decoder is single-pass)",
+        ),
+        "parse_engine": Option(
+            default="auto", type=str, track=False,
+            help="Reference CSV engine choice (inert here; native AVX-512 "
+                 "decode with generic fallback is automatic)",
+        ),
+        "chunksize": Option(
+            default=None, type=int, track=False,
+            help="Reference CSV read chunk size (inert here)",
+        ),
+        "use_process_pool": Option(
+            default=False, type=bool, track=False,
+            help="Reference process-pool toggle for file parsing (inert here)",
+        ),
+        "channel_executor": Option(
+            default="thread", type=str, track=False,
+            help="Reference channel-level executor type (inert here; "
+                 "channel_workers controls the one real knob)",
         ),
     }
 
@@ -79,7 +109,7 @@ def get_records_bundle(context: Any, run_id: str, plugin: Plugin) -> RecordsBund
         rate = get_adapter(adapter_name).format_spec.sampling_rate_hz or 500e6
         dt_ns = max(1, int(round(1e9 / rate)))
     baseline_samples = context.get_config(plugin, "baseline_samples")
-    part_size = context.get_config(plugin, "part_size")
+    part_size = context.get_config(plugin, "records_part_size")
     channel_workers = context.get_config(plugin, "channel_workers")
 
     epoch_ns = None
@@ -115,7 +145,7 @@ class RecordsPlugin(Plugin):
     uses_run_config = True
     depends_on = ["raw_files"]
     description = "Globally time-sorted records with wave_pool addressing."
-    version = "2.0.1"
+    version = "2.1.0"
     save_when = "always"
     output_dtype = RECORDS_SCHEMA
     options = _bundle_options()
@@ -132,7 +162,7 @@ class WavePoolPlugin(Plugin):
     uses_run_config = True
     depends_on = ["raw_files"]
     description = "Contiguous uint16 waveform sample pool."
-    version = "2.0.1"
+    version = "2.1.0"
     save_when = "always"
     options = _bundle_options()
 

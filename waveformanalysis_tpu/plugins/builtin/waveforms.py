@@ -168,7 +168,7 @@ class WaveformsPlugin(Plugin):
         "Parse raw DAQ files and structure them into flat waveform records "
         "with baseline, timestamps (ps), and channel identity."
     )
-    version = "3.0.1"
+    version = "3.1.0"
     save_when = "always"
     output_dtype = ST_WAVEFORM_SCHEMA
     options = {
@@ -204,6 +204,27 @@ class WaveformsPlugin(Plugin):
                  "walk; raw bytes upload once and a jitted gather/bit-slice "
                  "builds the wave matrix in HBM). Bit-identical to the host "
                  "walker; execution strategy only.",
+        ),
+        "streaming_mode": Option(
+            default=False, type=bool, track=False,
+            help="Memory-bounded ingest (reference cpu/waveforms.py:1457): "
+                 "parse and structure file-by-file into disk-backed column "
+                 "buffers instead of materializing every channel in RAM. "
+                 "Bit-identical output; peak RSS ~ one file (or chunksize "
+                 "rows) instead of the whole run.",
+        ),
+        "chunksize": Option(
+            default=None, type=int, track=False,
+            help="Row-count bound per structuring slice in streaming mode "
+                 "(None = one file at a time); inert when streaming_mode is "
+                 "off, matching the reference's chunked-CSV perf knob",
+        ),
+        "use_process_pool": Option(
+            default=False, type=bool, track=False,
+            help="Reference process-pool toggle for file parsing (inert "
+                 "here; file parsing uses a thread pool over the native "
+                 "decoder). Ledgered in docs/PARITY.md 'Inert reference "
+                 "options'.",
         ),
     }
 
