@@ -248,6 +248,14 @@ SWEEPS = [
     ("df_gain",
      {"df": {"gain_adc_per_pe": {"0:0": 10.0, "0:1": 20.0}}},
      ["df"], ["df"], None),
+    # memory-bounded streaming ingest (reference cpu/waveforms.py:1457
+    # _compute_streaming; ours r5 WaveformsPlugin._compute_streaming). By
+    # contract the mode is INVISIBLE in the output on both sides, so the
+    # discrimination list is empty by design — the sweep pins that both
+    # streaming implementations still agree with each other end-to-end.
+    ("streaming_mode_ingest",
+     {"st_waveforms": {"streaming_mode": True}},
+     ["st_waveforms", "hit"], [], None),
 ]
 
 
@@ -369,6 +377,17 @@ DEFAULT_ATOL_OVERRIDES = {
 }
 
 
+# per-sweep field exclusions: {sweep_id: {(data_name, field), ...}} for
+# reference-side artifacts a sweep exposes (each ledgered in docs/PARITY.md)
+SWEEP_EXCLUDE_FIELDS = {
+    # the reference's streaming branch returns WITHOUT calling
+    # _apply_polarity_metadata (cpu/waveforms.py:1252-1263 vs :1297), so its
+    # streaming polarity strings stay '' instead of 'unknown'. This build
+    # applies polarity metadata uniformly in both modes.
+    "streaming_mode_ingest": {("st_waveforms", "polarity")},
+}
+
+
 @pytest.mark.parametrize(
     "sweep_id,cfg,names,diff_names,atol_overrides",
     SWEEPS, ids=[s[0] for s in SWEEPS],
@@ -386,8 +405,19 @@ def test_config_sweep_parity(rich_run, our_defaults, sweep_id, cfg, names,
         )
 
     ref = _drive(rich_run, sweep_id, cfg, names, "ref")
-    for name in names:
-        _compare_any(name, ref[name], ours[name], atol_overrides)
+    injected = []
+    for data_name, field in SWEEP_EXCLUDE_FIELDS.get(sweep_id, ()):
+        key = ("vx2730", data_name)
+        base.EXCLUDE_FIELDS.setdefault(key, set())
+        if field not in base.EXCLUDE_FIELDS[key]:
+            base.EXCLUDE_FIELDS[key].add(field)
+            injected.append((key, field))
+    try:
+        for name in names:
+            _compare_any(name, ref[name], ours[name], atol_overrides)
+    finally:
+        for key, field in injected:
+            base.EXCLUDE_FIELDS[key].discard(field)
 
 
 # ---------------------------------------------------------------------------

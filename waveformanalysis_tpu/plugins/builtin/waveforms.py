@@ -269,6 +269,11 @@ class WaveformsPlugin(Plugin):
                                wave_length=wave_length or 1)
 
         if adapter_name == "v1725":
+            if context.get_config(self, "streaming_mode"):
+                logger.info(
+                    "streaming_mode: V1725 uses the header-scan builder "
+                    "(already near-minimal residency); materialized path"
+                )
             if context.get_config(self, "device_unpack"):
                 table = self._compute_v1725_device(
                     adapter, raw_files, dt_ns, wave_length
@@ -277,6 +282,18 @@ class WaveformsPlugin(Plugin):
                 table = self._compute_v1725(
                     adapter, raw_files, dt_ns, wave_length
                 )
+            return apply_polarity_metadata(table, context, run_id)
+
+        if context.get_config(self, "streaming_mode"):
+            table = self._compute_streaming(
+                adapter, raw_files,
+                dt_ns=dt_ns, wave_length=wave_length,
+                baseline_samples=baseline_samples,
+                channel_mapping=channel_mapping,
+                upstream=upstream,
+                chunksize=context.get_config(self, "chunksize"),
+                parse_engine=parse_engine,
+            )
             return apply_polarity_metadata(table, context, run_id)
 
         # file-level parallel parse, grouped back per channel
@@ -371,6 +388,134 @@ class WaveformsPlugin(Plugin):
             arrs = [files[i] for i in sorted(files) if files[i].size > 0]
             out.append(np.vstack(arrs) if arrs else None)
         return out
+
+    def _compute_streaming(
+        self,
+        adapter: Any,
+        raw_files: List[List[str]],
+        dt_ns: int,
+        wave_length: Optional[int],
+        baseline_samples: Any,
+        channel_mapping: Optional[Dict[Tuple[int, int], int]],
+        upstream: Optional[Any],
+        chunksize: Optional[int],
+        parse_engine: Optional[str] = None,
+    ) -> Table:
+        """Memory-bounded ingest (reference cpu/waveforms.py:1457).
+
+        Two passes, bit-identical to the materialized path:
+
+        1. parse each file ONCE (serially, in the same channel/file order
+           the materialized path concatenates) and spill the raw row array
+           to a temp ``.npy``, tracking row counts and the detected wave
+           length — peak RSS is one file's parse;
+        2. allocate the wave matrix as a disk-backed ``np.memmap`` plus RAM
+           scalar columns (tiny next to the waves), then structure each
+           spilled part — in row slices of ``chunksize`` when set — through
+           the SAME ``structure_channel_array`` into the output slots.
+
+        Per-row numerics (baseline window mean, ps timestamps, channel LUT,
+        truncate/pad) depend only on the row, so per-file/per-slice
+        structuring equals per-channel structuring byte-for-byte; record_id
+        assignment over the identical concatenation order matches too.
+        """
+        import os
+        import tempfile
+
+        spec = adapter.format_spec
+        cols = spec.columns
+        tmp_root = tempfile.mkdtemp(prefix="wfa_stw_stream_")
+
+        def parse_one(path: str, is_first: bool) -> np.ndarray:
+            kwargs = {}
+            if parse_engine and parse_engine != "auto":
+                kwargs["parse_engine"] = parse_engine
+            try:
+                return adapter.format_reader.read_file(
+                    path, is_first_file=is_first, **kwargs
+                )
+            except TypeError:
+                return adapter.format_reader.read_file(
+                    path, is_first_file=is_first
+                )
+
+        # ---- pass 1: parse + spill, detect wave length ----
+        parts: List[Tuple[int, str, int]] = []  # (ch_idx, path, n_rows)
+        ch_totals: Dict[int, int] = {}
+        detected = 0
+        for ch_idx, files in enumerate(raw_files):
+            for f_idx, f in enumerate(files or []):
+                arr = parse_one(f, is_first=(f_idx == 0))
+                if arr is None or arr.size == 0:
+                    continue
+                end = (cols.samples_end if cols.samples_end is not None
+                       else arr.shape[1])
+                detected = max(detected, end - cols.samples_start)
+                p = os.path.join(tmp_root, f"part{len(parts)}.npy")
+                np.save(p, arr)
+                parts.append((ch_idx, p, len(arr)))
+                ch_totals[ch_idx] = ch_totals.get(ch_idx, 0) + len(arr)
+                del arr
+
+        if wave_length is None:
+            wave_length = max(int(detected), 1)
+        n_total = sum(n for _, _, n in parts)
+        if n_total == 0:
+            return Table.zeros(0, ST_WAVEFORM_SCHEMA, wave_length=wave_length)
+
+        # ---- pass 2: structure into preallocated outputs ----
+        wave = np.memmap(
+            os.path.join(tmp_root, "wave.dat"), dtype=np.int16, mode="w+",
+            shape=(n_total, wave_length),
+        )
+        out_cols: Dict[str, np.ndarray] = {
+            "baseline": np.empty(n_total, np.float64),
+            "baseline_upstream": np.empty(n_total, np.float64),
+            "polarity": np.zeros(n_total, np.int8),
+            "timestamp": np.empty(n_total, np.int64),
+            "record_id": np.arange(n_total, dtype=np.int64),
+            "dt": np.empty(n_total, np.int32),
+            "event_length": np.empty(n_total, np.int32),
+            "board": np.empty(n_total, np.int16),
+            "channel": np.empty(n_total, np.int16),
+        }
+        offset = 0
+        ch_row_offset: Dict[int, int] = {}
+        for ch_idx, p, n_rows in parts:
+            arr = np.load(p, mmap_mode="r")
+            ch_up = None
+            if upstream is not None and ch_idx < len(upstream):
+                cand = upstream[ch_idx]
+                # the materialized path only applies an upstream baseline
+                # whose length matches the channel's total row count
+                if cand is not None and len(cand) == ch_totals[ch_idx]:
+                    ch_up = cand
+            step = int(chunksize) if chunksize and chunksize > 0 else n_rows
+            for s in range(0, n_rows, step):
+                sl = np.asarray(arr[s:s + step])
+                m = len(sl)
+                up = None
+                if ch_up is not None:
+                    base = ch_row_offset.get(ch_idx, 0) + s
+                    up = np.asarray(ch_up[base:base + m])
+                part_cols = structure_channel_array(
+                    sl, spec, dt_ns=dt_ns, wave_length=wave_length,
+                    baseline_samples=baseline_samples, channel_idx=ch_idx,
+                    channel_mapping=channel_mapping, upstream_baseline=up,
+                )
+                for k, v in part_cols.items():
+                    if k == "wave":
+                        wave[offset:offset + m] = v
+                    elif k != "record_id":
+                        out_cols[k][offset:offset + m] = v
+                offset += m
+                del sl, part_cols
+            ch_row_offset[ch_idx] = ch_row_offset.get(ch_idx, 0) + n_rows
+            del arr
+            os.remove(p)
+        wave.flush()
+        out_cols["wave"] = wave
+        return Table(out_cols, schema=ST_WAVEFORM_SCHEMA)
 
     def _compute_v1725(
         self,

@@ -781,83 +781,14 @@ def build_records_from_raw_files(
 
         def build_channel(args) -> List[RecordsBundle]:
             ch_idx, files = args
-            parts: List[RecordsBundle] = []
-            if not files:
-                return parts
-            pid = 0
-            buffer: List[Any] = []
-            buffered = 0
-
-            def flush():
-                nonlocal pid, buffer, buffered
-                if not buffer:
-                    return
-                if typed_ok:
-                    dec = concat_typed(buffer)
-                    parts.append(build_part_from_typed(
-                        dec, default_dt_ns=default_dt_ns,
-                        normalize_timestamp_to_ps=spec.normalize_timestamp_to_ps,
-                        pid=pid, sort=False,
-                    ))
-                else:
-                    arr = np.vstack(buffer) if len(buffer) > 1 else buffer[0]
-                    parts.append(
-                        build_part_from_raw_array(
-                            arr,
-                            channel_idx=ch_idx,
-                            default_dt_ns=default_dt_ns,
-                            cols=cols,
-                            normalize_timestamp_to_ps=spec.normalize_timestamp_to_ps,
-                            baseline_samples=baseline_samples,
-                            pid=pid,
-                        )
-                    )
-                pid += 1
-                buffer, buffered = [], 0
-
-            for i, f in enumerate(files):
-                n_new = 0
-                if typed_ok:
-                    skiprows = (
-                        spec.header_rows_first_file if i == 0
-                        else spec.header_rows_other_files
-                    )
-                    try:
-                        raw = Path(f).read_bytes()
-                    except OSError:
-                        raw = b""
-                    dec = decode_csv_vx2730_typed(
-                        raw, skip_rows=skiprows, delimiter=spec.delimiter,
-                        samples_start=cols.samples_start,
-                        baseline_start=b_start, baseline_end=b_end,
-                    ) if raw else None
-                    if dec is None:
-                        # anomalous file: generic decode, convert to typed
-                        arr = adapter.format_reader.read_file(
-                            f, is_first_file=(i == 0)
-                        )
-                        if arr.size == 0:
-                            continue
-                        dec = raw_array_to_typed(
-                            arr, cols, b_start, b_end, channel_idx=ch_idx
-                        )
-                    if len(dec["timestamp"]) == 0:
-                        continue
-                    buffer.append(dec)
-                    n_new = len(dec["timestamp"])
-                else:
-                    arr = adapter.format_reader.read_file(
-                        f, is_first_file=(i == 0)
-                    )
-                    if arr.size == 0:
-                        continue
-                    buffer.append(arr)
-                    n_new = len(arr)
-                buffered += n_new
-                if part_size and buffered >= part_size:
-                    flush()
-            flush()
-            return parts
+            return list(_iter_channel_parts(
+                adapter, ch_idx, files,
+                typed_ok=typed_ok,
+                default_dt_ns=default_dt_ns,
+                baseline_samples=baseline_samples,
+                part_size=part_size,
+                baseline_window=(b_start, b_end),
+            ))
 
         channel_args = list(enumerate(raw_files))
         all_parts: List[RecordsBundle] = []
@@ -894,7 +825,321 @@ def build_records_from_raw_files(
     return bundle
 
 
-build_records_from_raw_files_streaming = build_records_from_raw_files
+def _iter_channel_parts(
+    adapter: Any,
+    ch_idx: int,
+    files: Optional[List[str]],
+    *,
+    typed_ok: bool,
+    default_dt_ns: int,
+    baseline_samples: Any,
+    part_size: Optional[int],
+    baseline_window: Tuple[int, int],
+):
+    """Yield one channel's RecordsBundle parts, part_size events at a time.
+
+    Shared by the materialized builder (which collects the parts, possibly
+    one channel per thread) and the streaming builder (which spills each
+    part to disk as it is yielded). Part boundaries, pids, and per-part
+    numerics are identical on both paths by construction.
+    """
+    if not files:
+        return
+    spec = adapter.format_spec
+    cols = spec.columns
+    b_start, b_end = baseline_window
+    if typed_ok:
+        from waveformanalysis_tpu.native import decode_csv_vx2730_typed
+
+    pid = 0
+    buffer: List[Any] = []
+    buffered = 0
+
+    def flush() -> Optional[RecordsBundle]:
+        nonlocal pid, buffer, buffered
+        if not buffer:
+            return None
+        if typed_ok:
+            dec = concat_typed(buffer)
+            part = build_part_from_typed(
+                dec, default_dt_ns=default_dt_ns,
+                normalize_timestamp_to_ps=spec.normalize_timestamp_to_ps,
+                pid=pid, sort=False,
+            )
+        else:
+            arr = np.vstack(buffer) if len(buffer) > 1 else buffer[0]
+            part = build_part_from_raw_array(
+                arr,
+                channel_idx=ch_idx,
+                default_dt_ns=default_dt_ns,
+                cols=cols,
+                normalize_timestamp_to_ps=spec.normalize_timestamp_to_ps,
+                baseline_samples=baseline_samples,
+                pid=pid,
+            )
+        pid += 1
+        buffer, buffered = [], 0
+        return part
+
+    for i, f in enumerate(files):
+        n_new = 0
+        if typed_ok:
+            skiprows = (
+                spec.header_rows_first_file if i == 0
+                else spec.header_rows_other_files
+            )
+            try:
+                raw = Path(f).read_bytes()
+            except OSError:
+                raw = b""
+            dec = decode_csv_vx2730_typed(
+                raw, skip_rows=skiprows, delimiter=spec.delimiter,
+                samples_start=cols.samples_start,
+                baseline_start=b_start, baseline_end=b_end,
+            ) if raw else None
+            if dec is None:
+                # anomalous file: generic decode, convert to typed
+                arr = adapter.format_reader.read_file(
+                    f, is_first_file=(i == 0)
+                )
+                if arr.size == 0:
+                    continue
+                dec = raw_array_to_typed(
+                    arr, cols, b_start, b_end, channel_idx=ch_idx
+                )
+            if len(dec["timestamp"]) == 0:
+                continue
+            buffer.append(dec)
+            n_new = len(dec["timestamp"])
+        else:
+            arr = adapter.format_reader.read_file(
+                f, is_first_file=(i == 0)
+            )
+            if arr.size == 0:
+                continue
+            buffer.append(arr)
+            n_new = len(arr)
+        buffered += n_new
+        if part_size and buffered >= part_size:
+            part = flush()
+            if part is not None:
+                yield part
+    part = flush()
+    if part is not None:
+        yield part
+
+
+def build_records_from_raw_files_streaming(
+    raw_files: List[List[str]],
+    adapter_name: str,
+    default_dt_ns: int = 1,
+    part_size: Optional[int] = DEFAULT_PART_SIZE,
+    baseline_samples: Union[int, Tuple[int, int], None] = None,
+    epoch_ns: Optional[int] = None,
+    show_progress: bool = False,
+    channel_workers: Optional[int] = None,  # accepted for API parity
+    tmp_dir: Optional[str] = None,
+    **kwargs: Any,
+) -> RecordsBundle:
+    """Memory-bounded incremental build: spill parts to disk, merge via memmap.
+
+    Behavioral analog of the reference incremental builder
+    (reference: core/processing/records_builder.py:524 — per-channel temp
+    part files, then a merge pass). Bit-identical to
+    ``build_records_from_raw_files``: the SAME per-channel part generator
+    produces the parts (same boundaries, pids, numerics), the SAME
+    ``records_sort_order`` orders the merged table, and the gather writes
+    the same bytes — only the residency changes:
+
+    - each part's columns + pool spill to ``.npy`` files as soon as they
+      are built (peak RSS ~ one part instead of the whole run),
+    - the merged wave_pool is a disk-backed ``np.memmap`` filled one part
+      at a time (scalar record columns stay in RAM — they are ~2 orders of
+      magnitude smaller than the pool),
+
+    so peak resident memory is ~``part_size`` events plus the scalar
+    columns, independent of total run size. Channels parse serially by
+    design (the point is the memory bound, not decode throughput);
+    ``channel_workers`` is accepted for signature parity.
+    """
+    import os
+    import tempfile
+
+    from waveformanalysis_tpu.formats.adapter import get_adapter
+
+    adapter = get_adapter(adapter_name)
+
+    if adapter_name == "v1725":
+        # V1725 runs arrive as one compact binary blob per board; the
+        # header-scan builder is already near-minimal in residency. Ledgered
+        # in docs/PARITY.md (streaming ingest covers the CSV family).
+        return build_records_from_raw_files(
+            raw_files, adapter_name, default_dt_ns=default_dt_ns,
+            part_size=part_size, baseline_samples=baseline_samples,
+            epoch_ns=epoch_ns, show_progress=show_progress,
+        )
+
+    cols = adapter.format_spec.columns
+    b_start, b_end = resolve_baseline_window(
+        baseline_samples, cols.samples_start,
+        cols.baseline_start, cols.baseline_end,
+    )
+    typed_ok = (
+        cols.samples_end is None
+        and cols.samples_start >= 3
+        and getattr(adapter.format_reader, "parse_engine", "auto")
+        in ("auto", "native")
+    )
+    if typed_ok:
+        from waveformanalysis_tpu.native import decode_csv_vx2730_typed
+
+        typed_ok = decode_csv_vx2730_typed(b"", 0) is not None
+
+    own_tmp = tmp_dir is None
+    tmp_root = tempfile.mkdtemp(prefix="wfa_records_stream_") \
+        if own_tmp else tmp_dir
+    os.makedirs(tmp_root, exist_ok=True)
+
+    # ---- phase 1: build + spill parts, one resident at a time ----
+    spilled: List[dict] = []  # per part: column paths + row/pool sizes
+    for ch_idx, files in enumerate(raw_files):
+        for part in _iter_channel_parts(
+            adapter, ch_idx, files,
+            typed_ok=typed_ok,
+            default_dt_ns=default_dt_ns,
+            baseline_samples=baseline_samples,
+            part_size=part_size,
+            baseline_window=(b_start, b_end),
+        ):
+            idx = len(spilled)
+            entry = {"n": len(part.records),
+                     "pool_size": int(part.wave_pool.size),
+                     "cols": {}}
+            host = part.records.to_host()
+            for name, col in host.columns.items():
+                p = os.path.join(tmp_root, f"part{idx}_{name}.npy")
+                np.save(p, np.asarray(col))
+                entry["cols"][name] = p
+            p = os.path.join(tmp_root, f"part{idx}_pool.npy")
+            np.save(p, part.wave_pool)
+            entry["pool"] = p
+            spilled.append(entry)
+            del part, host
+
+    if not spilled:
+        return empty_bundle()
+
+    # ---- phase 2: merge. Scalar columns concatenate in RAM (small); the
+    # pool gathers part-by-part into a disk-backed memmap. ----
+    def load_col(entry, name):
+        return np.load(entry["cols"][name], mmap_mode="r")
+
+    col_names = list(spilled[0]["cols"])
+    merged = {}
+    pool_bases = np.concatenate(
+        [[0], np.cumsum([e["pool_size"] for e in spilled])[:-1]]
+    ).astype(np.int64)
+    for name in col_names:
+        arrs = [np.asarray(load_col(e, name)) for e in spilled]
+        if name == "wave_offset":
+            arrs = [a.astype(np.int64) + base
+                    for a, base in zip(arrs, pool_bases)]
+        merged[name] = np.concatenate(arrs)
+        del arrs
+    part_ids = np.repeat(
+        np.arange(len(spilled), dtype=np.int64),
+        [e["n"] for e in spilled],
+    )
+
+    records = Table(merged, schema=RECORDS_SCHEMA)
+    order = records_sort_order(records)
+    records = records[order]
+    part_ids = part_ids[order]
+
+    lengths = np.asarray(records["event_length"], dtype=np.int64)
+    old_offsets = np.asarray(records["wave_offset"], dtype=np.int64)
+    total = int(lengths.sum())
+    new_offsets = (
+        np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+        if len(lengths) else np.zeros(0, np.int64)
+    )
+
+    pool_path = os.path.join(tmp_root, "wave_pool.dat")
+    pool_out = np.memmap(pool_path, dtype=np.uint16, mode="w+",
+                         shape=(max(total, 1),))
+    # index-array gather costs 24 B/sample transient (3 int64 arrays per
+    # sample) vs 2 B/sample of pool — chunk each part's gather by a sample
+    # budget and use int32 indices when addresses fit, so the transient
+    # stays bounded regardless of part size
+    gather_budget = 1 << 21  # samples per gather chunk (~25 MB int32 peak)
+    for i, entry in enumerate(spilled):
+        sel = np.nonzero(part_ids == i)[0]
+        if not len(sel):
+            continue
+        lens = lengths[sel]
+        t = int(lens.sum())
+        if t == 0:
+            continue
+        part_pool = np.load(entry["pool"], mmap_mode="r")
+        idx_dt = (np.int32
+                  if max(total, entry["pool_size"]) < np.iinfo(np.int32).max
+                  else np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        row = 0
+        while row < len(sel):
+            stop = int(np.searchsorted(
+                ends, ends[row] - lens[row] + gather_budget, side="left"
+            )) + 1
+            stop = min(max(stop, row + 1), len(sel))
+            rows = slice(row, stop)
+            lens_c = lens[rows]
+            tc = int(lens_c.sum())
+            if tc:
+                base_c = starts[rows] - starts[row]
+                ramp = np.arange(tc, dtype=idx_dt) - np.repeat(
+                    base_c.astype(idx_dt), lens_c
+                )
+                src_idx = np.repeat(
+                    (old_offsets[sel[rows]] - pool_bases[i]).astype(idx_dt),
+                    lens_c,
+                ) + ramp
+                out_idx = np.repeat(
+                    new_offsets[sel[rows]].astype(idx_dt), lens_c
+                ) + ramp
+                del ramp
+                pool_out[out_idx] = part_pool[src_idx]
+                del src_idx, out_idx
+            row = stop
+        del part_pool, lens, ends, starts, sel
+        os.remove(entry["pool"])
+    pool_out.flush()
+    if total == 0:
+        pool_view = np.zeros(0, dtype=np.uint16)
+    elif total < pool_out.size:
+        pool_view = pool_out[:total]
+    else:
+        pool_view = pool_out
+
+    records = records.with_columns(
+        wave_offset=new_offsets,
+        record_id=np.arange(len(records), dtype=np.int64),
+    )
+    for entry in spilled:
+        for p in entry["cols"].values():
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+    bundle = RecordsBundle(records=records, wave_pool=pool_view)
+    if epoch_ns is not None and len(bundle.records):
+        ts = np.asarray(bundle.records["timestamp"], dtype=np.int64)
+        bundle = RecordsBundle(
+            records=bundle.records.with_columns(time=epoch_ns + ts // 1000),
+            wave_pool=bundle.wave_pool,
+        )
+    return bundle
 
 
 def apply_records_polarity(bundle: RecordsBundle, context: Any, run_id: str) -> RecordsBundle:
