@@ -69,11 +69,19 @@ class StreamingConfig:
     clip_strict: bool = False
 
     @classmethod
-    def resolve(cls, context: Any, plugin: Any) -> "StreamingConfig":
-        """Read streaming_config from plugin options / context config."""
+    def resolve(cls, context: Any, plugin: Any,
+                override: Optional[Dict[str, Any]] = None) -> "StreamingConfig":
+        """Read streaming_config from plugin options / context config.
+
+        ``override`` merges over the configured dict — per-call knobs from
+        ``StreamingContext.get_stream`` (reference parity: its get_stream
+        forwards streaming_config to plugin.compute, streaming.py:1003-1018).
+        """
         raw: Dict[str, Any] = {}
         if "streaming_config" in getattr(plugin, "options", {}):
             raw = dict(context.get_config(plugin, "streaming_config") or {})
+        if override:
+            raw.update(override)
         halo = raw.get("required_halo_ns")
         left = raw.get("required_halo_left_ns", halo or 0.0)
         right = raw.get("required_halo_right_ns", halo or 0.0)
@@ -139,7 +147,9 @@ class StreamingPlugin(Plugin):
     # -- engine -------------------------------------------------------------------
 
     def compute(self, context: Any, run_id: str, **kwargs: Any) -> Generator:
-        cfg = StreamingConfig.resolve(context, self)
+        cfg = StreamingConfig.resolve(
+            context, self, override=kwargs.get("streaming_config")
+        )
         chunks = self.input_stream(context, run_id, cfg)
 
         if self.is_stateful and (cfg.parallel or cfg.executor_type == "device"):
@@ -518,7 +528,18 @@ class StreamingContext:
         data wraps into chunks)."""
         plugin = self.ctx.get_plugin(data_name)
         if plugin is not None and plugin.output_kind == "stream":
-            stream = self.ctx.get_data(run_id, data_name)
+            # per-call knobs reach native stream plugins too (reference
+            # parity: get_stream forwards streaming_config to
+            # plugin.compute, streaming.py:1003-1018); without overrides
+            # the plain get_data path keeps stats/validation in the loop
+            overrides = dict(streaming_overrides)
+            if chunk_size:
+                overrides["chunk_size"] = chunk_size
+            if overrides:
+                stream = plugin.compute(self.ctx, run_id,
+                                        streaming_config=overrides)
+            else:
+                stream = self.ctx.get_data(run_id, data_name)
         else:
             stream = self._static_stream(
                 run_id, data_name, chunk_size, streaming_overrides
