@@ -220,3 +220,73 @@ class TestMeshOverflow:
         want = ref.get_data("r", "hit_threshold")
         assert any("exceeded" in r.message for r in caplog.records)
         _table_equal(want, got, msg="mesh_overflow_warn")
+
+
+class TestEventConeOnMesh:
+    """Columnar events/event_hits + the device pair_events kernel under a
+    mesh-attached Context (VERDICT r4 item 6): device grouping backends on
+    the mesh must match the unmeshed host oracle bit-for-bit, including
+    NaN fill where events have fewer hits than channels, and degenerate
+    windows must produce clean empties."""
+
+    def _pair(self, tmp_path, st, extra=None):
+        _require(8)
+        mesh = make_mesh(8)
+        cfgs = {
+            "events": {"grouping_backend": "device"},
+            "event_hits": {"grouping_backend": "device"},
+            "df_events": {"grouping_backend": "device"},
+            "df_paired": {"grouping_backend": "device",
+                          "events_source": "columnar"},
+        }
+        if extra:
+            for k, v in extra.items():
+                cfgs.setdefault(k, {}).update(v)
+        host = _ctx(tmp_path, "ev_host", st=st)
+        host.set_config({
+            k: {**v, "grouping_backend": "host"} if "grouping_backend" in v
+            else v for k, v in cfgs.items()
+        })
+        dev = _ctx(tmp_path, "ev_dev", st=st, mesh=mesh)
+        dev.set_config(cfgs)
+        return host, dev
+
+    def test_columnar_events_device_on_mesh(self, tmp_path):
+        host, dev = self._pair(tmp_path, None)
+        for name in ("events", "event_hits"):
+            _table_equal(host.get_data("r", name), dev.get_data("r", name),
+                         msg=f"mesh_columnar.{name}")
+
+    def test_device_pair_events_on_mesh(self, tmp_path):
+        host, dev = self._pair(tmp_path, None)
+        a = host.get_data("r", "df_paired")
+        b = dev.get_data("r", "df_paired")
+        assert len(a) == len(b) > 0
+        assert list(a.columns) == list(b.columns)
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype.kind == "f":
+                np.testing.assert_array_equal(
+                    np.isnan(av), np.isnan(bv),
+                    err_msg=f"mesh_pair.{c} NaN mask")
+                np.testing.assert_array_equal(
+                    av[~np.isnan(av)], bv[~np.isnan(bv)],
+                    err_msg=f"mesh_pair.{c}")
+            else:
+                np.testing.assert_array_equal(av, bv,
+                                               err_msg=f"mesh_pair.{c}")
+        # fewer hits than channels somewhere -> NaN fill must survive the
+        # device gather (n_channels default 2; single-hit events exist in
+        # the fake run's tails)
+        n_ch_cols = [c for c in a.columns if c.startswith("area_ch")]
+        assert n_ch_cols, "no per-channel columns emitted"
+
+    def test_device_pair_events_empty_window_on_mesh(self, tmp_path):
+        """A window no event span fits: clean empty frame, no device error."""
+        host, dev = self._pair(
+            tmp_path, None,
+            extra={"df_paired": {"time_window_ns": -1.0}},
+        )
+        b = dev.get_data("r", "df_paired")
+        assert len(b) == 0
+        assert list(b.columns) == list(host.get_data("r", "df_paired").columns)
