@@ -1131,9 +1131,102 @@ class WaveChainFusion:
             return flat, tuple(slot_mats), jnp.stack(counts) if counts \
                 else jnp.zeros((0,), jnp.int32)
 
-        entry = (jax.jit(packed_program), spec_cache)
+        # persistent AOT layer: later processes skip the ~0.5 s host-side
+        # re-trace of this program (foundation/aot_cache.py); the XLA
+        # executable cache below it skips the compile. Keyed like the jit
+        # cache plus plugin versions (a kernel change invalidates stale
+        # programs the way it invalidates data lineage).
+        versions = tuple(
+            (m, getattr(plugins[m], "version", "?")) for m in members
+        )
+        if support_hit_cfg is not None:
+            from waveformanalysis_tpu.plugins.builtin.peak_finding import (
+                HitFinderPlugin as _HFP,
+            )
+
+            versions += (("__hit_support", getattr(_HFP, "version", "?")),)
+        digest_base = (
+            _canon_key(key), versions, jax.__version__,
+            bool(jax.config.jax_enable_x64), jax.default_backend(),
+        )
+        entry = (_AotProgram(packed_program, spec_cache, digest_base),
+                 spec_cache)
         self._programs[key] = entry
         return entry
+
+
+def _canon_key(obj):
+    """Process-stable form of a program cache key: numpy scalars -> Python
+    scalars so repr() is identical across numpy versions and processes."""
+    if isinstance(obj, tuple):
+        return tuple(_canon_key(x) for x in obj)
+    if isinstance(obj, np.generic):
+        return obj.item()
+    return obj
+
+
+class _AotProgram:
+    """jit with a persistent AOT (``jax.export``) layer in front.
+
+    Behaves like ``jax.jit(fun)`` to the caller (the fused dispatch sites
+    call it with concrete device arrays), but per argument-shapes:
+
+    - disk HIT: deserialize the traced StableHLO (~1 ms), restore the
+      transfer-packing spec into ``spec_cache``, execute through
+      ``jit(exported.call)`` — no Python re-trace; the XLA executable
+      cache covers the compile.
+    - disk MISS: plain jit call (traces once, populating ``spec_cache``
+      as a trace-time side effect), then export+persist OFF-thread so the
+      critical path never pays the export.
+
+    Outputs are bit-identical between the two paths (the exported module
+    IS this trace's lowering) — pinned in tests/test_aot_cache.py.
+    """
+
+    def __init__(self, fun, spec_cache, digest_base):
+        self._fun = fun
+        self._jit = None
+        self._spec_cache = spec_cache
+        self._digest_base = digest_base
+        self._per_shapes: Dict[Tuple, Any] = {}
+
+    def _ensure_jit(self):
+        import jax
+
+        if self._jit is None:
+            self._jit = jax.jit(self._fun)
+        return self._jit
+
+    def lower(self, *args, **kw):  # parity with jax.jit for probes
+        return self._ensure_jit().lower(*args, **kw)
+
+    def __call__(self, *args):
+        import jax
+
+        from waveformanalysis_tpu.foundation import aot_cache
+
+        shapes_key = tuple((tuple(a.shape), str(a.dtype)) for a in args)
+        fn = self._per_shapes.get(shapes_key)
+        if fn is not None:
+            return fn(*args)
+        dig = aot_cache.digest(self._digest_base + (shapes_key,))
+        loaded = aot_cache.load(dig)
+        if loaded is not None:
+            exported, payload = loaded
+            self._spec_cache[shapes_key] = payload
+            fn = jax.jit(exported.call)
+            self._per_shapes[shapes_key] = fn
+            return fn(*args)
+        fn = self._ensure_jit()
+        self._per_shapes[shapes_key] = fn
+        out = fn(*args)  # traces; fills spec_cache[shapes_key]
+        payload = self._spec_cache.get(shapes_key)
+        if payload is not None and aot_cache.cache_dir() is not None:
+            arg_specs = tuple(
+                jax.ShapeDtypeStruct(s, np.dtype(d)) for s, d in shapes_key
+            )
+            aot_cache.save_async(dig, fn, arg_specs, payload)
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,181 @@
+"""Persistent AOT (traced program) cache for fused device programs.
+
+The persistent XLA compilation cache (foundation/compile_cache.py) removes
+the *compile* cost across processes, but it keys on HLO — which only exists
+AFTER jax has re-traced and re-lowered the Python program. That re-trace is
+pure host-side Python work (~0.5 s for the 4-member fused bundle on this
+host) and runs in EVERY fresh process: each CLI invocation, every
+process-pool batch worker, every benchmark cold run. The reference pays no
+such tax (its per-plugin NumPy has no trace step), so our fresh-process
+cold numbers carry it as dead weight.
+
+This module persists the traced+lowered program itself via ``jax.export``
+(StableHLO serialization): the first process to trace a fused-bundle
+program exports it in the background; later processes deserialize (~1 ms)
+and jump straight to the XLA executable cache. Outputs are bit-identical —
+the deserialized module IS the lowering the tracing process produced
+(asserted in tests/test_aot_cache.py).
+
+Keying: sha1 over (package version, jax version, x64 flag, backend
+platform, the fusion program key — members + device-relevant config
+values —, member plugin versions, and the argument shapes/dtypes). Plugin
+versions make a kernel change invalidate stale programs the same way it
+invalidates data caches through lineage.
+
+Policy mirrors the XLA compile cache: default ON for accelerator backends,
+opt-in on CPU (``WFA_AOT_CACHE_DIR``), global off via ``WFA_NO_AOT_CACHE``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import pickle
+import tempfile
+import threading
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_CACHE_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "waveformanalysis_tpu", "aot_cache"
+)
+
+# serialization-format epoch: bump to orphan every existing entry
+_FORMAT = 1
+
+_pending: "set[threading.Thread]" = set()
+_pending_lock = threading.Lock()
+_disabled_for_process = False
+
+
+def cache_dir() -> Optional[str]:
+    """Active cache directory, or None when disabled for this process.
+
+    Same backend policy as the XLA compile cache: accelerator backends get
+    it by default (their processes are latency-bound on cold start); the
+    CPU backend opts in via ``WFA_AOT_CACHE_DIR`` so tests and host-only
+    tools don't write caches implicitly.
+    """
+    if _disabled_for_process or os.environ.get("WFA_NO_AOT_CACHE"):
+        return None
+    env_dir = os.environ.get("WFA_AOT_CACHE_DIR")
+    if env_dir:
+        return env_dir
+    from waveformanalysis_tpu.foundation.compile_cache import (
+        _configured_platform,
+    )
+
+    if _configured_platform() == "cpu":
+        return None
+    return DEFAULT_CACHE_DIR
+
+
+def digest(parts: Tuple[Any, ...]) -> str:
+    """Stable content key over canonical reprs of the key parts."""
+    h = hashlib.sha1()
+    h.update(repr((_FORMAT,) + parts).encode())
+    return h.hexdigest()
+
+
+def _paths(base: str, key: str) -> Tuple[Path, Path]:
+    d = Path(base)
+    return d / f"{key}.stablehlo", d / f"{key}.payload.pkl"
+
+
+def load(key: str) -> Optional[Tuple[Any, Any]]:
+    """Return (jax.export.Exported, payload) for ``key``, or None.
+
+    Any failure (missing file, stale serialization version, jax refusing
+    the blob) degrades to a miss — the caller re-traces and overwrites.
+    """
+    base = cache_dir()
+    if base is None:
+        return None
+    prog_path, payload_path = _paths(base, key)
+    try:
+        blob = prog_path.read_bytes()
+        with open(payload_path, "rb") as f:
+            payload = pickle.load(f)
+    except OSError:
+        return None
+    except Exception as exc:  # corrupt payload
+        logger.warning("aot cache entry %s unreadable: %s", key, exc)
+        return None
+    try:
+        from jax import export
+
+        exported = export.deserialize(blob)
+    except Exception as exc:
+        logger.warning("aot cache deserialize failed for %s: %s", key, exc)
+        return None
+    return exported, payload
+
+
+def _atomic_write(path: Path, data: bytes) -> None:
+    fd, tmp = tempfile.mkstemp(dir=str(path.parent),
+                               prefix=path.name + ".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def save_async(key: str, jit_fn: Any, arg_specs: Tuple[Any, ...],
+               payload: Any) -> None:
+    """Export ``jit_fn`` at ``arg_specs`` and persist it, off-thread.
+
+    Export re-traces, but against the jit object's warm jaxpr cache
+    (measured ~2x cheaper than the cold trace) and OFF the caller's
+    critical path — the expensive first process hides it behind whatever
+    it does next. Lowering never touches the device, so this is safe next
+    to the single-client TPU tunnel. ``flush()`` joins pending writes
+    (tests; process exit is fine either way — a torn write is replaced
+    atomically or degrades to a miss).
+    """
+    global _disabled_for_process
+    base = cache_dir()
+    if base is None:
+        return
+
+    def work() -> None:
+        global _disabled_for_process
+        try:
+            from jax import export
+
+            exported = export.export(jit_fn)(*arg_specs)
+            blob = exported.serialize()
+            os.makedirs(base, exist_ok=True)
+            prog_path, payload_path = _paths(base, key)
+            _atomic_write(payload_path, pickle.dumps(payload))
+            _atomic_write(prog_path, blob)
+        except Exception as exc:
+            # e.g. a backend jax.export cannot lower for: disable quietly
+            # for the rest of the process instead of failing every bundle
+            logger.warning("aot cache export failed (%s); disabling for "
+                           "this process", exc)
+            _disabled_for_process = True
+        finally:
+            with _pending_lock:
+                _pending.discard(threading.current_thread())
+
+    t = threading.Thread(target=work, name="wfa-aot-export", daemon=True)
+    with _pending_lock:
+        _pending.add(t)
+    t.start()
+
+
+def flush(timeout: Optional[float] = 30.0) -> None:
+    """Join pending export writes (test determinism)."""
+    with _pending_lock:
+        threads = list(_pending)
+    for t in threads:
+        t.join(timeout)
