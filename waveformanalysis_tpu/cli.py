@@ -45,8 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DAQ adapter name (vx2730, v1725, ...)")
     p.add_argument("--n-channels", type=int, default=None,
                    help="Number of channels to process")
-    p.add_argument("--start-channel", type=int, default=0,
-                   help="First channel index")
+    p.add_argument("--start-channel", type=int, default=None,
+                   help="First paired-column channel index (reference CLI "
+                        "parity: its --start-channel feeds the global "
+                        "start_channel_slice, default 6)")
     p.add_argument("--time-window", type=float, default=None,
                    help="Event grouping window (ns)")
     p.add_argument("--profile", default="tpu",
@@ -107,8 +109,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     }
     if args.n_channels is not None:
         config["n_channels"] = args.n_channels
-    if args.start_channel:
-        config["start_channel"] = args.start_channel
+    if args.start_channel is not None:
+        # the reference CLI (cli.py:52,146) forwards this to the GLOBAL
+        # start_channel_slice key; 0 is a legal value (was dropped by a
+        # truthiness test before r5)
+        config["start_channel_slice"] = args.start_channel
     if args.time_window is not None:
         config["time_window_ns"] = args.time_window
     config.update(_load_extra_config(args.config_json))

@@ -197,8 +197,8 @@ def group_events_columnar(
             "dt_ns": np.zeros(0, np.float64),
             "n_hits": np.zeros(0, np.int32), "hit_offset": z,
             "hit_event_id": z, "hit_channel": np.zeros(0, np.int16),
-            "hit_area": np.zeros(0, np.float64),
-            "hit_height": np.zeros(0, np.float64), "hit_timestamp": z,
+            "hit_area": np.zeros(0, np.float32),
+            "hit_height": np.zeros(0, np.float32), "hit_timestamp": z,
         }
     boundaries = core["boundaries"]
     return {
@@ -210,8 +210,11 @@ def group_events_columnar(
         "hit_offset": boundaries[:-1].astype(np.int64),
         "hit_event_id": core["event_of"].astype(np.int64),
         "hit_channel": core["channel"].astype(np.int16),
-        "hit_area": core["area"].astype(np.float64),
-        "hit_height": core["height"].astype(np.float64),
+        # SOURCE dtype, no cast (f4 from the production kernels): forcing
+        # f8 here made df_paired's columnar route diverge in dtype from
+        # the classic (reference) path
+        "hit_area": core["area"],
+        "hit_height": core["height"],
         "hit_timestamp": core["ts"].astype(np.int64),
     }
 
@@ -369,10 +372,12 @@ def group_hit_windows(
     )
 
 
-def _flat_cells(col: Any, dtype=np.float64):
+def _flat_cells(col: Any, dtype=None):
     """Ragged per-event cells -> (flat values, offsets, counts).
 
-    int64 for ps timestamps: f64 would drop ULPs past 2**53."""
+    ``dtype=None`` keeps the cells' own dtype (reference dtype parity: its
+    paired columns carry the f4 kernel values straight through). Pass int64
+    explicitly for ps timestamps: f64 would drop ULPs past 2**53."""
     vals = col.to_list() if hasattr(col, "to_list") else list(col)
     try:
         counts = np.fromiter((len(v) for v in vals), dtype=np.int64,
@@ -386,17 +391,28 @@ def _flat_cells(col: Any, dtype=np.float64):
         cleaned = [
             np.atleast_1d(np.asarray(v))
             if hasattr(v, "__len__") and not isinstance(v, (str, bytes))
-            else np.zeros(0, dtype)
+            else np.zeros(0, dtype or np.float64)
             for v in vals
         ]
         counts = np.fromiter((len(v) for v in cleaned), dtype=np.int64,
                              count=len(cleaned))
-        flat = np.concatenate(cleaned) if cleaned else np.zeros(0, dtype)
-    if flat.dtype != dtype:
+        flat = np.concatenate(cleaned) if cleaned else \
+            np.zeros(0, dtype or np.float64)
+    if dtype is not None and flat.dtype != dtype:
         flat = flat.astype(dtype)
     offsets = np.zeros(len(vals), dtype=np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
     return flat, offsets, counts
+
+
+def _restore_cell_dtype(col: np.ndarray, src_dtype) -> np.ndarray:
+    """Reference dtype rule on a device-gathered (f8, NaN-filled) column:
+    a column with no missing hits keeps the source cells' dtype (exact —
+    the f8 values originated as that dtype); any NaN leaves it f8, the way
+    pandas .apply upcasts the reference's columns."""
+    if col.dtype != src_dtype and not np.isnan(col).any():
+        return col.astype(src_dtype)
+    return col
 
 
 def _pair_events_device_path(
@@ -415,10 +431,12 @@ def _pair_events_device_path(
 
     areas_key = "areas" if "areas" in df_events.columns else "charges"
     heights_key = "heights" if "heights" in df_events.columns else "peaks"
+    a_triple = _flat_cells(df_events[areas_key])
+    h_triple = _flat_cells(df_events[heights_key])
     out = GD.pair_events_device(
         _flat_cells(df_events["timestamps"], dtype=np.int64),
-        _flat_cells(df_events[areas_key]),
-        _flat_cells(df_events[heights_key]),
+        a_triple,
+        h_triple,
         np.asarray(df_events["dt/ns"], dtype=np.float64),
         time_window_ns,
         n_channels=n_channels,
@@ -430,8 +448,10 @@ def _pair_events_device_path(
     if "delta_t" not in df_paired.columns:
         df_paired["delta_t"] = out["delta_t"][keep]
     for i in range(n_channels):
-        df_paired[f"area_ch{start_channel + i}"] = out["area_ch"][keep, i]
-        df_paired[f"height_ch{start_channel + i}"] = out["height_ch"][keep, i]
+        df_paired[f"area_ch{start_channel + i}"] = _restore_cell_dtype(
+            out["area_ch"][keep, i], a_triple[0].dtype)
+        df_paired[f"height_ch{start_channel + i}"] = _restore_cell_dtype(
+            out["height_ch"][keep, i], h_triple[0].dtype)
     return df_paired
 
 
@@ -473,8 +493,14 @@ def pair_events_columnar(
         )
         keep = out["keep"]
         delta_t = out["delta_t"]
-        area_ch = out["area_ch"]
-        height_ch = out["height_ch"]
+        # per-channel COLUMNS (not a stacked matrix: stacking would upcast
+        # an all-present f4 column next to a NaN-holding f8 one)
+        area_cols = [_restore_cell_dtype(out["area_ch"][:, i],
+                                         hits["hit_area"].dtype)
+                     for i in range(n_channels)]
+        height_cols = [_restore_cell_dtype(out["height_ch"][:, i],
+                                           hits["hit_height"].dtype)
+                       for i in range(n_channels)]
     else:
         keep = span <= time_window_ns
         has = counts > 0
@@ -487,19 +513,19 @@ def pair_events_columnar(
         delta_t = np.where(has, (last - first) / 1000.0, np.nan)
 
         def take(flat, idx):
+            # reference dtype rule: all-present keeps the source dtype,
+            # any missing hit upcasts the column to f8 NaN (see _take)
             ok = counts > idx
             pos = np.minimum(offsets + idx, max(len(flat) - 1, 0))
+            if len(flat) and ok.all():
+                return flat[pos].copy()
             out_col = np.full(n_events, np.nan)
             if len(flat):
                 out_col[ok] = flat[pos[ok]]
             return out_col
 
-        area_ch = np.stack(
-            [take(hits["hit_area"], i) for i in range(n_channels)], axis=1
-        ) if n_channels else np.zeros((n_events, 0))
-        height_ch = np.stack(
-            [take(hits["hit_height"], i) for i in range(n_channels)], axis=1
-        ) if n_channels else np.zeros((n_events, 0))
+        area_cols = [take(hits["hit_area"], i) for i in range(n_channels)]
+        height_cols = [take(hits["hit_height"], i) for i in range(n_channels)]
 
     cols = {
         "event_id": ev["event_id"][keep],
@@ -510,8 +536,8 @@ def pair_events_columnar(
         "delta_t": delta_t[keep],
     }
     for i in range(n_channels):
-        cols[f"area_ch{start_channel + i}"] = area_ch[keep, i]
-        cols[f"height_ch{start_channel + i}"] = height_ch[keep, i]
+        cols[f"area_ch{start_channel + i}"] = area_cols[i][keep]
+        cols[f"height_ch{start_channel + i}"] = height_cols[i][keep]
     return pd.DataFrame(cols)
 
 
@@ -546,9 +572,16 @@ def pair_events(
     _flat = _flat_cells
 
     def _take(flat, offsets, counts, idx):
-        """value[idx] per event, NaN where the array is shorter."""
+        """value[idx] per event, NaN where the array is shorter.
+
+        Reference dtype rule (analyzer.py:100-108 .apply inference): when
+        every event has the channel the column keeps the cells' dtype
+        (f4 from the kernels); any missing hit -> NaN upcasts it to f8.
+        """
         ok = counts > idx
         pos = np.minimum(offsets + idx, max(len(flat) - 1, 0))
+        if len(flat) and ok.all():
+            return flat[pos].copy()
         out = np.full(len(counts), np.nan)
         if len(flat):
             out[ok] = flat[pos[ok]]

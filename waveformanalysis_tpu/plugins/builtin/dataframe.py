@@ -36,7 +36,7 @@ class DataFramePlugin(Plugin):
     provides = "df"
     depends_on = []  # dynamic
     description = "Build the initial single-channel events DataFrame."
-    version = "1.9.0"
+    version = "1.10.0"
     save_when = "always"
     uses_run_config = True
     output_dtype = "DataFrame"
@@ -65,10 +65,14 @@ class DataFramePlugin(Plugin):
             "timestamp": np.asarray(features["timestamp"], np.int64),
             "board": np.asarray(features["board"], np.int16),
             "channel": np.asarray(features["channel"], np.int16),
-            "height": np.asarray(features["height"], np.float64),
-            "amp": np.asarray(features["amp"], np.float64),
-            "area": np.asarray(features["area"], np.float64),
-            "max_abs_diff": np.asarray(features["max_abs_diff"], np.float64),
+            # keep the kernels' float32 (reference dtype parity: its df
+            # carries basic_features' f4 straight through, and the CSV the
+            # CLI exports round-trips shorter — caught by the r5 CLI
+            # differential)
+            "height": np.asarray(features["height"]),
+            "amp": np.asarray(features["amp"]),
+            "area": np.asarray(features["area"]),
+            "max_abs_diff": np.asarray(features["max_abs_diff"]),
             "event_index": np.asarray(features["event_index"], np.int64),
         })
         # reference column name for the same identity (reference df exposes

@@ -88,8 +88,8 @@ EVENT_HITS_SCHEMA = Schema(
     (
         Field("hit_event_id", "i8"),
         Field("hit_channel", "i2"),
-        Field("hit_area", "f8"),
-        Field("hit_height", "f8"),
+        Field("hit_area", "f4"),
+        Field("hit_height", "f4"),
         Field("hit_timestamp", "i8", unit="ps"),
     ),
 )
@@ -147,7 +147,9 @@ class EventHitsPlugin(Plugin):
     provides = "event_hits"
     depends_on = ["df"]
     description = "Flat event-member hits aligned with the events table."
-    version = "1.0.0"
+    # 1.1.0: hit_area/hit_height f8 -> f4 (the kernels' dtype; keeps the
+    # columnar df_paired route dtype-identical to the classic path)
+    version = "1.1.0"
     kernel_version = G.KERNEL_VERSION
     save_when = "always"
     output_dtype = EVENT_HITS_SCHEMA
@@ -238,7 +240,10 @@ class PairedEventsPlugin(Plugin):
     description = "Filter grouped events into cross-channel pairs."
     # 1.3.0: default paired-column prefix follows the reference's global
     # start_channel_slice key (default 6 -> area_ch6/7 out of the box)
-    version = "1.3.0"
+    # 1.4.0: reference dtype rule on area_ch*/height_ch* (f4 when every
+    # event has the channel, f8 NaN upcast otherwise — caught by the r5
+    # CLI differential's CSV round-trip)
+    version = "1.4.0"
     kernel_version = G.KERNEL_VERSION
     save_when = "always"
     output_dtype = "DataFrame"
