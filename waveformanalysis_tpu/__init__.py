@@ -109,6 +109,8 @@ _LAZY_API = {
     "make_sharded_chain_scan": ("waveformanalysis_tpu.ops.chain_scan_pallas", "make_sharded_chain_scan"),
     # foundation
     "Profiler": ("waveformanalysis_tpu.foundation.profiler", "Profiler"),
+    "OneTimeGenerator": ("waveformanalysis_tpu.foundation.utils",
+                         "OneTimeGenerator"),
     "ProgressTracker": ("waveformanalysis_tpu.foundation.progress", "ProgressTracker"),
     "ErrorSeverity": ("waveformanalysis_tpu.foundation.exceptions", "ErrorSeverity"),
     "PluginError": ("waveformanalysis_tpu.foundation.exceptions", "PluginError"),

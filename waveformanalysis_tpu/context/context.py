@@ -795,6 +795,124 @@ class Context:
             )
         return "\n".join(lines)
 
+    def list_plugin_configs(
+        self,
+        plugin_name: Optional[str] = None,
+        show_current_values: bool = True,
+        verbose: bool = True,
+        as_dataframe: bool = True,
+        show_full_help: bool = False,
+    ) -> Dict[str, Any]:
+        """Option catalogue for registered plugins (reference:
+        context.py:1458-1560): per plugin, every option's default, type,
+        help, tracking flag, and (optionally) the currently-resolved value
+        with a modified-vs-default marker.
+
+        Returns the result dict; with ``verbose`` also prints a plugin
+        overview table and an option table (pandas when ``as_dataframe``,
+        plain text otherwise).
+        """
+        if plugin_name is not None:
+            if plugin_name not in self._plugins:
+                if verbose:
+                    print(f"plugin '{plugin_name}' is not registered; "
+                          f"registered: {', '.join(sorted(self._plugins))}")
+                return {}
+            plugins_to_show = {plugin_name: self._plugins[plugin_name]}
+        else:
+            plugins_to_show = self._plugins
+        if not plugins_to_show:
+            if verbose:
+                print("no plugins registered")
+            return {}
+
+        result: Dict[str, Any] = {}
+        for name, plugin in plugins_to_show.items():
+            options: Dict[str, Any] = {}
+            for opt_name, option in plugin.options.items():
+                opt_type = option.type
+                opt_info: Dict[str, Any] = {
+                    "default": option.default,
+                    "type": (opt_type.__name__
+                             if hasattr(opt_type, "__name__")
+                             else str(opt_type) if opt_type else "Any"),
+                    "help": option.help,
+                    "track": option.track,
+                }
+                if show_current_values:
+                    try:
+                        current = self.get_config(plugin, opt_name)
+                    except Exception:
+                        current = None
+                    opt_info["current_value"] = current
+                    opt_info["is_default"] = current == option.default
+                options[opt_name] = opt_info
+            result[name] = {
+                "class": type(plugin).__name__,
+                "description": getattr(plugin, "description", ""),
+                "version": getattr(plugin, "version", "0.0.0"),
+                "options": options,
+            }
+
+        if verbose:
+            self._print_plugin_configs(result, show_current_values,
+                                       as_dataframe, show_full_help)
+        return result
+
+    @staticmethod
+    def _print_plugin_configs(result, show_current_values, as_dataframe,
+                              show_full_help) -> None:
+        overview = [
+            {
+                "plugin": pname,
+                "class": info["class"],
+                "version": info["version"],
+                "options": len(info["options"]),
+                "modified": sum(
+                    1 for o in info["options"].values()
+                    if show_current_values and not o.get("is_default", True)
+                ),
+            }
+            for pname, info in result.items()
+        ]
+        opt_rows = [
+            {
+                "plugin": pname,
+                "option": oname,
+                "default": repr(o["default"]),
+                **({"current": repr(o.get("current_value")),
+                    "modified": "" if o.get("is_default", True) else "*"}
+                   if show_current_values else {}),
+                "type": o["type"],
+                "help": o["help"] if show_full_help else
+                (o["help"][:57] + "..." if len(o["help"]) > 60 else o["help"]),
+            }
+            for pname, info in result.items()
+            for oname, o in info["options"].items()
+        ]
+        if as_dataframe:
+            try:
+                import pandas as pd
+
+                with pd.option_context("display.max_rows", None,
+                                       "display.width", 160,
+                                       "display.max_colwidth", 64):
+                    print(pd.DataFrame(overview).to_string(index=False))
+                    print()
+                    print(pd.DataFrame(opt_rows).to_string(index=False))
+                return
+            except Exception:  # pragma: no cover - pandas always present
+                pass
+        for row in overview:
+            print(f"{row['plugin']:<28} {row['class']} v{row['version']} "
+                  f"({row['options']} options, {row['modified']} modified)")
+        for row in opt_rows:
+            mark = row.get("modified", "")
+            cur = f" current={row['current']}" if "current" in row else ""
+            print(f"  {row['plugin']}.{row['option']}{mark} "
+                  f"default={row['default']}{cur} [{row['type']}] "
+                  f"{row['help']}")
+
     def plot_lineage(self, data_name: str, renderer: str = "labview",
                      **kwargs: Any):
         """Render the dependency/lineage graph for a data name

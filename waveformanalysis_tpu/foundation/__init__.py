@@ -31,6 +31,10 @@ from waveformanalysis_tpu.foundation.units import (
     convert_frequency,
     convert_time,
 )
+from waveformanalysis_tpu.foundation.utils import (
+    OneTimeGenerator,
+    get_plugins_from_context,
+)
 
 __all__ = [
     "FeatureDefaults",
@@ -52,4 +56,6 @@ __all__ = [
     "StandardUnits",
     "convert_time",
     "convert_frequency",
+    "OneTimeGenerator",
+    "get_plugins_from_context",
 ]
