@@ -73,6 +73,34 @@ def cache_dir() -> Optional[str]:
     return DEFAULT_CACHE_DIR
 
 
+def _export_kwargs() -> dict:
+    """Platform mapping for jax.export — normally a no-op.
+
+    jax.export's ``platforms`` allowlist is {tpu, cpu, cuda, rocm}. The
+    production axon PJRT plugin registers its v5e devices as platform
+    ``tpu`` (measured: ``jax.default_backend() == "tpu"`` under
+    ``JAX_PLATFORMS=axon``), so plain export works and this returns ``{}``.
+    Fallback for plugin builds that register under a non-allowlisted name:
+    the device consumes standard TPU StableHLO, so lower for "tpu" and
+    disable the call-time platform-name check (the digest still keys on
+    the configured backend name, so entries never cross backends)."""
+    import jax
+    from jax import export
+
+    backend = jax.default_backend()
+    if backend in ("tpu", "cpu", "cuda", "rocm"):
+        return {}
+    lowering = "tpu" if "tpu" in str(
+        getattr(jax.devices()[0], "device_kind", "")
+    ).lower() or backend == "axon" else None
+    if lowering is None:
+        raise RuntimeError(f"no export lowering for backend {backend!r}")
+    return {
+        "platforms": [lowering],
+        "disabled_checks": [export.DisabledSafetyCheck.platform()],
+    }
+
+
 def digest(parts: Tuple[Any, ...]) -> str:
     """Stable content key over canonical reprs of the key parts."""
     h = hashlib.sha1()
@@ -151,7 +179,9 @@ def save_async(key: str, jit_fn: Any, arg_specs: Tuple[Any, ...],
         try:
             from jax import export
 
-            exported = export.export(jit_fn)(*arg_specs)
+            exported = export.export(
+                jit_fn, **_export_kwargs()
+            )(*arg_specs)
             blob = exported.serialize()
             os.makedirs(base, exist_ok=True)
             prog_path, payload_path = _paths(base, key)
