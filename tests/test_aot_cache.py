@@ -180,6 +180,56 @@ def test_default_off_on_cpu(basic_context, tmp_path, monkeypatch):
     assert not list(tmp_path.glob("**/*.stablehlo"))
 
 
+def test_short_lived_process_persists_export(tmp_path):
+    """A process that exits right after computing a bundle must still
+    write its export (atexit bounded flush): daemon export threads die
+    with the interpreter, and short-lived processes — CLI invocations,
+    batch workers — are exactly who the AOT cache serves. Measured on the
+    TPU backend pre-fix: benchmark processes exited before the export and
+    the cache stayed empty forever (the layer was silently inert)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    aot_dir = tmp_path / "aot"
+    script = tmp_path / "short.py"
+    script.write_text(
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        f"os.environ['WFA_AOT_CACHE_DIR'] = {str(aot_dir)!r}\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from waveformanalysis_tpu.context.context import Context\n"
+        "from waveformanalysis_tpu.plugins.plugin_sets import tpu_default\n"
+        "from waveformanalysis_tpu.testing.fixtures import "
+        "make_fake_st_waveforms\n"
+        f"ctx = Context(storage_dir={str(tmp_path / 'store')!r},\n"
+        "              config={'show_progress': False})\n"
+        "ctx.register(*tpu_default())\n"
+        "st = make_fake_st_waveforms(n_events=16, wave_length=32,\n"
+        "                            n_channels=2, seed=1)\n"
+        "ctx.inject_data('r', 'st_waveforms', st)\n"
+        "ctx.get_data('r', ['basic_features', 'hit', 'hit_threshold'])\n"
+        "ctx.flush_saves()\n"
+        "# NO aot_cache.flush(): exit must not orphan the export\n"
+    )
+    pp = os.environ.get("PYTHONPATH")
+    env = dict(os.environ,
+               PYTHONPATH=str(repo) + (os.pathsep + pp if pp else ""))
+    proc = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True,
+        timeout=300, cwd=str(repo), env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    exports = list(aot_dir.glob("*.stablehlo"))
+    assert exports, (
+        "short-lived process wrote no AOT export; stderr tail:\n"
+        + proc.stderr[-2000:]
+    )
+
+
 # -- helpers ---------------------------------------------------------------
 
 

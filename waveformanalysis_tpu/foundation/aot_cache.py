@@ -28,6 +28,7 @@ opt-in on CPU (``WFA_AOT_CACHE_DIR``), global off via ``WFA_NO_AOT_CACHE``.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import logging
 import os
@@ -165,14 +166,19 @@ def save_async(key: str, jit_fn: Any, arg_specs: Tuple[Any, ...],
     (measured ~2x cheaper than the cold trace) and OFF the caller's
     critical path — the expensive first process hides it behind whatever
     it does next. Lowering never touches the device, so this is safe next
-    to the single-client TPU tunnel. ``flush()`` joins pending writes
-    (tests; process exit is fine either way — a torn write is replaced
-    atomically or degrades to a miss).
+    to the single-client TPU tunnel. ``flush()`` joins pending writes;
+    an atexit hook does a bounded flush so SHORT-LIVED processes (CLI
+    invocations, batch workers — the cache's target audience) don't kill
+    the daemon export thread before it writes. Measured on axon: without
+    the hook, a fresh-process benchmark run exited before the export and
+    the cache dir was never created — the whole layer was silently inert.
+    A torn write is replaced atomically or degrades to a miss.
     """
     global _disabled_for_process
     base = cache_dir()
     if base is None:
         return
+    _ensure_atexit_flush()
 
     def work() -> None:
         global _disabled_for_process
@@ -204,8 +210,24 @@ def save_async(key: str, jit_fn: Any, arg_specs: Tuple[Any, ...],
 
 
 def flush(timeout: Optional[float] = 30.0) -> None:
-    """Join pending export writes (test determinism)."""
+    """Join pending export writes (test determinism + atexit)."""
     with _pending_lock:
         threads = list(_pending)
     for t in threads:
         t.join(timeout)
+
+
+_atexit_registered = False
+
+
+def _ensure_atexit_flush() -> None:
+    """Register a one-time bounded flush at interpreter exit.
+
+    Exports run on daemon threads so they never block a long-lived
+    process; the hook gives short-lived processes the ~0.5 s the export
+    needs (bounded — a hung write can delay exit by at most the timeout).
+    """
+    global _atexit_registered
+    if not _atexit_registered:
+        _atexit_registered = True
+        atexit.register(flush, 30.0)
