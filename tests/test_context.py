@@ -307,6 +307,26 @@ class TestCloneAndFactory:
         out = clone.get_data("run1", "source")
         assert len(out) == 10
 
+    def test_clone_kwarg_updates(self, ctx):
+        clone = ctx.clone(some_key=5)
+        assert clone.config["some_key"] == 5
+        assert "some_key" not in ctx.config
+
+    def test_clone_config_dict_is_updates(self, ctx):
+        # clone(config={...}) mirrors Context(config=...); treating it as
+        # a literal global key named "config" would silently change no
+        # plugin's lineage — the footgun this pins.
+        clone = ctx.clone(config={"some_key": 7}, other=1)
+        assert clone.config["some_key"] == 7
+        assert clone.config["other"] == 1
+        assert "config" not in clone.config
+
+    def test_clone_config_non_dict_raises(self, ctx):
+        import pytest as _pytest
+
+        with _pytest.raises(TypeError):
+            ctx.clone(config=7)
+
     def test_factory_pickles(self, ctx):
         import pickle
 

@@ -998,8 +998,26 @@ class Context:
         self.close()
 
     def clone(self, **config_updates: Any) -> "Context":
-        """A new Context sharing storage + plugin classes, fresh caches."""
+        """A new Context sharing storage + plugin classes, fresh caches.
+
+        ``config_updates`` are applied on top of the current config.
+        ``clone(config={...})`` is accepted as a synonym for passing the
+        dict's items as keyword updates — it mirrors the
+        ``Context(config=...)`` constructor, so treating it as a literal
+        global key named ``"config"`` would silently change nothing (the
+        mistake is invisible: every plugin keeps its old lineage).
+        """
         self.flush_saves()  # the clone reads through the shared storage
+        nested = config_updates.pop("config", None)
+        if nested is not None:
+            if not isinstance(nested, dict):
+                raise TypeError(
+                    "clone(config=...) expects a dict of config updates, "
+                    f"got {type(nested).__name__}"
+                )
+            merged = dict(nested)
+            merged.update(config_updates)  # explicit kwargs win
+            config_updates = merged
         cfg = dict(self.config)
         cfg.update(config_updates)
         new = Context(
