@@ -187,3 +187,69 @@ def test_fuzz_combo_parity(fuzz_run, fuzz_defaults, combo_id, cfg, names):
     for name in names:
         cfgmod._compare_any(name, ref[name], ours[name],
                             FUZZ_ATOL_OVERRIDES)
+
+
+# ---------------------------------------------------------------------------
+# V1725 (binary adapter) combos: the acquisition options flow through the
+# device-unpack decode path, so compose them there too. Axes are the
+# calibrated values from the configs module's V1725_SWEEPS; scopes are
+# pairwise distinct, so every 2-4 subset is a valid combo.
+# ---------------------------------------------------------------------------
+V_AXES = [
+    ("v_dt", {"st_waveforms": {"dt": 7}}, ["st_waveforms"]),
+    ("v_thr", {"hit_threshold": {"threshold": 200.0, "left_extension": 2,
+                                 "right_extension": 2}}, ["hit_threshold"]),
+    ("v_raw", {"hit": {"height": 40.0, "use_filtered": False, "width": 1}},
+     ["hit"]),
+    ("v_merge", {"hit_merge_clusters": {"merge_gap_ns": 2500.0}},
+     ["hit_merged"]),
+]
+
+V_COMBOS = []
+for _i in range(len(V_AXES)):
+    for _j in range(_i + 1, len(V_AXES)):
+        _axes = [V_AXES[_i], V_AXES[_j]]
+        _cfg = {}
+        _names = {"hit_threshold", "hit_merged"}
+        for _, _frag, _affected in _axes:
+            _cfg.update({k: dict(v) for k, v in _frag.items()})
+            _names.update(_affected)
+        V_COMBOS.append(("+".join(a[0] for a in _axes), _cfg,
+                         sorted(_names)))
+V_COMBOS.append(("v_all_four",
+                 {k: dict(v) for _, f, _n in V_AXES for k, v in f.items()},
+                 sorted({n for _, _, ns in V_AXES for n in ns}
+                        | {"hit_threshold", "hit_merged"})))
+
+
+@pytest.fixture(scope="module")
+def v_fuzz_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("diff_fuzz_v1725")
+    from utils import write_v1725_run
+
+    run_dir = write_v1725_run(tmp / "DAQB", "run_fuzzb", n_events=24,
+                              n_samples=64)
+    return tmp, (tmp / "DAQB", run_dir)
+
+
+@pytest.fixture(scope="module")
+def v_fuzz_defaults(v_fuzz_run):
+    union = sorted({n for _, _, names in V_COMBOS for n in names})
+    return cfgmod._drive_v1725(v_fuzz_run, "defaults", None, union, "ours")
+
+
+@pytest.mark.parametrize("combo_id,cfg,names", V_COMBOS,
+                         ids=[c[0] for c in V_COMBOS])
+def test_v1725_fuzz_combo_parity(v_fuzz_run, v_fuzz_defaults, combo_id,
+                                 cfg, names):
+    ours = cfgmod._drive_v1725(v_fuzz_run, combo_id, cfg, names, "ours")
+    assert any(
+        cfgmod._rows_differ(n, v_fuzz_defaults[n], ours[n]) for n in names
+    ), (
+        f"combo '{combo_id}' changed nothing vs defaults — "
+        "axes may be silently ignored in composition"
+    )
+    ref = cfgmod._drive_v1725(v_fuzz_run, combo_id, cfg, names, "ref")
+    for name in names:
+        cfgmod._compare_any(name, ref[name], ours[name],
+                            FUZZ_ATOL_OVERRIDES, pair_tag="v1725")

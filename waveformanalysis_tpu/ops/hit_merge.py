@@ -112,8 +112,20 @@ def merge_hits(
     if n == 0:
         return _empty_merged(), empty_pairs, empty_pairs
 
-    dt = (np.full(n, explicit_dt, dtype=np.int64) if explicit_dt is not None
-          else np.asarray(hits["dt"], dtype=np.int64))
+    # data-first dt, matching the reference's require_dt_array
+    # (cpu/_dt_compat.py:52-74): rows carry dt when present; explicit_dt is
+    # only the migration fallback for inputs LACKING the field. The inverted
+    # precedence (config over rows) was invisible at default dt and surfaced
+    # only when a dt override composed with merging (fuzz differential).
+    if "dt" in hits:
+        dt = np.asarray(hits["dt"], dtype=np.int64)
+    elif explicit_dt is not None:
+        dt = np.full(n, int(explicit_dt), dtype=np.int64)
+    else:
+        raise ValueError(
+            "[hit_merged] input hits are missing required field 'dt'; "
+            "provide explicit config 'dt' for this migration period."
+        )
     positions = np.asarray(hits["position"], dtype=np.float64)
     e_start = np.asarray(hits["edge_start"], dtype=np.float64)
     e_end = np.asarray(hits["edge_end"], dtype=np.float64)

@@ -95,8 +95,9 @@ def merge_kernel_config(context: Any, plugin: Plugin) -> dict:
     self-scoped values only feed its unused fallback path). Resolving
     gap/width against the registered clusters plugin reproduces that
     scoping exactly (global and dotted keys behave identically either
-    way). ``dt`` stays self-scoped (it is a per-plugin input-compat shim,
-    resolved per plugin in the reference too). Pinned by the config-sweep
+    way). ``dt`` stays self-scoped and is read RAW (see ``_raw_dt``): it is
+    a per-plugin input-compat shim, and per-row dt from the hits always
+    outranks it (ops/hit_merge.py). Pinned by the config-sweep
     differential (tests/test_reference_differential_configs.py merge_*
     sweeps, including the inert-scope one).
     """
@@ -109,8 +110,25 @@ def merge_kernel_config(context: Any, plugin: Plugin) -> dict:
         "max_total_width_ns": float(
             context.get_config(owner, "max_total_width_ns")
         ),
-        "dt": context.get_config(plugin, "dt"),
+        "dt": _raw_dt(context, plugin),
     }
+
+
+def _raw_dt(context: Any, plugin: Any) -> Any:
+    """Read the ``dt`` migration fallback RAW, as the reference does
+    (cpu/_dt_compat.py:12-24 get_raw_config_value: plugin-scoped dict,
+    dotted key, then the bare global — explicitly-set values only). Going
+    through the resolver would adapter-infer dt (4 ns on v1725), turning
+    the dormant fallback into a value that exists on every adapter run."""
+    provides = plugin.provides
+    cfg = context.config
+    scoped = cfg.get(provides)
+    if isinstance(scoped, dict) and "dt" in scoped:
+        return scoped["dt"]
+    dotted = f"{provides}.dt"
+    if dotted in cfg:
+        return cfg[dotted]
+    return cfg.get("dt")
 
 
 def merge_from_table(cfg: dict, hits: Any):
@@ -175,7 +193,7 @@ class HitMergePlugin(_MergeFamilyPlugin):
     provides = "hit_merged"
     depends_on = ["hit_threshold"]
     description = "Merge same-channel threshold hits within merge_gap_ns."
-    version = "0.7.0"
+    version = "0.8.0"
     kernel_version = HM.KERNEL_VERSION
     save_when = "always"
     output_dtype = HIT_MERGED_SCHEMA
@@ -193,7 +211,7 @@ class HitMergeClustersPlugin(_MergeFamilyPlugin):
     uses_run_config = True
     depends_on = ["hit_threshold"]
     description = "Cluster membership table for merged threshold hits."
-    version = "0.7.0"
+    version = "0.8.0"
     kernel_version = HM.KERNEL_VERSION
     save_when = "always"
     output_dtype = HIT_MERGE_CLUSTERS_SCHEMA
@@ -209,7 +227,7 @@ class HitMergedComponentsPlugin(_MergeFamilyPlugin):
     provides = "hit_merged_components"
     depends_on = ["hit_threshold"]
     description = "Component index table for merged threshold hits."
-    version = "0.7.0"
+    version = "0.8.0"
     kernel_version = HM.KERNEL_VERSION
     save_when = "always"
     output_dtype = HIT_MERGED_COMPONENTS_SCHEMA
